@@ -1,0 +1,85 @@
+"""Expiry-ladder selection (SURVEY §2 W1/W2, J4, O3).
+
+The reference computes these with Python loops over sorted sets
+(main.py:43-80; deltaweekly.py:43-111); here they are window/top-k
+DataFrame computations with an injected ``as_of_date`` (SURVEY §7.4
+trap 3: no wall-clock reads inside the plan).
+
+Both ladders return tiny DataFrames (<= 3 rows by construction), so a
+``collect()`` of the result is a legitimate scalar fetch — but the
+preferred composition keeps them in-plan via a broadcast semi-join
+(filters.expiry_membership).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nearest_expiries(expiries: DataFrame, as_of_date: dt.date, k: int = 3) -> DataFrame:
+    """W1 hourly ladder E0..E{k-1}: distinct expiries >= as_of, ascending,
+    first k. Fallback (main.py:64-65): if none are current/future, take
+    the single overall max expiry.
+
+    Single-column input DF; output column ``expiry``.
+    """
+    col = expiries.columns[0]
+    e = expiries.select(F.col(col).alias("expiry")).where(F.col("expiry").isNotNull()).distinct()
+    future = e.where(F.col("expiry") >= F.lit(as_of_date)).orderBy("expiry").limit(k)
+    # TakeOrderedAndProject on <= |distinct| rows; the fallback branch
+    # only materializes when `future` is empty.
+    if future.isEmpty():
+        return e.orderBy(F.col("expiry").desc()).limit(1)
+    return future
+
+
+def friday_expiries(expiries: DataFrame, as_of_date: dt.date) -> DataFrame:
+    """W2 weekly ladder: among active expiries (>= as_of), W1 is the
+    first Friday with >= 2 active expiries strictly before it (else the
+    first Friday); W2 is the first Friday after W1
+    (deltaweekly.py:43-111, incl. the :84-86 fallback).
+
+    Output: rows (ladder_pos int, expiry date) with ladder_pos in {1, 2}.
+    """
+    col = expiries.columns[0]
+    active = (
+        expiries.select(F.col(col).alias("expiry"))
+        .where(F.col("expiry").isNotNull() & (F.col("expiry") >= F.lit(as_of_date)))
+        .distinct()
+    )
+    # Cumulative count of active expiries strictly before each one;
+    # the active set is tiny (distinct dates), so a single-partition
+    # window is fine — this is ladder metadata, not the fact table.
+    w = Window.orderBy("expiry").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = active.withColumn("n_before", F.count(F.lit(1)).over(w))
+    fridays = ranked.where(F.dayofweek("expiry") == 6)  # Spark: Sunday=1 => Friday=6
+
+    qualified = fridays.where(F.col("n_before") >= 2).orderBy("expiry").limit(1)
+    w1_df = qualified if not qualified.isEmpty() else fridays.orderBy("expiry").limit(1)
+    if w1_df.isEmpty():
+        return w1_df.select(F.lit(1).alias("ladder_pos"), F.col("expiry"))
+    w1 = w1_df.collect()[0]["expiry"]
+
+    w2_df = fridays.where(F.col("expiry") > F.lit(w1)).orderBy("expiry").limit(1)
+    out = w1_df.select(F.lit(1).alias("ladder_pos"), "expiry")
+    if not w2_df.isEmpty():
+        out = out.unionByName(w2_df.select(F.lit(2).alias("ladder_pos"), "expiry"))
+    return out
+
+
+def expiry_ladder_topk(dates: DataFrame, as_of_date: dt.date, k: int) -> DataFrame:
+    """Generalized O3 top-k ladder used by the oracle corpus: distinct
+    future dates ascending with a dense ladder position.
+    """
+    col = dates.columns[0]
+    w = Window.orderBy("ladder_date")
+    return (
+        dates.select(F.col(col).alias("ladder_date"))
+        .where(F.col("ladder_date").isNotNull() & (F.col("ladder_date") >= F.lit(as_of_date)))
+        .distinct()
+        .withColumn("ladder_pos", F.row_number().over(w))
+        .where(F.col("ladder_pos") <= k)
+    )

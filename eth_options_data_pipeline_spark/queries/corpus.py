@@ -1,0 +1,716 @@
+"""Core operator corpus — one oracle-checked query per SURVEY.md §2 row.
+
+Reference-semantics citations are in each docstring (file:line into
+/root/reference). Conventions for oracle parity:
+  * temporal outputs are formatted strings (engine-independent);
+  * multi-row float aggregates (sum/avg) are rounded identically on
+    both sides — inputs are 2-decimal moneys, so round(...,2) has huge
+    margin against last-bit accumulation-order noise;
+  * row-level float arithmetic is left raw (same operand bits -> same
+    IEEE result on both engines);
+  * every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators import expiry as expiry_ops
+from eth_options_data_pipeline_spark.operators.dedup import duplicate_groups, keep_last
+from eth_options_data_pipeline_spark.operators.filters import expiry_membership, null_guard, strike_band
+from eth_options_data_pipeline_spark.operators.snapshot import tail_n
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A5) and grouped scans
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                   AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 2)                        AS avg_qty,
+           count(*)                                         AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped scan aggregate (A3 min/max family, A4 counts; the shape
+    of reference telemetry aggregates main.py:225-226,241-243). Partial
+    (map-side) aggregation + single shuffle on the group keys."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(dt.datetime(2000, 6, 1)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "q02_band_filter_project",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+    """,
+)
+def q02_band_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 numeric-range predicate + P6 projection (strike band,
+    reference main.py:83-87). Both filter and the 4-column projection
+    push down to the parquet scan (PushedFilters / ReadSchema)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        strike_band(F.col("l_quantity"), F.lit(15.0), 100.0 / 3)  # 15*(1±1/3) = [10, 20]
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "q03_falsy_guard",
+    sql="""
+    SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE value IS NOT NULL AND value <> 0
+      AND event_type IS NOT NULL AND event_type <> ''
+      AND user_id IS NOT NULL AND user_id <> 0
+      AND event_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q03_falsy_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 falsy-guard: the reference rejects '' and 0, not just NULL
+    (Python truthiness, main.py:164-166; SURVEY §7.4 trap 7)."""
+    ev = t(spark, sf_dir, "events")
+    guarded = ev.where(
+        null_guard(F.col("event_type").cast("string"), F.col("user_id"),
+                   F.col("event_type"), F.col("value"))
+        & F.col("event_id").isNotNull()
+    )
+    return guarded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q04_left_join_coalesce",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey)                    AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q04_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left-outer probe with miss->0 defaults (main.py:290-308) +
+    F13 null-to-zero coalesce. Customer side is small -> broadcast."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q05_semi_join",
+    sql="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 membership filter as a broadcast LEFT SEMI join — the scale
+    path for `expiry in targets` (main.py:193-194) when the key set is
+    computed in-plan rather than collected."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    joined = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+        on="o_custkey", how="left_semi",
+    )
+    return joined.select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "q06_keep_last",
+    sql="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q06_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A5/J1: keep-LAST-per-key dedup. pandas drop_duplicates
+    keep='last' (main.py:233) and the J1 dict-overwrite (main.py:281-286)
+    both need an explicit order column in Spark (SURVEY §7.4 trap 1);
+    here the total order is (ts, event_id)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "_ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = keep_last(ev, keys=["user_id"], order_col="_ord")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "q07_lag_delta",
+    sql="""
+    SELECT event_id, user_id, value,
+           value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def q07_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J3: per-key previous-value delta — the Open/OI_Change
+    derivation (main.py:300-304) in its log-replay form. Raw double
+    subtraction on identical operands is bit-exact across engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "value",
+        (F.col("value") - F.lag("value", 1, 0.0).over(w)).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ladders / sorts / limits (W1, W2, O1-O3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q08_expiry_ladder",
+    sql="""
+    SELECT ladder_pos, strftime(ladder_date, '%Y-%m-%d') AS ladder_day
+    FROM (
+      SELECT d AS ladder_date, row_number() OVER (ORDER BY d) AS ladder_pos
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '2000-06-01')
+    ) WHERE ladder_pos <= 3
+    """,
+)
+def q08_expiry_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O3: the E0/E1/E2 expiry ladder (main.py:43-80) — distinct
+    future dates ascending, top 3 (TakeOrderedAndProject)."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderdate").cast("date").alias("d"))
+    ladder = expiry_ops.expiry_ladder_topk(o, dt.date(2000, 6, 1), k=3)
+    return ladder.select(
+        "ladder_pos", F.date_format("ladder_date", "yyyy-MM-dd").alias("ladder_day")
+    )
+
+
+@query(
+    "q09_friday_ladder",
+    sql="""
+    WITH active AS (
+      SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '2000-06-01'
+    ), ranked AS (
+      SELECT d, count(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_before
+      FROM active
+    ), fridays AS (
+      SELECT * FROM ranked WHERE dayofweek(d) = 5
+    ), w1 AS (
+      SELECT coalesce((SELECT min(d) FROM fridays WHERE n_before >= 2),
+                      (SELECT min(d) FROM fridays)) AS d
+    )
+    SELECT 1 AS ladder_pos, strftime((SELECT d FROM w1), '%Y-%m-%d') AS expiry_day
+    WHERE (SELECT d FROM w1) IS NOT NULL
+    UNION ALL
+    SELECT 2, strftime(min(d), '%Y-%m-%d') FROM fridays
+    WHERE d > (SELECT d FROM w1) HAVING min(d) IS NOT NULL
+    """,
+)
+def q09_friday_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/J4: the weekly Friday ladder (deltaweekly.py:43-111): W1 =
+    first Friday with >=2 active expiries strictly before it (fallback:
+    first Friday, :84-86), W2 = first Friday after W1."""
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_shipdate").cast("date").alias("d"))
+    ladder = expiry_ops.friday_expiries(li, dt.date(2000, 6, 1))
+    return ladder.select(
+        "ladder_pos", F.date_format("expiry", "yyyy-MM-dd").alias("expiry_day")
+    )
+
+
+@query(
+    "q10_tail_n",
+    sql="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 300
+    """,
+)
+def q10_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: tail(300) state bounding (main.py:260) — last N rows under
+    the (ts, event_id) total order."""
+    ev = t(spark, sf_dir, "events")
+    return tail_n(ev, 300, order_cols=("ts", "event_id")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "q16_multisort_limit",
+    sql="""
+    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
+           l_orderkey, l_linenumber, l_quantity
+    FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def q16_multisort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: multi-key ascending sort (main.py:236-239) with a unique
+    total order, limited — plans as TakeOrderedAndProject (no full
+    global sort materialization)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select(
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ship_day"),
+            "l_orderkey", "l_linenumber", "l_quantity",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (F1-F14)
+# ---------------------------------------------------------------------------
+
+SYMBOL_SQL = """
+      SELECT l_orderkey, l_linenumber,
+             CASE
+               WHEN l_orderkey % 53 = 0 THEN 'ETH-BAD'
+               WHEN l_orderkey % 59 = 0 THEN
+                 concat(CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END,
+                        '-ETH-', CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), '-3110')
+               ELSE
+                 concat(CASE WHEN l_linenumber % 2 = 0 THEN 'C' ELSE 'P' END,
+                        '-ETH-', CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                        '-', strftime(l_shipdate, '%d%m%y'))
+             END AS symbol
+      FROM lineitem
+"""
+
+
+def _symbols_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic option-symbol corpus derived from lineitem —
+    `{C|P}-ETH-{strike}-{DDMMYY}` with planted malformed rows (<4 dash
+    parts / 4-char token), mirroring FIXTURES.md §1 edge cases."""
+    li = t(spark, sf_dir, "lineitem")
+    side = F.when(F.col("l_linenumber") % 2 == 0, F.lit("C")).otherwise(F.lit("P"))
+    strike_tok = F.floor("l_extendedprice").cast("string")
+    good = F.concat(side, F.lit("-ETH-"), strike_tok, F.lit("-"),
+                    F.date_format("l_shipdate", "ddMMyy"))
+    short_tok = F.concat(side, F.lit("-ETH-"), strike_tok, F.lit("-3110"))
+    sym = (
+        F.when(F.col("l_orderkey") % 53 == 0, F.lit("ETH-BAD"))
+        .when(F.col("l_orderkey") % 59 == 0, short_tok)
+        .otherwise(good)
+    )
+    return li.select("l_orderkey", "l_linenumber", sym.alias("symbol"))
+
+
+@query(
+    "q11_symbol_parse",
+    sql=f"""
+    WITH syms AS ({SYMBOL_SQL})
+    SELECT l_orderkey, l_linenumber, symbol,
+           (len(string_split(symbol, '-')) >= 4
+            AND regexp_matches(string_split(symbol, '-')[-1], '^\\d{{6}}$')) AS well_formed,
+           CASE WHEN len(string_split(symbol, '-')) >= 4
+                 AND regexp_matches(string_split(symbol, '-')[-1], '^\\d{{6}}$')
+                THEN strftime(make_date(
+                       2000 + CAST(substr(string_split(symbol, '-')[-1], 5, 2) AS INT),
+                       CAST(substr(string_split(symbol, '-')[-1], 3, 2) AS INT),
+                       CAST(substr(string_split(symbol, '-')[-1], 1, 2) AS INT)), '%Y-%m-%d')
+           END AS expiry_day,
+           coalesce(CASE WHEN len(string_split(symbol, '-')) >= 4
+                THEN try_cast(string_split(symbol, '-')[3] AS DOUBLE) END, -1.0) AS strike,
+           CASE WHEN string_split(symbol, '-')[1] = 'C' THEN 'Call' ELSE 'Put' END AS opt_type
+    FROM syms
+    """,
+)
+def q11_symbol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/P4: dash-split symbol parsing with the DDMMYY +2000
+    pivot (main.py:131-138,177-190) and malformed-row rejection as
+    NULL/false flags instead of exceptions."""
+    syms = _symbols_df(spark, sf_dir)
+    parts = F.split(F.col("symbol"), "-")
+    tok = F.element_at(parts, -1)
+    well = (F.size(parts) >= 4) & tok.rlike(r"^\d{6}$")
+    expiry = F.when(
+        well,
+        F.make_date(
+            F.lit(2000) + F.substring(tok, 5, 2).cast("int"),
+            F.substring(tok, 3, 2).cast("int"),
+            F.substring(tok, 1, 2).cast("int"),
+        ),
+    )
+    # Output floats carry no NULLs (sentinel -1.0) — NULL doubles hash
+    # differently across collect()/pandas fetch paths.
+    strike = F.coalesce(
+        F.when(F.size(parts) >= 4, F.element_at(parts, 3).try_cast("double")),
+        F.lit(-1.0),
+    )
+    opt = F.when(F.element_at(parts, 1) == "C", F.lit("Call")).otherwise(F.lit("Put"))
+    return syms.select(
+        "l_orderkey", "l_linenumber", "symbol",
+        well.alias("well_formed"),
+        F.date_format(expiry, "yyyy-MM-dd").alias("expiry_day"),
+        strike.alias("strike"),
+        opt.alias("opt_type"),
+    )
+
+
+@query(
+    "q12_case_when",
+    sql="""
+    SELECT CASE WHEN l_returnflag = 'R' THEN 'Returned' ELSE 'Kept' END AS disposition,
+           l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY disposition, l_linestatus
+    """,
+)
+def q12_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 CASE expression ('Call'/'Put' mapping, main.py:196)."""
+    li = t(spark, sf_dir, "lineitem")
+    disp = F.when(F.col("l_returnflag") == "R", F.lit("Returned")).otherwise(F.lit("Kept"))
+    return (
+        li.select(disp.alias("disposition"), "l_linestatus")
+        .groupBy("disposition", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q13_json_extract_cast",
+    sql="""
+    SELECT event_id,
+           try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
+           (try_cast(event_type AS DOUBLE) IS NULL) AS cast_failed
+    FROM events
+    WHERE try_cast(json_extract_string(props, '$.k') AS DOUBLE) > 50
+    """,
+)
+def q13_json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: semi-structured field extraction (main.py:159-163) +
+    coercive cast with error->NULL (pd.to_numeric errors='coerce',
+    main.py:276-277) as get_json_object + try_cast."""
+    ev = t(spark, sf_dir, "events")
+    k = (F.get_json_object("props", "$.k")).try_cast("double")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k_val"),
+            F.col("event_type").try_cast("double").isNull().alias("cast_failed"),
+        )
+        .where(F.col("k_val") > 50)
+    )
+
+
+@query(
+    "q14_distinct_minmax",
+    sql="""
+    SELECT count(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_days,
+           strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_day,
+           strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_day,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+)
+def q14_distinct_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 distinct + A3 min/max (main.py:242-243 logging aggregates)."""
+    li = t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return li.agg(
+        F.countDistinct(d).alias("n_ship_days"),
+        F.date_format(F.min(d), "yyyy-MM-dd").alias("min_day"),
+        F.date_format(F.max(d), "yyyy-MM-dd").alias("max_day"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q15_conditional_counts",
+    sql="""
+    SELECT l_linestatus,
+           count(*) AS total,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q15_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: success/fail/filtered conditional counters (main.py:153-155,
+    225-226) — in-plan as sum(when), not side-channel accumulators."""
+    li = t(spark, sf_dir, "lineitem")
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("total"),
+        cnt(F.col("l_discount") > 0.05).alias("n_discounted"),
+        cnt(F.col("l_returnflag") == "R").alias("n_returned"),
+        cnt(F.col("l_quantity") >= 25).alias("n_bulk"),
+    )
+
+
+@query(
+    "q17_union_append",
+    sql="""
+    SELECT event_type, count(*) AS cnt FROM (
+      SELECT event_id, event_type FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE value > 100
+    ) GROUP BY event_type
+    """,
+)
+def q17_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/§2.7: append = UNION ALL (history ∪ new), bag semantics."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "error").select("event_id", "event_type")
+    b = ev.where(F.col("value") > 100).select("event_id", "event_type")
+    return a.unionByName(b).groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q18_scrub_nonfinite",
+    sql="""
+    WITH dirty AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 7 = 0 THEN CAST('Infinity' AS DOUBLE)
+                  WHEN l_orderkey % 11 = 0 THEN CAST('-Infinity' AS DOUBLE)
+                  WHEN l_orderkey % 13 = 0 THEN CAST('NaN' AS DOUBLE)
+                  ELSE l_extendedprice END AS price
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           coalesce(CASE WHEN isnan(price) OR price = CAST('Infinity' AS DOUBLE)
+                     OR price = CAST('-Infinity' AS DOUBLE) THEN NULL
+                ELSE price END, 0.0) AS price_clean,
+           (price IS NOT NULL AND NOT (isnan(price) OR abs(price) = CAST('Infinity' AS DOUBLE))) AS is_finite
+    FROM dirty
+    """,
+)
+def q18_scrub_nonfinite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: NaN/±inf -> NULL scrub (clean_dataframe_for_json,
+    main.py:33-41), with non-finite cells planted deterministically."""
+    li = t(spark, sf_dir, "lineitem")
+    price = (
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(float("inf")))
+        .when(F.col("l_orderkey") % 11 == 0, F.lit(float("-inf")))
+        .when(F.col("l_orderkey") % 13 == 0, F.lit(float("nan")))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    dirty = li.select("l_orderkey", "l_linenumber", price.alias("price"))
+    # F12 scrub-to-NULL composed with F13 null-to-zero (main.py:33-41 +
+    # :284-285) — also keeps the float output column NULL-free for the
+    # cross-engine hash.
+    clean = F.coalesce(
+        F.when(
+            F.isnan("price") | (F.col("price") == float("inf")) | (F.col("price") == float("-inf")),
+            F.lit(None),
+        ).otherwise(F.col("price")),
+        F.lit(0.0),
+    )
+    finite = F.col("price").isNotNull() & ~(F.isnan("price") | (F.abs(F.col("price")) == float("inf")))
+    return dirty.select(
+        "l_orderkey", "l_linenumber",
+        clean.alias("price_clean"), finite.alias("is_finite"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins / ranking (scale-posture showcases)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_region_revenue",
+    sql="""
+    SELECT r.r_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name
+    """,
+)
+def q19_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain join: region/nation/customer are broadcast so the
+    only shuffle is the final small groupBy — the 100 TB plan shape
+    (fact table never shuffles for the joins)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q20_topk_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 2
+    """,
+)
+def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked top-k per group (the generalized W1 ladder shape). Spark
+    pushes the rk<=2 predicate into the window sort (WindowGroupLimit)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end reference pipeline, relationally (oracle-checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_options_pipeline",
+    sql=f"""
+    WITH tickers AS (
+      SELECT l_orderkey * 10 + l_linenumber AS ingest_order,
+             CASE WHEN l_orderkey % 101 = 0 THEN '' ELSE symbol END AS symbol,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'call_options' ELSE 'put_options' END AS contract_type,
+             CASE WHEN l_orderkey % 103 = 0 THEN 0.0 ELSE l_extendedprice END AS strike,
+             50000.0 AS spot,
+             l_quantity AS close,
+             l_partkey % 1000 AS oi
+      FROM ({SYMBOL_SQL}) syms
+      JOIN lineitem USING (l_orderkey, l_linenumber)
+    ), guarded AS (
+      SELECT * FROM tickers
+      WHERE symbol IS NOT NULL AND symbol <> ''
+        AND strike IS NOT NULL AND strike <> 0
+        AND contract_type IS NOT NULL AND contract_type <> ''
+        AND spot IS NOT NULL AND spot <> 0
+    ), parsed AS (
+      SELECT *,
+             CASE WHEN len(string_split(symbol, '-')) >= 4
+                   AND regexp_matches(string_split(symbol, '-')[-1], '^\\d{{6}}$')
+                  THEN make_date(
+                    2000 + CAST(substr(string_split(symbol, '-')[-1], 5, 2) AS INT),
+                    CAST(substr(string_split(symbol, '-')[-1], 3, 2) AS INT),
+                    CAST(substr(string_split(symbol, '-')[-1], 1, 2) AS INT))
+             END AS expiry
+      FROM guarded
+    ), targets AS (
+      SELECT DISTINCT expiry FROM parsed
+      WHERE expiry IS NOT NULL AND expiry >= DATE '2000-06-01'
+      ORDER BY expiry LIMIT 3
+    ), filtered AS (
+      SELECT p.* FROM parsed p
+      WHERE p.strike BETWEEN 50000.0 * 0.93 AND 50000.0 * 1.07
+        AND p.expiry IN (SELECT expiry FROM targets)
+    ), deduped AS (
+      SELECT * FROM filtered
+      QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY ingest_order DESC) = 1
+    )
+    SELECT symbol AS SYMBOL,
+           strftime(expiry, '%Y-%m-%d') AS Expiry_Day,
+           strike AS Strike,
+           CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS Option_Type,
+           close AS Close, oi AS OI
+    FROM deduped
+    """,
+)
+def q21_options_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full fetch dataflow (fetch_eth_options_data,
+    main.py:89-250) run relationally end-to-end over symbols derived
+    from lineitem: falsy guard (P2) -> symbol parse (P4/F1-F3) -> spot
+    band ±7% (P3) -> top-3 expiry ladder semi-join (W1/P5) -> CASE
+    (F4) -> keep-last dedup (W4). One lazy Catalyst plan."""
+    li = t(spark, sf_dir, "lineitem")
+    syms = _symbols_df(spark, sf_dir)
+    tick = (
+        syms.join(li, on=["l_orderkey", "l_linenumber"])
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ingest_order"),
+            F.when(F.col("l_orderkey") % 101 == 0, F.lit("")).otherwise(F.col("symbol")).alias("symbol"),
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit("call_options"))
+             .otherwise(F.lit("put_options")).alias("contract_type"),
+            F.when(F.col("l_orderkey") % 103 == 0, F.lit(0.0)).otherwise(F.col("l_extendedprice")).alias("strike"),
+            F.lit(50000.0).alias("spot"),
+            F.col("l_quantity").alias("close"),
+            (F.col("l_partkey") % 1000).alias("oi"),
+        )
+    )
+    guarded = tick.where(
+        null_guard(F.col("symbol"), F.col("strike"), F.col("contract_type"), F.col("spot"))
+    )
+    parts = F.split(F.col("symbol"), "-")
+    tok = F.element_at(parts, -1)
+    well = (F.size(parts) >= 4) & tok.rlike(r"^\d{6}$")
+    expiry = F.when(
+        well,
+        F.make_date(
+            F.lit(2000) + F.substring(tok, 5, 2).cast("int"),
+            F.substring(tok, 3, 2).cast("int"),
+            F.substring(tok, 1, 2).cast("int"),
+        ),
+    )
+    parsed = guarded.withColumn("expiry", expiry).cache()
+    targets = (
+        parsed.select("expiry")
+        .where(F.col("expiry").isNotNull() & (F.col("expiry") >= F.lit(dt.date(2000, 6, 1))))
+        .distinct().orderBy("expiry").limit(3)
+    )
+    filtered = parsed.where(strike_band(F.col("strike"), F.col("spot"), 7.0))
+    filtered = expiry_membership(filtered, "expiry", targets)
+    deduped = keep_last(filtered, keys=["symbol"], order_col="ingest_order")
+    opt = F.when(F.col("contract_type") == "call_options", F.lit("Call")).otherwise(F.lit("Put"))
+    return deduped.select(
+        F.col("symbol").alias("SYMBOL"),
+        F.date_format("expiry", "yyyy-MM-dd").alias("Expiry_Day"),
+        F.col("strike").alias("Strike"),
+        opt.alias("Option_Type"),
+        F.col("close").alias("Close"),
+        F.col("oi").alias("OI"),
+    )

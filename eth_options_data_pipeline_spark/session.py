@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every default here is chosen for
+the 1000-executor / 100 TB posture: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow on (vectorized Python
+interchange for the few Pandas-UDF operators), and shuffle partitions
+sized to the local core count (on a real cluster AQE's coalescing
+makes the initial number far less sensitive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "eth-options-pipeline-spark", master: str | None = None,
+              shuffle_partitions: int | None = None, extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters are environment-overridable so the driver's bench can
+    steer core counts without code changes:
+      - ``SPARK_GRAFT_CPUS``  -> local[N] master + shuffle partitions
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- optimizer / runtime ------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        # -- Python interchange (Pandas UDF hot paths) --------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- scan sizing: at 100 TB this bounds per-task input ------
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # -- timestamps: keep parquet round-trips exact -------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # -- quieter local runs -------------------------------------
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

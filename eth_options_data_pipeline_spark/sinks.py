@@ -1,0 +1,56 @@
+"""Sinks (SURVEY §2 S3/S4): append-mode parquet partitioned by Date.
+
+The reference appends to a Google Sheet (main.py:332-351); the engine
+lands partitioned parquet. Partitioning by run date gives (a) O(1)
+partition-pruned access to the newest state (the tail-300 policy
+becomes "read the latest partition"), (b) idempotent re-runs via
+dynamic partition overwrite keyed by run id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators.clean import scrub_nonfinite
+
+
+def append_snapshot(df: DataFrame, path: str, partition_col: str = "Date") -> None:
+    """S3: scrub non-finite floats (main.py:338) then append."""
+    scrub_nonfinite(df).write.mode("append").partitionBy(partition_col).parquet(path)
+
+
+def overwrite_run(df: DataFrame, path: str, run_id: str,
+                  partition_cols: tuple[str, ...] = ("Date",)) -> None:
+    """Idempotent append: each run writes its own `run_id` partition;
+    re-running a failed job overwrites exactly its partition (the
+    reference double-appends on re-run — SURVEY §2.10 exactly-once gap).
+    """
+    (
+        scrub_nonfinite(df)
+        .withColumn("run_id", F.lit(run_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*(*partition_cols, "run_id"))
+        .parquet(path)
+    )
+
+
+def read_history(spark: SparkSession, path: str) -> DataFrame:
+    """S2: read the cumulative table back (main.py:252-264)."""
+    return spark.read.parquet(path)
+
+
+def format_for_export(df: DataFrame) -> DataFrame:
+    """Sink-boundary formatting: DateType -> 'yyyy-MM-dd' strings and
+    TimestampType Time -> 'HH:mm:ss' (F10, main.py:202-205). Internal
+    plans keep true temporal types (SURVEY §7.4 trap 6).
+    """
+    out = df
+    if "Date" in df.columns:
+        out = out.withColumn("Date", F.date_format("Date", "yyyy-MM-dd"))
+    if "Time" in df.columns:
+        out = out.withColumn("Time", F.date_format("Time", "HH:mm:ss"))
+    if "Expiry_Date" in df.columns:
+        out = out.withColumn("Expiry_Date", F.date_format("Expiry_Date", "yyyy-MM-dd"))
+    return out

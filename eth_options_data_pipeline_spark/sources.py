@@ -1,0 +1,111 @@
+"""Sources: parquet table loaders and the synthetic REST-shaped ticker source.
+
+The reference's source is an HTTP GET against the Delta Exchange
+tickers endpoint (reference main.py:94-104); at engine scale the
+equivalent is landed raw JSON/parquet read by ``spark.read``. For
+hermetic tests we provide a deterministic generator that produces the
+same row shape (all-string numerics, planted edge cases per
+FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.schemas import TESTDATA_TABLES, TICKER_RAW
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; read it as raw nanos (legacy conf, settable at
+    runtime) and truncate to micros — the same ns->us truncation DuckDB
+    applies, so oracle comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_ticker_json(spark: SparkSession, path: str) -> DataFrame:
+    """Landed REST payload (one JSON object per line, the ``result``
+    array pre-exploded). PERMISSIVE mode keeps malformed rows as rows
+    with nulls — matching the reference's skip-bad-row semantics
+    (main.py:220-223) once the null-guard filter runs.
+    """
+    return (
+        spark.read.schema(TICKER_RAW)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def synthetic_tickers(spark: SparkSession, as_of_date: dt.date, spot: float = 3200.0,
+                      n_strikes: int = 40, include_edge_cases: bool = True) -> DataFrame:
+    """Deterministic REST-shaped ticker batch (FIXTURES.md §1).
+
+    Builds calls+puts on a strike ladder around ``spot`` for a set of
+    expiries relative to ``as_of_date``: >=4 future dates of which >=2
+    are Fridays, >=2 non-Friday dailies before the first Friday, and a
+    past date. Optionally plants the malformed/edge rows the reference
+    guards against (main.py:164-190).
+    """
+    def fmt(d: dt.date) -> str:
+        return d.strftime("%d%m%y")
+
+    # expiry ladder: tomorrow, +2d, first Friday >= +3d, next Friday, past date
+    days_ahead = [1, 2]
+    d3 = as_of_date + dt.timedelta(days=3)
+    fri1 = d3 + dt.timedelta(days=(4 - d3.weekday()) % 7)
+    fri2 = fri1 + dt.timedelta(days=7)
+    expiries = [as_of_date + dt.timedelta(days=n) for n in days_ahead] + [fri1, fri2]
+    past = as_of_date - dt.timedelta(days=3)
+
+    rows = []
+    step = spot * 0.02
+    for exp in expiries + [past]:
+        for i in range(-n_strikes // 2, n_strikes // 2 + 1):
+            strike = round(spot + i * step, 2)
+            for ct, p in (("call_options", "C"), ("put_options", "P")):
+                sym = f"{p}-ETH-{int(strike)}-{fmt(exp)}"
+                mark = round(abs(spot - strike) * 0.1 + 5.0 + i * 0.01, 2)
+                oi = abs(i) * 10 + (3 if ct == "call_options" else 7)
+                rows.append((sym, ct, str(strike), str(spot), str(mark), str(oi)))
+
+    if include_edge_cases:
+        rows += [
+            (None, "call_options", "3200", str(spot), "1", "1"),        # null symbol
+            ("", "call_options", "3200", str(spot), "1", "1"),          # empty symbol (falsy)
+            ("C-ETH-0-" + fmt(expiries[0]), "call_options", "0", str(spot), "1", "1"),  # zero strike (falsy)
+            ("ETH-3200", "call_options", "3200", str(spot), "1", "1"),  # <4 dash parts
+            ("C-ETH-3200-3110", "call_options", "3200", str(spot), "1", "1"),  # 4-char expiry token
+            ("C-ETH-3200-31OCT5", "call_options", "3200", str(spot), "1", "1"),  # non-numeric token
+            ("C-ETH-3200-" + fmt(expiries[0]), None, "3200", str(spot), "1", "1"),  # null contract_type
+            ("C-ETH-3200-" + fmt(expiries[0]), "call_options", "3200", None, "1", "1"),  # null spot
+            # duplicate symbol, different mark/oi -> keep-LAST must win
+            (f"C-ETH-{int(spot)}-" + fmt(expiries[0]), "call_options", str(spot), str(spot), "111.11", "999"),
+        ]
+
+    return spark.createDataFrame(rows, TICKER_RAW)
