@@ -33,7 +33,7 @@ def parse_expiry(symbol: Column) -> Column:
     tok = expiry_token(symbol)
     return F.when(
         (F.length(tok) == 6) & tok.rlike(r"^\d{6}$"),
-        F.try_to_date(tok, F.lit("ddMMyy")),
+        F.try_to_date(tok, "ddMMyy"),
     )
 
 
@@ -48,12 +48,13 @@ def option_type(contract_type: Column) -> Column:
     return F.when(contract_type == "call_options", F.lit("Call")).otherwise(F.lit("Put"))
 
 
-def parse_tickers(raw: DataFrame) -> DataFrame:
+def parse_tickers(raw: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """P1 projection of the semi-structured ticker rows into typed
     columns (main.py:159-169,196-212). All casts are try_cast-style:
     failure -> NULL, later coalesced to defaults (F5).
     """
     return raw.select(
+        *[F.col(c) for c in passthrough],
         F.col("symbol"),
         F.col("contract_type"),
         (F.col("strike_price")).try_cast("double").alias("Strike"),

@@ -59,7 +59,7 @@ def snapshot(raw_tickers: DataFrame, config: PipelineConfig, as_of_ts: dt.dateti
     as_of_date = as_of_ts.date()
 
     ordered = with_ingest_order(raw_tickers)
-    parsed = parse_tickers(ordered).withColumn("_ingest_order", F.col("_ingest_order"))
+    parsed = parse_tickers(ordered, passthrough=("_ingest_order",))
     parsed = parsed.where(
         null_guard(F.col("symbol"), F.col("Strike"), F.col("contract_type"), F.col("spot"))
     )
