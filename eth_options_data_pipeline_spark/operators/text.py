@@ -1,0 +1,143 @@
+"""Text fuzzy-dedup operators: shingling, MinHash, SimHash, Jaccard.
+
+All hashes are md5-based (not xxhash) so every step is reproducible in
+any engine — the LSH pipeline here is oracle-checkable end-to-end,
+which is rare for fuzzy dedup and worth the small md5-vs-xxhash cost.
+
+Scale shape (100 TB): every stage is shuffle-bounded by digests, not
+document bodies —
+  * signatures: narrow per-doc arrays, no shuffle at all;
+  * LSH banding: explode k/b band keys per doc, shuffle on the fixed-
+    width band digest, bucket-join inside buckets only (never the
+    full cross product);
+  * Jaccard verify: only over candidate pairs, joining back to the
+    (doc_id -> distinct shingles) arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 8           # signature length
+LSH_BANDS = 4           # bands of rows = MINHASH_K / LSH_BANDS
+SIMHASH_BITS = 32       # md5-prefix hash width
+
+
+# -- shingling --------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; documents shorter than n words
+    collapse to a single whole-document shingle."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", words))))
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB expression mirroring word_shingles (oracle half)."""
+    w = f"string_split(lower(trim({text_expr})), ' ')"
+    # testdata text is single-space separated; regexp split for safety
+    w = f"regexp_split_to_array(lower(trim({text_expr})), '\\s+')"
+    gram = " || ' ' || ".join(f"{w}[i+{j+1}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({w}) >= {n} "
+        f"THEN list_transform(range(0, len({w}) - {n - 1}), i -> {gram}) "
+        f"ELSE [array_to_string({w}, ' ')] END)"
+    )
+
+
+# -- MinHash ----------------------------------------------------------------
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
+    """k md5-minhash values: mh_j = min over shingles of md5(j || '|' || s).
+
+    Computed per-row over the shingle array (no explode, no shuffle).
+    """
+    def hasher(j):
+        # single-parameter lambda: a default param would receive the
+        # element index from F.transform instead of j
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    return [F.array_min(F.transform(shingles, hasher(j))) for j in range(k)]
+
+
+def minhash_sql(shingles_expr: str, j: int) -> str:
+    return f"list_min(list_transform({shingles_expr}, s -> md5('{j}|' || s)))"
+
+
+def band_keys(mh_cols: list[Column], bands: int = LSH_BANDS) -> Column:
+    """LSH banding: concatenate rows within each band into one digest
+    key, prefixed with the band index so buckets never collide across
+    bands. Returns array<string> of length `bands`."""
+    rows_per_band = len(mh_cols) // bands
+    keys = []
+    for b in range(bands):
+        chunk = mh_cols[b * rows_per_band:(b + 1) * rows_per_band]
+        keys.append(F.concat_ws("|", F.lit(str(b)), *chunk))
+    return F.array(*keys)
+
+
+# -- Jaccard ----------------------------------------------------------------
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays — int/int division,
+    bit-exact across engines."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def _word_hash_sql(word_expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({word_expr}), 1, 8)) AS BIGINT)"
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """32-bit SimHash over distinct lowercase words.
+
+    Per word: h = first 8 hex chars of md5 as an unsigned 32-bit int.
+    Bit j of the signature is 1 iff strictly more words have bit j set
+    than clear. Computed entirely over the in-row word array (the
+    100 TB form: one narrow projection, zero shuffles).
+    """
+    words = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    hs = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    total = F.size(hs)
+
+    def bit_pred(mask):
+        # single-parameter lambda: a second (default) param would make
+        # F.filter pass the element index into it
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        ones = F.size(F.filter(hs, bit_pred(1 << j)))
+        out = out + F.when(ones * 2 > total, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def word_hashes_sql(text_expr: str) -> str:
+    """DuckDB: list of 32-bit md5-prefix hashes of the distinct words."""
+    words = f"list_distinct(regexp_split_to_array(lower(trim({text_expr})), '\\s+'))"
+    return f"list_transform({words}, w -> {_word_hash_sql('w')})"
+
+
+def simhash_terms_sql(hs_col: str, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB: sum-of-bit-terms expression over a column holding the
+    word-hash list (use inside a CTE select)."""
+    terms = []
+    for j in range(bits):
+        ones = f"len(list_filter({hs_col}, h -> (h & {1 << j}) <> 0))"
+        terms.append(f"(CASE WHEN {ones} * 2 > len({hs_col}) THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,182 @@
+"""Oracle-checked fuzzy-dedup / ANN / multimodal corpus.
+
+Everything here is md5-derived, so even the probabilistic operators
+(MinHash-LSH, SimHash, hyperplane-LSH ANN) have exact DuckDB oracles —
+the randomness is a deterministic function of content on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators import text as tx
+from eth_options_data_pipeline_spark.operators import vectors as vx
+from eth_options_data_pipeline_spark.operators.multimodal import documents_as_assets, extract_features
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+_SH = tx.shingles_sql("text")
+_MH_COLS_SQL = ",\n             ".join(
+    f"{tx.minhash_sql('sh', j)} AS mh{j}" for j in range(tx.MINHASH_K)
+)
+
+
+@query(
+    "dx06_minhash_signatures",
+    sql=f"""
+    WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents)
+    SELECT doc_id,
+             {_MH_COLS_SQL}
+    FROM sh
+    """,
+)
+def dx06_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over distinct word-3-gram shingles —
+    the signature stage of fuzzy dedup. Pure per-row array expressions:
+    zero shuffles, and the doc body is never exploded."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))
+    mh = tx.minhash_signature(F.col("sh"))
+    return sh.select("doc_id", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
+
+
+_BAND_SQL = ", ".join(
+    f"'{b}|' || mh{2 * b} || '|' || mh{2 * b + 1}" for b in range(tx.LSH_BANDS)
+)
+
+@query(
+    "dx07_minhash_lsh_pairs",
+    sql=f"""
+    WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id, sh,
+             {_MH_COLS_SQL}
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, unnest([{_BAND_SQL}]) AS band_key FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.sh, sb.sh))
+             / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             AS jaccard_sim
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dx07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> band keys ->
+    bucket self-join for candidates -> exact Jaccard verification.
+    The candidate join shuffles on fixed-width band digests only; exact
+    Jaccard runs just on candidate pairs (the 100 TB-safe shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))
+    mh = tx.minhash_signature(F.col("sh"))
+    sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(tx.band_keys([F.col(f"mh{j}") for j in range(tx.MINHASH_K)])).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sha, "doc_a").join(shb, "doc_b")
+        .select("doc_a", "doc_b",
+                tx.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+    )
+
+
+@query(
+    "dx08_simhash",
+    sql=f"""
+    WITH h AS (SELECT doc_id, {tx.word_hashes_sql('text')} AS hs FROM documents)
+    SELECT doc_id, {tx.simhash_terms_sql('hs')} AS simhash
+    FROM h
+    """,
+)
+def dx08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures over distinct words (md5-prefix word
+    hashes, majority vote per bit). Near-dup detection pairs docs with
+    small Hamming distance; signatures alone are the shuffle-free
+    per-row stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.simhash(F.col("text")).alias("simhash"))
+
+
+_PLANES = vx.rademacher_planes()
+_BUCKET_SQL = vx.lsh_bucket_sql("embedding::DOUBLE[]", _PLANES)
+
+@query(
+    "vx02_ann_lsh",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ), q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 3)
+    SELECT q_id, vec_id AS cand_id,
+           round({vx.cosine_sql('c.e', 'q.qe')}, 6) AS cos_sim
+    FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+    QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY {vx.cosine_sql('c.e', 'q.qe')} DESC, vec_id) <= 5
+    """,
+)
+def vx02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: deterministic Rademacher-hyperplane buckets
+    (bit i = sign of dot with plane_i) -> candidates share the query's
+    bucket -> exact cosine rerank, top-5 per query. The scale path:
+    candidate generation touches only same-bucket rows; brute force
+    (vx01) remains the rerank/recall baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    b = emb.withColumn("bucket", vx.lsh_bucket(F.col("e"), _PLANES))
+    q = (
+        b.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket")
+    )
+    cand = q.join(
+        F.broadcast(b).alias("c"),
+        (F.col("c.bucket") == q.bucket) & (F.col("c.vec_id") != F.col("q_id")),
+    )
+    cos = vx.cosine(F.col("c.e"), F.col("qe"))
+    w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("c.vec_id"))
+    return (
+        cand.select("q_id", F.col("c.vec_id").alias("cand_id"),
+                    F.round(cos, 6).alias("cos_sim"),
+                    F.row_number().over(w).alias("_rk"))
+        .where(F.col("_rk") <= 5)
+        .drop("_rk")
+    )
+
+
+@query(
+    "mm01_multimodal_features",
+    sql="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + modality metadata
+    through an Arrow-batched mapInPandas feature extractor (the decode
+    step itself is a deterministic stub — see operators/multimodal.py).
+    Verifies the real distributed path: binary through Arrow, fixed
+    output schema, per-partition batching."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_assets(docs))
