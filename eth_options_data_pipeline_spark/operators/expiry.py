@@ -28,12 +28,22 @@ def nearest_expiries(expiries: DataFrame, as_of_date: dt.date, k: int = 3) -> Da
     """
     col = expiries.columns[0]
     e = expiries.select(F.col(col).alias("expiry")).where(F.col("expiry").isNotNull()).distinct()
-    future = e.where(F.col("expiry") >= F.lit(as_of_date)).orderBy("expiry").limit(k)
-    # TakeOrderedAndProject on <= |distinct| rows; the fallback branch
-    # only materializes when `future` is empty.
-    if future.isEmpty():
-        return e.orderBy(F.col("expiry").desc()).limit(1)
-    return future
+    # Fully in-plan fallback (no driver actions): rank ascending among
+    # future dates and descending overall; keep future top-k, or — when
+    # no future date exists — the single overall max.
+    w_all = Window.orderBy("expiry")
+    ranked = (
+        e.withColumn("_is_future", (F.col("expiry") >= F.lit(as_of_date)).cast("int"))
+        .withColumn("_n_future", F.sum("_is_future").over(
+            w_all.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("_rk_future", F.row_number().over(
+            Window.orderBy(F.col("_is_future").desc(), F.col("expiry").asc())))
+        .withColumn("_rk_desc", F.row_number().over(Window.orderBy(F.col("expiry").desc())))
+    )
+    keep = ((F.col("_is_future") == 1) & (F.col("_rk_future") <= k)) | (
+        (F.col("_n_future") == 0) & (F.col("_rk_desc") == 1)
+    )
+    return ranked.where(keep).select("expiry")
 
 
 def friday_expiries(expiries: DataFrame, as_of_date: dt.date) -> DataFrame:
@@ -57,17 +67,25 @@ def friday_expiries(expiries: DataFrame, as_of_date: dt.date) -> DataFrame:
     ranked = active.withColumn("n_before", F.count(F.lit(1)).over(w))
     fridays = ranked.where(F.dayofweek("expiry") == 6)  # Spark: Sunday=1 => Friday=6
 
-    qualified = fridays.where(F.col("n_before") >= 2).orderBy("expiry").limit(1)
-    w1_df = qualified if not qualified.isEmpty() else fridays.orderBy("expiry").limit(1)
-    if w1_df.isEmpty():
-        return w1_df.select(F.lit(1).alias("ladder_pos"), F.col("expiry"))
-    w1 = w1_df.collect()[0]["expiry"]
-
-    w2_df = fridays.where(F.col("expiry") > F.lit(w1)).orderBy("expiry").limit(1)
-    out = w1_df.select(F.lit(1).alias("ladder_pos"), "expiry")
-    if not w2_df.isEmpty():
-        out = out.unionByName(w2_df.select(F.lit(2).alias("ladder_pos"), "expiry"))
-    return out
+    # Fully in-plan W1 selection (no driver actions): qualified Fridays
+    # (>= 2 predecessors) rank before unqualified, earliest first — the
+    # top row IS "first qualified Friday, else first Friday".
+    w1_df = (
+        fridays.withColumn("_prio", F.when(F.col("n_before") >= 2, 0).otherwise(1))
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_prio", "expiry")))
+        .where(F.col("_rk") == 1)
+        .select(F.col("expiry").alias("w1"))
+    )
+    # W2 = first Friday strictly after W1 — broadcast the 1-row W1.
+    w2_df = (
+        fridays.join(F.broadcast(w1_df), fridays.expiry > F.col("w1"))
+        .withColumn("_rk", F.row_number().over(Window.orderBy("expiry")))
+        .where(F.col("_rk") == 1)
+        .select("expiry")
+    )
+    return w1_df.select(F.lit(1).alias("ladder_pos"), F.col("w1").alias("expiry")).unionByName(
+        w2_df.select(F.lit(2).alias("ladder_pos"), "expiry")
+    )
 
 
 def expiry_ladder_topk(dates: DataFrame, as_of_date: dt.date, k: int) -> DataFrame:

@@ -13,6 +13,7 @@ from eth_options_data_pipeline_spark.queries.registry import REGISTRY, QuerySpec
 from eth_options_data_pipeline_spark.queries import corpus  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import extensions  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import fuzzy  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics  # noqa: F401,E402
 
 
 def queries():

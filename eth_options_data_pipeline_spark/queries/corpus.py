@@ -320,11 +320,11 @@ SYMBOL_SQL = """
 """
 
 
-def _symbols_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _symbols_expr(li: DataFrame) -> DataFrame:
     """Deterministic option-symbol corpus derived from lineitem —
     `{C|P}-ETH-{strike}-{DDMMYY}` with planted malformed rows (<4 dash
-    parts / 4-char token), mirroring FIXTURES.md §1 edge cases."""
-    li = t(spark, sf_dir, "lineitem")
+    parts / 4-char token), mirroring FIXTURES.md §1 edge cases. Keeps
+    the source columns so downstream stages need no re-join."""
     side = F.when(F.col("l_linenumber") % 2 == 0, F.lit("C")).otherwise(F.lit("P"))
     strike_tok = F.floor("l_extendedprice").cast("string")
     good = F.concat(side, F.lit("-ETH-"), strike_tok, F.lit("-"),
@@ -335,7 +335,10 @@ def _symbols_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_orderkey") % 59 == 0, short_tok)
         .otherwise(good)
     )
-    return li.select("l_orderkey", "l_linenumber", sym.alias("symbol"))
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_partkey",
+        sym.alias("symbol"),
+    )
 
 
 @query(
@@ -362,7 +365,7 @@ def q11_symbol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F3/P4: dash-split symbol parsing with the DDMMYY +2000
     pivot (main.py:131-138,177-190) and malformed-row rejection as
     NULL/false flags instead of exceptions."""
-    syms = _symbols_df(spark, sf_dir)
+    syms = _symbols_expr(t(spark, sf_dir, "lineitem"))
     parts = F.split(F.col("symbol"), "-")
     tok = F.element_at(parts, -1)
     well = (F.size(parts) >= 4) & tok.rlike(r"^\d{6}$")
@@ -623,8 +626,7 @@ def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
              50000.0 AS spot,
              l_quantity AS close,
              l_partkey % 1000 AS oi
-      FROM ({SYMBOL_SQL}) syms
-      JOIN lineitem USING (l_orderkey, l_linenumber)
+      FROM ({SYMBOL_SQL.replace('l_linenumber,', 'l_linenumber, l_extendedprice, l_quantity, l_partkey,')}) syms
     ), guarded AS (
       SELECT * FROM tickers
       WHERE symbol IS NOT NULL AND symbol <> ''
@@ -666,12 +668,12 @@ def q21_options_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     main.py:89-250) run relationally end-to-end over symbols derived
     from lineitem: falsy guard (P2) -> symbol parse (P4/F1-F3) -> spot
     band ±7% (P3) -> top-3 expiry ladder semi-join (W1/P5) -> CASE
-    (F4) -> keep-last dedup (W4). One lazy Catalyst plan."""
+    (F4) -> keep-last dedup (W4). One lazy Catalyst plan, one scan of
+    the fact table (the symbol corpus is computed inline, not joined)."""
     li = t(spark, sf_dir, "lineitem")
-    syms = _symbols_df(spark, sf_dir)
+    syms = _symbols_expr(li)
     tick = (
-        syms.join(li, on=["l_orderkey", "l_linenumber"])
-        .select(
+        syms.select(
             (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ingest_order"),
             F.when(F.col("l_orderkey") % 101 == 0, F.lit("")).otherwise(F.col("symbol")).alias("symbol"),
             F.when(F.col("l_linenumber") % 2 == 0, F.lit("call_options"))

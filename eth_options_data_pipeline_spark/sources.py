@@ -21,6 +21,29 @@ from eth_options_data_pipeline_spark.schemas import TESTDATA_TABLES, TICKER_RAW
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+SPREAD_MAX_BYTES = 1 << 30  # inputs under 1 GiB are "small"
+
+
+def spread_small_input(df: DataFrame, path: str | None = None) -> DataFrame:
+    """Round-robin repartition small single-split inputs across cores.
+
+    The driver's testdata parquet files carry ONE row group, so Spark
+    scans them as one partition and every downstream per-row expression
+    runs on a single core. The file-size check is free (no RDD
+    materialization); on a real lake the inputs exceed the threshold
+    (and arrive multi-split), so the branch never fires and no extra
+    shuffle is added. Catalyst still pushes filters/projections below
+    the exchange into the scan.
+    """
+    try:
+        small = path is not None and os.path.getsize(path) < SPREAD_MAX_BYTES
+    except OSError:
+        small = False
+    if small:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table.
 
@@ -34,9 +57,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         if dict(raw.dtypes).get("ts") == "bigint":
-            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return raw
-    return spark.read.parquet(path)
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return spread_small_input(raw, path)
+    return spread_small_input(spark.read.parquet(path), path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

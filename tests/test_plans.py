@@ -1,0 +1,80 @@
+"""Physical-plan audits: the scale posture is an assertion, not a hope.
+
+Each check pins a plan property that matters at 100 TB: predicate/
+projection pushdown into the parquet scan, broadcast (not shuffle)
+joins against dimension-sized sides, window-group-limit pushdown for
+top-k, and shuffle-freedom for the per-row signature operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eth_options_data_pipeline_spark.queries import REGISTRY
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_small):
+    df = REGISTRY["q02_band_filter_project"].fn(spark, sf_small)
+    p = plan(df)
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_quantity)" in p or "GreaterThanOrEqual(l_quantity" in p
+    # projection pruning: the scan must not read all 11 lineitem columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_tax" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_small):
+    p = plan(REGISTRY["q19_region_revenue"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_semi_join_broadcast(spark, sf_small):
+    p = plan(REGISTRY["q05_semi_join"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_topk_window_group_limit(spark, sf_small):
+    p = plan(REGISTRY["q20_topk_per_group"].fn(spark, sf_small))
+    assert "WindowGroupLimit" in p
+
+
+def test_sort_limit_is_take_ordered(spark, sf_small):
+    p = plan(REGISTRY["q16_multisort_limit"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_signature_ops_are_shuffle_free(spark, sf_small):
+    """MinHash signatures and SimHash are per-row projections — no
+    key-based shuffle may appear. (A single round-robin exchange is the
+    loader's small-input spreading; on real multi-split inputs it does
+    not fire.)"""
+    for name in ("dx06_minhash_signatures", "dx08_simhash"):
+        p = plan(REGISTRY[name].fn(spark, sf_small))
+        assert "Exchange hashpartitioning" not in p, f"{name} plan shuffles:\n{p}"
+        assert p.count("Exchange roundrobin") <= 1
+
+
+def test_keep_last_single_shuffle(spark, sf_small):
+    """Keep-last dedup costs exactly one hash shuffle on the key."""
+    p = plan(REGISTRY["q06_keep_last"].fn(spark, sf_small))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_no_python_in_hot_paths(spark, sf_small):
+    """Every corpus query except the explicitly-Pandas multimodal one
+    must be pure JVM expression code — no Python row/batch eval
+    operators anywhere in the physical plan."""
+    for name, spec in REGISTRY.items():
+        if name.startswith("mm"):
+            continue
+        p = plan(spec.fn(spark, sf_small))
+        assert "EvalPython" not in p and "MapInPandas" not in p, f"{name} drops to Python"
