@@ -14,6 +14,7 @@ from eth_options_data_pipeline_spark.queries import corpus  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import extensions  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import fuzzy  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics2  # noqa: F401,E402
 
 
 def queries():
