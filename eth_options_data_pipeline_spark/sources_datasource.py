@@ -1,0 +1,89 @@
+"""Spark 4 Python DataSource: the REST-shaped ticker connector.
+
+The reference's source is an HTTP GET returning an options-chain JSON
+array (main.py:94-104). At engine scale the connector is a first-class
+DataSource so reads are planned, partitioned, and pushed to executors —
+not a driver-side requests.get. This implementation generates the
+deterministic synthetic chain (same shape as sources.synthetic_tickers)
+partition-by-partition; a production variant swaps `_rows_for_slice`
+for paged HTTP fetches with the same partitioning contract.
+
+Usage:
+    spark.dataSource.register(TickerDataSource)
+    df = (spark.read.format("eth_tickers")
+          .option("as_of_date", "2025-10-27")
+          .option("n_strikes", "40")
+          .option("num_partitions", "4")
+          .load())
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from eth_options_data_pipeline_spark.schemas import TICKER_RAW
+
+# The DataSource class is cloudpickled to Python workers, which do not
+# necessarily have this package on sys.path (the driver contract only
+# puts it on the DRIVER's path). By-value registration makes the
+# pickle self-contained.
+try:
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - best effort on older pickler APIs
+    pass
+
+
+def _expiry_ladder(as_of: dt.date) -> list[dt.date]:
+    d3 = as_of + dt.timedelta(days=3)
+    fri1 = d3 + dt.timedelta(days=(4 - d3.weekday()) % 7)
+    return [as_of + dt.timedelta(days=1), as_of + dt.timedelta(days=2),
+            fri1, fri1 + dt.timedelta(days=7)]
+
+
+class TickerReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.as_of = dt.date.fromisoformat(options.get("as_of_date", "2025-10-27"))
+        self.spot = float(options.get("spot", "3200.0"))
+        self.n_strikes = int(options.get("n_strikes", "40"))
+        self.num_partitions = int(options.get("num_partitions", "4"))
+
+    def partitions(self):
+        # one partition per expiry-bucket slice; executors read slices
+        # independently (the HTTP variant pages the chain the same way)
+        return [InputPartition(i) for i in range(self.num_partitions)]
+
+    def read(self, partition: InputPartition):
+        expiries = _expiry_ladder(self.as_of)
+        step = self.spot * 0.02
+        idx = partition.value
+        for e_i, exp in enumerate(expiries):
+            if e_i % self.num_partitions != idx:
+                continue
+            tok = exp.strftime("%d%m%y")
+            for i in range(-self.n_strikes // 2, self.n_strikes // 2 + 1):
+                strike = round(self.spot + i * step, 2)
+                for ct, p in (("call_options", "C"), ("put_options", "P")):
+                    yield (
+                        f"{p}-ETH-{int(strike)}-{tok}", ct, str(strike),
+                        str(self.spot),
+                        str(round(abs(self.spot - strike) * 0.1 + 5.0 + i * 0.01, 2)),
+                        str(abs(i) * 10 + (3 if ct == "call_options" else 7)),
+                    )
+
+
+class TickerDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "eth_tickers"
+
+    def schema(self) -> StructType:
+        return TICKER_RAW
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return TickerReader(self.options)
