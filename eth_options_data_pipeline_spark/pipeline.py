@@ -16,7 +16,10 @@ main.py:266-330) and the final sort/projection.
 from __future__ import annotations
 
 import datetime as dt
+import itertools
 from dataclasses import dataclass
+
+_OBSERVE_SEQ = itertools.count()
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,15 +54,29 @@ def target_expiries(parsed: DataFrame, config: PipelineConfig, as_of_date: dt.da
     raise ValueError(f"unknown expiry_policy: {config.expiry_policy}")
 
 
-def snapshot(raw_tickers: DataFrame, config: PipelineConfig, as_of_ts: dt.datetime) -> DataFrame:
+def snapshot(raw_tickers: DataFrame, config: PipelineConfig, as_of_ts: dt.datetime,
+             observation=None) -> DataFrame:
     """Parse → guard → band → ladder semi-join → project → keep-last
     dedup → sort. Produces options_chain rows with Open/OI_Change
     defaulted to 0 (pre-join state, main.py:210-211).
+
+    Pass a ``pyspark.sql.Observation`` to collect the parse telemetry
+    (A4 counters, reference main.py:153-155,225-226) during the normal
+    action — no extra scan. Default is a uniquified string observation
+    (chained runs embed several snapshots in ONE plan, and Spark
+    requires distinct observation names within a query).
     """
     as_of_date = as_of_ts.date()
 
     ordered = with_ingest_order(raw_tickers)
     parsed = parse_tickers(ordered, passthrough=("_ingest_order",))
+    obs = observation if observation is not None else f"parse_telemetry_{next(_OBSERVE_SEQ)}"
+    parsed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_fetched"),
+        F.sum(F.when(F.col("Expiry_Date").isNotNull(), 1).otherwise(0)).alias("successful_parses"),
+        F.sum(F.when(F.col("Expiry_Date").isNull(), 1).otherwise(0)).alias("failed_parses"),
+    )
     parsed = parsed.where(
         null_guard(F.col("symbol"), F.col("Strike"), F.col("contract_type"), F.col("spot"))
     )

@@ -104,7 +104,9 @@ def dx11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte signatures shuffle."""
     docs = t(spark, sf_dir, "documents")
     sig = docs.select("doc_id", tx.simhash(F.col("text")).alias("simhash"))
-    b = sig.withColumn("bucket", (F.col("simhash") / 65536).cast("long"))
+    # cache: the self-join consumes the signatures twice, and the
+    # 32-bit-vote computation is the expensive part (8 bytes/row cached)
+    b = sig.withColumn("bucket", (F.col("simhash") / 65536).cast("long")).cache()
     a, c = b.alias("a"), b.alias("c")
     ham = tx.hamming32(F.col("a.simhash"), F.col("c.simhash"))
     return (

@@ -1,0 +1,136 @@
+"""Fifth-wave corpus: set operations, HAVING, and IVF-style ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators import vectors as vx
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q31_set_ops",
+    sql="""
+    WITH y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'),
+         y99 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM y98 INTERSECT SELECT o_custkey FROM y99)
+    UNION ALL
+    SELECT o_custkey, 'only_1998' FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y99)
+    """,
+)
+def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (absent from the reference,
+    §2.7; part of the complete engine surface). Planned as left-semi /
+    left-anti aggregated joins."""
+    o = t(spark, sf_dir, "orders")
+    y98 = o.where(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    ).select("o_custkey").distinct()
+    y99 = o.where(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
+    ).select("o_custkey").distinct()
+    both = y98.intersect(y99).select("o_custkey", F.lit("both").alias("cohort"))
+    only98 = y98.exceptAll(y99).select("o_custkey", F.lit("only_1998").alias("cohort"))
+    return both.unionByName(only98)
+
+
+@query(
+    "q32_group_having",
+    sql="""
+    SELECT l_orderkey, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS order_value
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 5 AND sum(l_quantity) > 100
+    """,
+)
+def q32_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + post-aggregation predicate (HAVING) — Catalyst keeps
+    it as a filter above the aggregate, after partial aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_value"),
+            F.sum("l_quantity").alias("_qty"),
+        )
+        .where((F.col("n_lines") >= 5) & (F.col("_qty") > 100))
+        .drop("_qty")
+    )
+
+
+@query("vx04_ivf_ann", sql=None)  # float-boundary cluster assignment -> rows-only
+def vx04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization (nearest of 16 seed
+    centroids, one Lloyd refinement) -> probe the query's 2 nearest
+    cells -> exact cosine rerank, top-3 per query.
+
+    Everything is DataFrame ops: the centroid refinement is
+    posexplode -> (cluster, dim) mean -> re-assemble, i.e. the
+    iterative-algorithm pattern at 100 TB (k centroids broadcast; the
+    corpus never self-joins). Rows-only check: cluster assignment
+    sits on float sums whose accumulation order an external oracle
+    can't reproduce bit-for-bit.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def l2(a, b):
+        return F.sqrt(vx.dot(F.zip_with(a, b, lambda x, y: x - y),
+                             F.zip_with(a, b, lambda x, y: x - y)))
+
+    def assign(df, cents):
+        # nearest centroid via broadcast cross join + min-by
+        joined = df.crossJoin(F.broadcast(cents))
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+        return (
+            joined.withColumn("dist", l2(F.col("e"), F.col("c")))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("vec_id", "e", "cluster_id")
+        )
+
+    seeds = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cluster_id"), F.col("e").alias("c")
+    )
+    assigned = assign(emb, seeds)
+    # one Lloyd step: element-wise mean per cluster
+    refined = (
+        assigned.select("cluster_id", F.posexplode("e").alias("pos", "v"))
+        .groupBy("cluster_id", "pos").agg(F.avg("v").alias("m"))
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster_id", F.transform("pm", lambda s: s.m).alias("c"))
+    )
+    final = assign(emb, refined)
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    # probe the 2 nearest cells per query
+    qcells = (
+        queries.crossJoin(F.broadcast(refined))
+        .withColumn("dist", l2(F.col("qe"), F.col("c")))
+        .withColumn("_rk", F.row_number().over(
+            Window.partitionBy("q_id").orderBy("dist", "cluster_id")))
+        .where(F.col("_rk") <= 2)
+        .select("q_id", "qe", "cluster_id")
+    )
+    cand = qcells.join(final, "cluster_id").where(F.col("vec_id") != F.col("q_id"))
+    cos = vx.cosine(F.col("e"), F.col("qe"))
+    w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
+    return (
+        cand.select("q_id", F.col("vec_id").alias("cand_id"),
+                    F.round(cos, 6).alias("cos_sim"),
+                    F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
