@@ -36,8 +36,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="engine-bench")
 
-    # Warm the JVM/codegen paths outside the timed region.
+    # Warm the JVM/codegen/parquet/Arrow paths outside the timed region
+    # (sf0.001 reads are ~1k rows; they initialize the readers without
+    # meaningfully pre-caching sf0.1 data).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from eth_options_data_pipeline_spark.sources import load_tables
+    for df in load_tables(spark, "/root/testdata/sf0.001").values():
+        df.limit(10).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
