@@ -59,6 +59,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            "n_queries": len(timings),
+        },
     }))
 
 
