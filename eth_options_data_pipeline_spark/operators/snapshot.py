@@ -49,7 +49,8 @@ def tail_n(history: DataFrame, n: int, order_cols: Sequence[str] = ("Date", "Tim
 
 
 def derive_open_oi_change(current: DataFrame, previous: DataFrame,
-                          key: str = "SYMBOL") -> DataFrame:
+                          key: str = "SYMBOL",
+                          order_cols: Sequence[str] = ("Date", "Time")) -> DataFrame:
     """J2/J3: left-join current batch against latest previous state.
 
     Open      = prev.Close (miss/NULL -> 0.0)   main.py:300-307
@@ -61,7 +62,7 @@ def derive_open_oi_change(current: DataFrame, previous: DataFrame,
     so Catalyst broadcast-joins it; no shuffle of the current batch.
     """
     prev = (
-        latest_per_key(previous, keys=(key,))
+        latest_per_key(previous, keys=(key,), order_cols=order_cols)
         .select(
             F.col(key),
             F.coalesce((F.col("Close")).try_cast("double"), F.lit(0.0)).alias("_prev_close"),

@@ -15,9 +15,18 @@ from pyspark.sql import functions as F
 from eth_options_data_pipeline_spark.operators.clean import scrub_nonfinite
 
 
-def append_snapshot(df: DataFrame, path: str, partition_col: str = "Date") -> None:
-    """S3: scrub non-finite floats (main.py:338) then append."""
-    scrub_nonfinite(df).write.mode("append").partitionBy(partition_col).parquet(path)
+def append_snapshot(df: DataFrame, path: str, partition_col: str = "Date",
+                    cluster_by: tuple[str, ...] = ("SYMBOL",)) -> None:
+    """S3: scrub non-finite floats (main.py:338) then append.
+
+    Rows are sorted by ``cluster_by`` within each output file so
+    per-symbol reads benefit from parquet min/max row-group pruning —
+    the poor-man's Z-order for a single clustering key.
+    """
+    out = scrub_nonfinite(df)
+    if cluster_by and set(cluster_by) <= set(out.columns):
+        out = out.sortWithinPartitions(*cluster_by)
+    out.write.mode("append").partitionBy(partition_col).parquet(path)
 
 
 def overwrite_run(df: DataFrame, path: str, run_id: str,

@@ -78,6 +78,17 @@ def session_event_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def enrich_with_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream against a broadcast static
+    dimension (e.g., per-symbol contract metadata). The static side is
+    re-read per micro-batch, so slowly-changing dimensions pick up
+    updates without restarting the query; broadcast keeps the stream
+    side shuffle-free."""
+    from pyspark.sql import functions as _F
+
+    return stream.join(_F.broadcast(dim), on=on, how="left")
+
+
 def dedup_symbols_within_watermark(tickers: DataFrame, ts_col: str = "ts",
                                    watermark: str = "1 hour") -> DataFrame:
     """W4's streaming face: keep one row per SYMBOL with bounded state
