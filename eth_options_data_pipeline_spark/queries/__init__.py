@@ -20,6 +20,7 @@ from eth_options_data_pipeline_spark.queries import analytics4  # noqa: F401,E40
 from eth_options_data_pipeline_spark.queries import functions_corpus  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics5  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics6  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import clusters  # noqa: F401,E402
 
 
 def queries():
