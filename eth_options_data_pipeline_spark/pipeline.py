@@ -112,12 +112,12 @@ def snapshot(raw_tickers: DataFrame, config: PipelineConfig, as_of_ts: dt.dateti
 
 
 def run(raw_tickers: DataFrame, history: DataFrame | None, config: PipelineConfig,
-        as_of_ts: dt.datetime) -> DataFrame:
+        as_of_ts: dt.datetime, observation=None) -> DataFrame:
     """Full per-run dataflow: snapshot + previous-state join + final
     11-column projection sorted by (Expiry_Date, Time, SYMBOL)
     (main.py:353-399 minus the I/O boundaries, which live in sinks.py).
     """
-    snap = snapshot(raw_tickers, config, as_of_ts)
+    snap = snapshot(raw_tickers, config, as_of_ts, observation=observation)
     if history is not None and len(history.columns) > 0:
         state = tail_n(history, config.state_tail)
         snap = derive_open_oi_change(snap, state)
