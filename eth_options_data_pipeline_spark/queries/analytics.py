@@ -45,6 +45,31 @@ def q22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q40_cube",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q40_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four subtotal combinations in one pass
+    (single Expand + one shuffle — the rollup's full-lattice sibling)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "cnt",
+        )
+    )
+
+
+@query(
     "sx03_sliding_window",
     sql="""
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -74,7 +74,9 @@ def dx07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate join shuffles on fixed-width band digests only; exact
     Jaccard runs just on candidate pairs (the 100 TB-safe shape)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))
+    # cached: the candidate join and both Jaccard sides re-consume the
+    # shingle arrays — recomputing the md5 transform 3x dominates cost
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh")).cache()
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
     bands = sig.select(
