@@ -21,6 +21,7 @@ from eth_options_data_pipeline_spark.queries import functions_corpus  # noqa: F4
 from eth_options_data_pipeline_spark.queries import analytics5  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics6  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import clusters  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics7  # noqa: F401,E402
 
 
 def queries():
