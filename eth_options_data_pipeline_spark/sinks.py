@@ -9,6 +9,8 @@ dynamic partition overwrite keyed by run id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,6 +50,36 @@ def overwrite_run(df: DataFrame, path: str, run_id: str,
 def read_history(spark: SparkSession, path: str) -> DataFrame:
     """S2: read the cumulative table back (main.py:252-264)."""
     return spark.read.parquet(path)
+
+
+def compact_partition(spark: SparkSession, path: str, partition: str,
+                      target_files: int = 1,
+                      cluster_by: tuple[str, ...] = ("SYMBOL",)) -> int:
+    """Maintenance: rewrite one Date partition into `target_files`
+    clustered files. Hourly appends leave one small file per run
+    (24/day); at scale the scan cost is dominated by file-open overhead
+    until partitions are compacted. Returns the row count rewritten.
+
+    The rewrite goes through a temp subdir then replaces the partition
+    dir, so a crash mid-compaction never loses the original data.
+    """
+    import shutil
+
+    part_dir = os.path.join(path, partition)
+    df = spark.read.parquet(part_dir)
+    n = df.count()
+    # underscore-prefixed basename: Spark/Hadoop listings ignore it, so
+    # an orphaned temp dir after a crash can never be read as a bogus
+    # partition (a `<part>._compact_tmp` sibling WOULD be — partition
+    # discovery only skips `_`/`.`-prefixed names)
+    tmp = os.path.join(path, f"_compact_tmp_{partition.replace('=', '_')}")
+    out = df.coalesce(target_files)
+    if cluster_by and set(cluster_by) <= set(df.columns):
+        out = out.sortWithinPartitions(*cluster_by)
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return n
 
 
 def format_for_export(df: DataFrame) -> DataFrame:
