@@ -22,7 +22,9 @@ from __future__ import annotations
 import datetime as dt
 import sys
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, InputPartition, SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from eth_options_data_pipeline_spark.schemas import TICKER_RAW
@@ -77,6 +79,34 @@ class TickerReader(DataSourceReader):
                     )
 
 
+class TickerStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the connector: each micro-batch is one hourly
+    snapshot drop (offset = batch index; the HTTP variant polls the
+    endpoint with the same offset bookkeeping). Deterministic: batch i
+    shifts every OI by +i so downstream state derivation is testable.
+    """
+
+    def __init__(self, options: dict):
+        self.batch = TickerReader(options)
+        self.max_batches = int(options.get("max_batches", "3"))
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def read(self, start: dict):
+        b = start["batch"]
+        if b >= self.max_batches:
+            return iter([]), start
+        rows = []
+        for i in range(self.batch.num_partitions):
+            for sym, ct, strike, spot, mark, oi in self.batch.read(InputPartition(i)):
+                rows.append((sym, ct, strike, spot, mark, str(int(oi) + b)))
+        return iter(rows), {"batch": b + 1}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class TickerDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -87,3 +117,6 @@ class TickerDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return TickerReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return TickerStreamReader(self.options)
