@@ -103,6 +103,19 @@ class TickerStreamReader(SimpleDataSourceStreamReader):
                 rows.append((sym, ct, strike, spot, mark, str(int(oi) + b)))
         return iter(rows), {"batch": b + 1}
 
+    def _rows_for_batch(self, b: int):
+        for i in range(self.batch.num_partitions):
+            for sym, ct, strike, spot, mark, oi in self.batch.read(InputPartition(i)):
+                yield (sym, ct, strike, spot, mark, str(int(oi) + b))
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay for crash recovery / cache misses —
+        without this, Spark's fallback raises NotImplementedError the
+        first time the prefetch cache can't serve a batch (e.g. an
+        empty batch or a restarted query)."""
+        for b in range(start["batch"], end["batch"]):
+            yield from self._rows_for_batch(b)
+
     def commit(self, end: dict) -> None:
         pass
 
