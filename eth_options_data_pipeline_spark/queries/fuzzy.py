@@ -163,6 +163,79 @@ def vx02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vx05_ann_recall",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ), q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 3),
+    brute AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY {vx.cosine_sql('c.e', 'q.qe')} DESC, vec_id) AS rk
+      FROM q JOIN b c ON c.vec_id <> q.q_id
+    ), lsh AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY {vx.cosine_sql('c.e', 'q.qe')} DESC, vec_id) AS rk
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+    ), b5 AS (SELECT q_id, list(vec_id) AS ids FROM brute WHERE rk <= 5 GROUP BY q_id),
+       l5 AS (SELECT q_id, list(vec_id) AS ids FROM lsh WHERE rk <= 5 GROUP BY q_id)
+    SELECT b5.q_id,
+           len(list_intersect(b5.ids, l5.ids)) / 5.0 AS recall_at_5,
+           CAST(len(l5.ids) AS BIGINT) AS n_lsh_results
+    FROM b5 JOIN l5 USING (q_id)
+    """,
+)
+def vx05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation: recall@5 of the LSH index (vx02) against the
+    brute-force ground truth (vx01), per query — the metric that
+    decides how many hyperplanes/probes the index needs at scale.
+    Set-overlap of integer id lists: engine-exact.
+
+    Measured finding on this corpus: single-probe hyperplane LSH
+    recalls ~0 — the synthetic embeddings are isotropic (nearest
+    neighbors sit near-orthogonal, cos ~0.37), so bucket agreement is
+    ~coin-flip per plane and the index prunes away the true neighbors.
+    That is precisely what this metric exists to surface; the IVF
+    index with 2-cell probing (vx04) recalls the true top-1 on the
+    same data. At scale: multi-probe LSH or IVF for unclustered
+    embeddings; single-probe only when the corpus is clustered."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    b = emb.withColumn("bucket", vx.lsh_bucket(F.col("e"), _PLANES))
+    q = (
+        b.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+                F.col("bucket").alias("q_bucket"))
+    )
+
+    def topk(cand, k=5):
+        cos = vx.cosine(F.col("e"), F.col("qe"))
+        w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
+        return (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .groupBy("q_id").agg(F.collect_set("vec_id").alias("ids"))
+        )
+
+    brute5 = topk(q.join(F.broadcast(b).alias("c"), F.col("c.vec_id") != F.col("q_id")))
+    lsh5 = topk(q.join(F.broadcast(b).alias("c"),
+                       (F.col("c.bucket") == F.col("q_bucket"))
+                       & (F.col("c.vec_id") != F.col("q_id"))))
+    return (
+        brute5.select("q_id", F.col("ids").alias("b_ids"))
+        .join(lsh5.select("q_id", F.col("ids").alias("l_ids")), "q_id")
+        .select(
+            "q_id",
+            (F.size(F.array_intersect("b_ids", "l_ids")) / 5.0).alias("recall_at_5"),
+            F.size("l_ids").cast("long").alias("n_lsh_results"),
+        )
+    )
+
+
+@query(
     "mm01_multimodal_features",
     sql="""
     SELECT doc_id AS asset_id,
