@@ -28,6 +28,22 @@ def scrub_nonfinite(df: DataFrame) -> DataFrame:
     return df.select(*exprs)
 
 
+def to_ist(ts: Column) -> Column:
+    """F8 (main.py:126): UTC -> IST conversion. The reference computes
+    ``datetime.utcnow() + timedelta(hours=5, minutes=30)``; Asia/Kolkata
+    is a fixed +5:30 offset with no DST, so ``from_utc_timestamp`` is
+    exactly that shift expressed timezone-correctly."""
+    return F.from_utc_timestamp(ts, "Asia/Kolkata")
+
+
+def ist_now(as_of_ts: Column | None = None) -> Column:
+    """F8/F9: the reference's IST 'now' (main.py:126), parameterized by
+    an injected deterministic ``as_of_ts`` (trap 3: never call now() in
+    a distributed plan — every task must agree on the value)."""
+    base = as_of_ts if as_of_ts is not None else F.current_timestamp()
+    return to_ist(base)
+
+
 def null_to_zero(col: Column) -> Column:
     """F13 (main.py:284-285)."""
     return F.coalesce(col, F.lit(0))

@@ -38,6 +38,29 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", words))))
 
 
+def char_shingles(col_name: str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles over lowercase trimmed text.
+
+    Catches near-dups word shingles miss (reordered words, punctuation
+    edits). Uses the SQL expression form: ``substring`` with a dynamic
+    start position isn't expressible through the Column API inside a
+    HOF lambda."""
+    base = f"lower(trim({col_name}))"
+    return F.array_distinct(F.expr(
+        f"transform(sequence(0, greatest(length({base}) - {n - 1}, 1) - 1), "
+        f"i -> substring({base}, i + 1, {n}))"
+    ))
+
+
+def char_shingles_sql(text_expr: str, n: int = 5) -> str:
+    """DuckDB expression mirroring char_shingles (oracle half)."""
+    base = f"lower(trim({text_expr}))"
+    return (
+        f"list_distinct(list_transform(range(0, greatest(length({base}) - {n - 1}, 1)), "
+        f"i -> substr({base}, i + 1, {n})))"
+    )
+
+
 def shingles_sql(text_expr: str, n: int = 3) -> str:
     """DuckDB expression mirroring word_shingles (oracle half)."""
     w = f"string_split(lower(trim({text_expr})), ' ')"

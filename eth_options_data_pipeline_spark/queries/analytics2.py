@@ -1,5 +1,12 @@
-"""Third-wave corpus: subqueries, running windows, pivot, text
-normalization, embedding near-dup, sketches, and the sink round-trip.
+"""Third-wave corpus: window battery, pivot, embedding near-dup,
+sketches, and the sink round-trip.
+
+Round-2 consolidation: former q25_scalar_subquery's uncorrelated-scalar
+facet lives on in q42_dormant_rich_customers (analytics7.py); former
+q26_running_total, q37_range_frame and q38_rank_family share one row
+base (one row per order) and are now ONE battery,
+``q26_window_battery``; former dx09_normalize_text moved into
+dx02_doc_features (extensions.py).
 """
 
 from __future__ import annotations
@@ -21,47 +28,60 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "q25_scalar_subquery",
+    "q26_window_battery",
     sql="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
-    """,
-)
-def q25_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery as a predicate — planned as a
-    broadcast of one aggregated row, no driver round-trip."""
-    o = t(spark, sf_dir, "orders")
-    avg = o.select((2 * F.avg("o_totalprice")).alias("thr"))
-    return (
-        o.join(F.broadcast(avg))
-        .where(F.col("o_totalprice") > F.col("thr"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-
-
-@query(
-    "q26_running_total",
-    sql="""
-    SELECT o_custkey, o_orderkey,
+    SELECT o_orderkey, o_custkey, o_totalprice,
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
-                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+             AS n_similar_price,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           CAST(ntile(4)  OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
-def q26_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate window (rows unbounded preceding) — the
-    cumulative-state shape behind the reference's append-log semantics."""
+def q26_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery over orders — three frame kinds on one
+    row base, each a distinct physical window operator:
+
+    * running aggregate (ROWS UNBOUNDED PRECEDING) — the cumulative-
+      state shape behind the reference's append-log semantics (former
+      q26_running_total);
+    * RANGE frame over a numeric ordering (value-based +-1000 band, not
+      row-based) (former q37_range_frame);
+    * the full ranking family: rank / dense_rank / ntile / percent_rank
+      / cume_dist — percent_rank and cume_dist are int/int divisions of
+      identical operands, exact across engines (former q38_rank_family).
+
+    All three windows partition by o_custkey, so Catalyst runs them off
+    ONE exchange (sort-only boundaries between the window operators) —
+    the plan shape that matters at 100 TB."""
     o = t(spark, sf_dir, "orders")
-    w = (
+    w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return o.select(
-        "o_custkey", "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(w_range).alias("n_similar_price"),
+        F.rank().over(w_rank).alias("rnk"),
+        F.dense_rank().over(w_rank).alias("drnk"),
+        F.ntile(4).over(w_rank).alias("quartile"),
+        F.percent_rank().over(w_rank).alias("pct_rank"),
+        F.cume_dist().over(w_rank).alias("cume"),
     )
 
 
@@ -89,27 +109,6 @@ def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
         )
     )
-
-
-@query(
-    "dx09_normalize_text",
-    sql="""
-    SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                               ' +', ' ', 'g')) AS norm_text,
-           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                      ' +', ' ', 'g'))) AS norm_len
-    FROM documents
-    """,
-)
-def dx09_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text normalization (lowercase, strip non-alphanumerics, collapse
-    whitespace) — the canonical pre-dedup cleaning transform, pure
-    codegen expressions."""
-    docs = t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    return docs.select("doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len"))
 
 
 @query(

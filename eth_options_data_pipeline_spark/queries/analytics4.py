@@ -1,4 +1,8 @@
-"""Fifth-wave corpus: set operations, HAVING, and IVF-style ANN."""
+"""Fifth-wave corpus: HAVING and IVF-style ANN.
+
+Round-2 consolidation: former q31_set_ops moved into
+q17_union_set_ops (corpus.py).
+"""
 
 from __future__ import annotations
 
@@ -12,34 +16,6 @@ from eth_options_data_pipeline_spark.sources import load_table
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
-
-
-@query(
-    "q31_set_ops",
-    sql="""
-    WITH y98 AS (SELECT DISTINCT o_custkey FROM orders
-                 WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'),
-         y99 AS (SELECT DISTINCT o_custkey FROM orders
-                 WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
-    SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM y98 INTERSECT SELECT o_custkey FROM y99)
-    UNION ALL
-    SELECT o_custkey, 'only_1998' FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y99)
-    """,
-)
-def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT set operations (absent from the reference,
-    §2.7; part of the complete engine surface). Planned as left-semi /
-    left-anti aggregated joins."""
-    o = t(spark, sf_dir, "orders")
-    y98 = o.where(
-        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
-    ).select("o_custkey").distinct()
-    y99 = o.where(
-        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
-    ).select("o_custkey").distinct()
-    both = y98.intersect(y99).select("o_custkey", F.lit("both").alias("cohort"))
-    only98 = y98.exceptAll(y99).select("o_custkey", F.lit("only_1998").alias("cohort"))
-    return both.unionByName(only98)
 
 
 @query(

@@ -1,5 +1,7 @@
-"""Seventh-wave corpus: range window frames, rank family, array
-functions, tf-idf.
+"""Seventh-wave corpus: array functions and tf-idf.
+
+Round-2 consolidation: former q37_range_frame + q38_rank_family moved
+into q26_window_battery (analytics2.py).
 """
 
 from __future__ import annotations
@@ -13,60 +15,6 @@ from eth_options_data_pipeline_spark.sources import load_table
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
-
-
-@query(
-    "q37_range_frame",
-    sql="""
-    SELECT o_orderkey, o_custkey, o_totalprice,
-           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
-             AS n_similar_price
-    FROM orders
-    """,
-)
-def q37_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE window frame over a numeric ordering: per order, how many
-    of the customer's orders fall within ±1000 of its price — value-
-    based frames, not row-based."""
-    o = t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey").orderBy("o_totalprice")
-        .rangeBetween(-1000, 1000)
-    )
-    return o.select(
-        "o_orderkey", "o_custkey", "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_similar_price"),
-    )
-
-
-@query(
-    "q38_rank_family",
-    sql="""
-    SELECT o_orderkey, o_custkey,
-           rank()         OVER w AS rnk,
-           dense_rank()   OVER w AS drnk,
-           CAST(ntile(4)  OVER w AS INT) AS quartile,
-           percent_rank() OVER w AS pct_rank,
-           cume_dist()    OVER w AS cume
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-    """,
-)
-def q38_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full ranking-function family over one window. percent_rank
-    and cume_dist are int/int divisions of identical operands — exact
-    across engines."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return o.select(
-        "o_orderkey", "o_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
 
 
 @query(

@@ -439,26 +439,38 @@ def q13_json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q14_distinct_minmax",
+    "q14_agg_battery",
     sql="""
-    SELECT count(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_days,
+    SELECT l_linestatus,
+           count(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_days,
            strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_day,
            strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_day,
            round(min(l_extendedprice), 2) AS min_price,
-           round(max(l_extendedprice), 2) AS max_price
-    FROM lineitem
+           round(max(l_extendedprice), 2) AS max_price,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem GROUP BY l_linestatus
     """,
 )
-def q14_distinct_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 distinct + A3 min/max (main.py:242-243 logging aggregates)."""
+def q14_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 distinct + A3 min/max (main.py:242-243 logging aggregates)
+    plus exact interpolated percentiles (median / p90) per group —
+    round-2 merge of the former q14_distinct_minmax + q24_percentiles
+    (same group-by base). At 100 TB swap percentile() for
+    approx_percentile with a documented error bound (same plan shape,
+    sketch-mergeable — qx28 is that face)."""
     li = t(spark, sf_dir, "lineitem")
     d = F.col("l_shipdate").cast("date")
-    return li.agg(
+    return li.groupBy("l_linestatus").agg(
         F.countDistinct(d).alias("n_ship_days"),
         F.date_format(F.min(d), "yyyy-MM-dd").alias("min_day"),
         F.date_format(F.max(d), "yyyy-MM-dd").alias("max_day"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
     )
 
 
@@ -488,21 +500,51 @@ def q15_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_union_append",
+    "q17_union_set_ops",
     sql="""
-    SELECT event_type, count(*) AS cnt FROM (
+    WITH y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'),
+         y99 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
+    SELECT 'union_append' AS facet, event_type AS cohort, count(*) AS cnt FROM (
       SELECT event_id, event_type FROM events WHERE event_type = 'error'
       UNION ALL
       SELECT event_id, event_type FROM events WHERE value > 100
     ) GROUP BY event_type
+    UNION ALL
+    SELECT 'set_intersect', 'both', count(*) FROM
+      (SELECT o_custkey FROM y98 INTERSECT SELECT o_custkey FROM y99)
+    UNION ALL
+    SELECT 'set_except', 'only_1998', count(*) FROM
+      (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y99)
     """,
 )
-def q17_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/§2.7: append = UNION ALL (history ∪ new), bag semantics."""
+def q17_union_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/§2.7 append = UNION ALL (history ∪ new, bag semantics), plus
+    the INTERSECT / EXCEPT set operations a complete engine exposes
+    (former q31_set_ops — Catalyst plans them as aggregated left-semi /
+    left-anti joins). One oracle face, ``facet`` tag."""
     ev = t(spark, sf_dir, "events")
     a = ev.where(F.col("event_type") == "error").select("event_id", "event_type")
     b = ev.where(F.col("value") > 100).select("event_id", "event_type")
-    return a.unionByName(b).groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    union_face = (
+        a.unionByName(b).groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("union_append").alias("facet"),
+                F.col("event_type").alias("cohort"), "cnt")
+    )
+    o = t(spark, sf_dir, "orders")
+    y98 = o.where(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    ).select("o_custkey").distinct()
+    y99 = o.where(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
+    ).select("o_custkey").distinct()
+    both = y98.intersect(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("set_intersect").alias("facet"), F.lit("both").alias("cohort"), "cnt")
+    only98 = y98.exceptAll(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("set_except").alias("facet"), F.lit("only_1998").alias("cohort"), "cnt")
+    return union_face.unionByName(both).unionByName(only98)
 
 
 @query(

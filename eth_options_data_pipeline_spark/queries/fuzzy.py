@@ -3,6 +3,13 @@
 Everything here is md5-derived, so even the probabilistic operators
 (MinHash-LSH, SimHash, hyperplane-LSH ANN) have exact DuckDB oracles —
 the randomness is a deterministic function of content on both engines.
+
+Round-2 consolidation: the two shuffle-free per-doc signature queries
+(former dx06_minhash_signatures + dx08_simhash) are one battery,
+``dx06_signatures``; the two ANN top-k faces (former vx01_cosine_topk +
+vx02_ann_lsh) are ``vx01_ann_topk`` with a ``method`` tag; the two
+recall evaluations (former vx05_ann_recall + vx06_ann_multiprobe_recall)
+are ``vx05_ann_recall`` with a ``method`` tag.
 """
 
 from __future__ import annotations
@@ -23,22 +30,30 @@ _MH_COLS_SQL = ",\n             ".join(
 
 
 @query(
-    "dx06_minhash_signatures",
+    "dx06_signatures",
     sql=f"""
-    WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents)
+    WITH sh AS (SELECT doc_id, text, {_SH} AS sh FROM documents),
+    h AS (SELECT doc_id, sh, {tx.word_hashes_sql('text')} AS hs FROM sh)
     SELECT doc_id,
-             {_MH_COLS_SQL}
-    FROM sh
+             {_MH_COLS_SQL},
+             {tx.simhash_terms_sql('hs')} AS simhash
+    FROM h
     """,
 )
-def dx06_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8) over distinct word-3-gram shingles —
-    the signature stage of fuzzy dedup. Pure per-row array expressions:
-    zero shuffles, and the doc body is never exploded."""
+def dx06_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup signature battery — MinHash (k=8) over distinct
+    word-3-gram shingles plus a 32-bit SimHash (md5-prefix word hashes,
+    majority vote per bit), in ONE shuffle-free per-row projection: the
+    document body is read once and never exploded, the 100 TB signature
+    stage. Former dx06_minhash_signatures + dx08_simhash."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))
+    sh = docs.select("doc_id", "text", tx.word_shingles(F.col("text")).alias("sh"))
     mh = tx.minhash_signature(F.col("sh"))
-    return sh.select("doc_id", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
+    return sh.select(
+        "doc_id",
+        *[c.alias(f"mh{j}") for j, c in enumerate(mh)],
+        tx.simhash(F.col("text")).alias("simhash"),
+    )
 
 
 _BAND_SQL = ", ".join(
@@ -99,50 +114,62 @@ def dx07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dx08_simhash",
-    sql=f"""
-    WITH h AS (SELECT doc_id, {tx.word_hashes_sql('text')} AS hs FROM documents)
-    SELECT doc_id, {tx.simhash_terms_sql('hs')} AS simhash
-    FROM h
-    """,
-)
-def dx08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signatures over distinct words (md5-prefix word
-    hashes, majority vote per bit). Near-dup detection pairs docs with
-    small Hamming distance; signatures alone are the shuffle-free
-    per-row stage."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", tx.simhash(F.col("text")).alias("simhash"))
-
-
 _PLANES = vx.rademacher_planes()
 _BUCKET_SQL = vx.lsh_bucket_sql("embedding::DOUBLE[]", _PLANES)
 
 @query(
-    "vx02_ann_lsh",
+    "vx01_ann_topk",
     sql=f"""
     WITH b AS (
       SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket
       FROM embeddings
-    ), q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 3)
-    SELECT q_id, vec_id AS cand_id,
-           round({vx.cosine_sql('c.e', 'q.qe')}, 6) AS cos_sim
-    FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
-    QUALIFY row_number() OVER (PARTITION BY q_id
-                               ORDER BY {vx.cosine_sql('c.e', 'q.qe')} DESC, vec_id) <= 5
+    ), q0 AS (SELECT e AS qe FROM b WHERE vec_id = 0),
+    brute AS (
+      SELECT 'brute' AS method, CAST(0 AS BIGINT) AS q_id, vec_id AS cand_id,
+             round({vx.cosine_sql('c.e', 'q0.qe')}, 6) AS cos_sim
+      FROM b c, q0
+      WHERE c.vec_id <> 0
+      ORDER BY cos_sim DESC, cand_id LIMIT 10
+    ), q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 3),
+    lsh AS (
+      SELECT 'lsh' AS method, q_id, vec_id AS cand_id,
+             round({vx.cosine_sql('c.e', 'q.qe')}, 6) AS cos_sim
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY {vx.cosine_sql('c.e', 'q.qe')} DESC, vec_id) <= 5
+    )
+    SELECT * FROM brute UNION ALL SELECT * FROM lsh
     """,
 )
-def vx02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: deterministic Rademacher-hyperplane buckets
-    (bit i = sign of dot with plane_i) -> candidates share the query's
-    bucket -> exact cosine rerank, top-5 per query. The scale path:
-    candidate generation touches only same-bucket rows; brute force
-    (vx01) remains the rerank/recall baseline."""
+def vx01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over array<float> embeddings, both index strategies in
+    one oracle face (``method`` tag):
+
+    * ``brute``: broadcast the query vector, JVM-side zip_with/aggregate
+      dot products (no Python UDF), TakeOrderedAndProject top-10 — the
+      exact-rerank / ground-truth stage (former vx01_cosine_topk);
+    * ``lsh``: deterministic Rademacher-hyperplane buckets (bit i =
+      sign of dot with plane_i) -> candidates share the query's bucket
+      -> exact cosine rerank, top-5 per query — candidate generation
+      touches only same-bucket rows, the scale path (former
+      vx02_ann_lsh)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     b = emb.withColumn("bucket", vx.lsh_bucket(F.col("e"), _PLANES))
+
+    # brute-force face: query vec_id=0 against everything
+    qvec = emb.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    cos0 = vx.cosine(F.col("e"), F.col("qe"))
+    brute = (
+        emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec))
+        .select(F.lit("brute").alias("method"), F.lit(0).cast("long").alias("q_id"),
+                F.col("vec_id").alias("cand_id"), F.round(cos0, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "cand_id")
+        .limit(10)
+    )
+
+    # LSH face: 3 queries, candidates restricted to the query's bucket
     q = (
         b.where(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket")
@@ -153,14 +180,20 @@ def vx02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = vx.cosine(F.col("c.e"), F.col("qe"))
     w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("c.vec_id"))
-    return (
-        cand.select("q_id", F.col("c.vec_id").alias("cand_id"),
+    lsh = (
+        cand.select(F.lit("lsh").alias("method"), "q_id",
+                    F.col("c.vec_id").alias("cand_id"),
                     F.round(cos, 6).alias("cos_sim"),
                     F.row_number().over(w).alias("_rk"))
         .where(F.col("_rk") <= 5)
         .drop("_rk")
     )
+    return brute.unionByName(lsh)
 
+
+_PROBE_BUCKETS_SQL = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(vx.LSH_PLANES)]
+)
 
 @query(
     "vx05_ann_recall",
@@ -168,43 +201,69 @@ def vx02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket
       FROM embeddings
-    ), q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 3),
-    brute AS (
-      SELECT q_id, vec_id,
-             row_number() OVER (PARTITION BY q_id
-                                ORDER BY {vx.cosine_sql('c.e', 'q.qe')} DESC, vec_id) AS rk
-      FROM q JOIN b c ON c.vec_id <> q.q_id
-    ), lsh AS (
-      SELECT q_id, vec_id,
-             row_number() OVER (PARTITION BY q_id
-                                ORDER BY {vx.cosine_sql('c.e', 'q.qe')} DESC, vec_id) AS rk
-      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+    ), brute AS (
+      SELECT q0.vec_id AS q_id, c.vec_id,
+             row_number() OVER (PARTITION BY q0.vec_id
+                                ORDER BY {vx.cosine_sql('c.e', 'q0.e')} DESC, c.vec_id) AS rk
+      FROM b q0 JOIN b c ON c.vec_id <> q0.vec_id
+      WHERE q0.vec_id < 3
     ), b5 AS (SELECT q_id, list(vec_id) AS ids FROM brute WHERE rk <= 5 GROUP BY q_id),
-       l5 AS (SELECT q_id, list(vec_id) AS ids FROM lsh WHERE rk <= 5 GROUP BY q_id)
-    SELECT b5.q_id,
-           len(list_intersect(b5.ids, l5.ids)) / 5.0 AS recall_at_5,
-           CAST(len(l5.ids) AS BIGINT) AS n_lsh_results
-    FROM b5 JOIN l5 USING (q_id)
+    q1 AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 3),
+    single AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY {vx.cosine_sql('c.e', 'q1.qe')} DESC, vec_id) AS rk
+      FROM q1 JOIN b c ON c.bucket = q1.bucket AND c.vec_id <> q1.q_id
+    ), s5 AS (SELECT q_id, list(vec_id) AS ids FROM single WHERE rk <= 5 GROUP BY q_id),
+    qm AS (
+      SELECT vec_id AS q_id, e AS qe, unnest([{_PROBE_BUCKETS_SQL}]) AS probe
+      FROM b WHERE vec_id < 3
+    ), mcand AS (
+      SELECT DISTINCT qm.q_id, qm.qe, c.vec_id, c.e
+      FROM qm JOIN b c ON c.bucket = qm.probe AND c.vec_id <> qm.q_id
+    ), multi AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY {vx.cosine_sql('mcand.e', 'mcand.qe')} DESC, vec_id) AS rk
+      FROM mcand
+    ), m5 AS (SELECT q_id, list(vec_id) AS ids FROM multi WHERE rk <= 5 GROUP BY q_id)
+    SELECT 'single_probe' AS method, b5.q_id,
+           len(list_intersect(b5.ids, s5.ids)) / 5.0 AS recall_at_5,
+           CAST(len(s5.ids) AS BIGINT) AS n_lsh_results
+    FROM b5 JOIN s5 USING (q_id)
+    UNION ALL
+    SELECT 'multi_probe', b5.q_id,
+           len(list_intersect(b5.ids, m5.ids)) / 5.0,
+           CAST(len(m5.ids) AS BIGINT)
+    FROM b5 JOIN m5 USING (q_id)
     """,
 )
 def vx05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN evaluation: recall@5 of the LSH index (vx02) against the
-    brute-force ground truth (vx01), per query — the metric that
-    decides how many hyperplanes/probes the index needs at scale.
+    """ANN index evaluation: recall@5 against the brute-force ground
+    truth for BOTH probing strategies (``method`` tag) — the metric that
+    decides how many hyperplanes/probes an index needs at scale.
     Set-overlap of integer id lists: engine-exact.
 
-    Measured finding on this corpus: single-probe hyperplane LSH
-    recalls ~0 — the synthetic embeddings are isotropic (nearest
-    neighbors sit near-orthogonal, cos ~0.37), so bucket agreement is
-    ~coin-flip per plane and the index prunes away the true neighbors.
-    That is precisely what this metric exists to surface; the IVF
-    index with 2-cell probing (vx04) recalls the true top-1 on the
-    same data. At scale: multi-probe LSH or IVF for unclustered
-    embeddings; single-probe only when the corpus is clustered."""
+    * ``single_probe``: candidates from the query's own bucket only
+      (former vx05_ann_recall);
+    * ``multi_probe``: the query's bucket plus every bucket at Hamming
+      distance 1 — 9 of 256 cells, the standard recall lever when
+      single-probe collapses (former vx06_ann_multiprobe_recall).
+
+    Measured finding on this corpus: BOTH recall ~0 — the synthetic
+    embeddings are isotropic (nearest neighbors sit near-orthogonal,
+    cos ~0.37), so bucket agreement is ~coin-flip per plane
+    (P(<=1 of 8 sign flips) ~ 0.13/neighbor) and the index prunes away
+    the true neighbors. That is precisely what this metric exists to
+    surface; the IVF index with 2-cell probing (vx04) recalls the true
+    top-1 on the same data. At scale: IVF for unclustered embeddings;
+    hyperplane LSH when the corpus is clustered."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     b = emb.withColumn("bucket", vx.lsh_bucket(F.col("e"), _PLANES))
+    qfull = b.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
     q = (
         b.where(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
@@ -220,113 +279,43 @@ def vx05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("q_id").agg(F.collect_set("vec_id").alias("ids"))
         )
 
-    brute5 = topk(q.join(F.broadcast(b).alias("c"), F.col("c.vec_id") != F.col("q_id")))
-    lsh5 = topk(q.join(F.broadcast(b).alias("c"),
-                       (F.col("c.bucket") == F.col("q_bucket"))
-                       & (F.col("c.vec_id") != F.col("q_id"))))
-    return (
-        brute5.select("q_id", F.col("ids").alias("b_ids"))
-        .join(lsh5.select("q_id", F.col("ids").alias("l_ids")), "q_id")
-        .select(
-            "q_id",
-            (F.size(F.array_intersect("b_ids", "l_ids")) / 5.0).alias("recall_at_5"),
-            F.size("l_ids").cast("long").alias("n_lsh_results"),
-        )
-    )
+    brute5 = topk(qfull.join(F.broadcast(b).alias("c"), F.col("c.vec_id") != F.col("q_id"))
+                  .select("q_id", "qe", F.col("c.vec_id").alias("vec_id"), F.col("c.e").alias("e")))
 
+    single5 = topk(q.join(F.broadcast(b).alias("c"),
+                          (F.col("c.bucket") == F.col("q_bucket"))
+                          & (F.col("c.vec_id") != F.col("q_id")))
+                   .select("q_id", "qe", F.col("c.vec_id").alias("vec_id"), F.col("c.e").alias("e")))
 
-_PROBE_BUCKETS_SQL = ", ".join(
-    ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(vx.LSH_PLANES)]
-)
-
-@query(
-    "vx06_ann_multiprobe_recall",
-    sql=f"""
-    WITH b AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket
-      FROM embeddings
-    ), q AS (
-      SELECT vec_id AS q_id, e AS qe, unnest([{_PROBE_BUCKETS_SQL}]) AS probe
-      FROM b WHERE vec_id < 3
-    ), cand AS (
-      SELECT DISTINCT q.q_id, q.qe, c.vec_id, c.e
-      FROM q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.q_id
-    ), brute AS (
-      SELECT q0.vec_id AS q_id, c.vec_id,
-             row_number() OVER (PARTITION BY q0.vec_id
-                                ORDER BY {vx.cosine_sql('c.e', 'q0.e')} DESC, c.vec_id) AS rk
-      FROM b q0 JOIN b c ON c.vec_id <> q0.vec_id
-      WHERE q0.vec_id < 3
-    ), lsh AS (
-      SELECT q_id, vec_id,
-             row_number() OVER (PARTITION BY q_id
-                                ORDER BY {vx.cosine_sql('cand.e', 'cand.qe')} DESC, vec_id) AS rk
-      FROM cand
-    ), b5 AS (SELECT q_id, list(vec_id) AS ids FROM brute WHERE rk <= 5 GROUP BY q_id),
-       l5 AS (SELECT q_id, list(vec_id) AS ids FROM lsh WHERE rk <= 5 GROUP BY q_id)
-    SELECT b5.q_id,
-           len(list_intersect(b5.ids, l5.ids)) / 5.0 AS recall_at_5,
-           CAST(len(l5.ids) AS BIGINT) AS n_lsh_results
-    FROM b5 JOIN l5 USING (q_id)
-    """,
-)
-def vx06_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH: probe the query's bucket plus every bucket at
-    Hamming distance 1 (9 of 256 cells) — the standard recall lever
-    when single-probe collapses (vx05). Candidate volume stays ~9/256
-    of the corpus.
-
-    Measured finding: on THIS corpus radius-1 probing still recalls ~0
-    — with isotropic embeddings the true neighbors sit near-orthogonal
-    (cos ~0.3), so >1 of 8 plane signs flip with high probability
-    (P(<=1 flip) ~ 0.13/neighbor). The pair of metrics (vx05, vx06)
-    quantifies exactly how many probes this data needs; the practical
-    answer for unclustered embeddings is the IVF index (vx04), which
-    recalls the brute-force top-1 here. On clustered real-world
-    embeddings the same code recalls high at radius 0-1."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    b = emb.withColumn("bucket", vx.lsh_bucket(F.col("e"), _PLANES))
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(vx.LSH_PLANES)],
     )
-    q = (
+    qprobe = (
         b.where(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
                 F.explode(probes).alias("probe"))
     )
-    cand = (
-        q.join(F.broadcast(b).alias("c"),
-               (F.col("c.bucket") == F.col("probe")) & (F.col("c.vec_id") != F.col("q_id")))
+    mcand = (
+        qprobe.join(F.broadcast(b).alias("c"),
+                    (F.col("c.bucket") == F.col("probe")) & (F.col("c.vec_id") != F.col("q_id")))
         .select("q_id", "qe", F.col("c.vec_id").alias("vec_id"), F.col("c.e").alias("e"))
         .distinct()
     )
+    multi5 = topk(mcand)
 
-    def topk(df, k=5):
-        cos = vx.cosine(F.col("e"), F.col("qe"))
-        w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
+    def face(method, lsh5):
         return (
-            df.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= k)
-            .groupBy("q_id").agg(F.collect_set("vec_id").alias("ids"))
+            brute5.select("q_id", F.col("ids").alias("b_ids"))
+            .join(lsh5.select("q_id", F.col("ids").alias("l_ids")), "q_id")
+            .select(
+                F.lit(method).alias("method"), "q_id",
+                (F.size(F.array_intersect("b_ids", "l_ids")) / 5.0).alias("recall_at_5"),
+                F.size("l_ids").cast("long").alias("n_lsh_results"),
+            )
         )
 
-    qfull = b.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
-    brute5 = topk(qfull.join(F.broadcast(b).alias("c"), F.col("c.vec_id") != F.col("q_id"))
-                  .select("q_id", "qe", F.col("c.vec_id").alias("vec_id"), F.col("c.e").alias("e")))
-    lsh5 = topk(cand)
-    return (
-        brute5.select("q_id", F.col("ids").alias("b_ids"))
-        .join(lsh5.select("q_id", F.col("ids").alias("l_ids")), "q_id")
-        .select(
-            "q_id",
-            (F.size(F.array_intersect("b_ids", "l_ids")) / 5.0).alias("recall_at_5"),
-            F.size("l_ids").cast("long").alias("n_lsh_results"),
-        )
-    )
+    return face("single_probe", single5).unionByName(face("multi_probe", multi5))
 
 
 @query(

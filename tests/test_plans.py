@@ -57,7 +57,7 @@ def test_signature_ops_are_shuffle_free(spark, sf_small):
     key-based shuffle may appear. (A single round-robin exchange is the
     loader's small-input spreading; on real multi-split inputs it does
     not fire.)"""
-    for name in ("dx06_minhash_signatures", "dx08_simhash"):
+    for name in ("dx06_signatures",):
         p = plan(REGISTRY[name].fn(spark, sf_small))
         assert "Exchange hashpartitioning" not in p, f"{name} plan shuffles:\n{p}"
         assert p.count("Exchange roundrobin") <= 1
