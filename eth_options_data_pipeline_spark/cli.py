@@ -58,8 +58,13 @@ def main(argv: list[str] | None = None) -> int:
 
     obs = Observation("parse_telemetry")
     out = run(tickers, history, config, as_of, observation=obs)
+    # rows_appended rides the write action via a second observation —
+    # one action per run, not a write plus a full recompute for count()
+    out_obs = Observation("rows_appended")
+    from pyspark.sql import functions as F
+    out = out.observe(out_obs, F.count(F.lit(1)).alias("rows_appended"))
     append_snapshot(out, args.output)
-    n = out.count()
+    n = int(out_obs.get["rows_appended"])
 
     try:
         telemetry = dict(obs.get)

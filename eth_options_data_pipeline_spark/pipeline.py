@@ -55,7 +55,7 @@ def target_expiries(parsed: DataFrame, config: PipelineConfig, as_of_date: dt.da
 
 
 def snapshot(raw_tickers: DataFrame, config: PipelineConfig, as_of_ts: dt.datetime,
-             observation=None) -> DataFrame:
+             observation=None, caches: list | None = None) -> DataFrame:
     """Parse → guard → band → ladder semi-join → project → keep-last
     dedup → sort. Produces options_chain rows with Open/OI_Change
     defaulted to 0 (pre-join state, main.py:210-211).
@@ -65,6 +65,11 @@ def snapshot(raw_tickers: DataFrame, config: PipelineConfig, as_of_ts: dt.dateti
     action — no extra scan. Default is a uniquified string observation
     (chained runs embed several snapshots in ONE plan, and Spark
     requires distinct observation names within a query).
+
+    Pass ``caches=[]`` to receive the DataFrames this plan caches, so
+    long-running callers (the streaming foreachBatch path, which builds
+    a fresh plan per micro-batch) can unpersist them once the batch's
+    action completes instead of accumulating cache-manager entries.
     """
     as_of_date = as_of_ts.date()
 
@@ -83,12 +88,16 @@ def snapshot(raw_tickers: DataFrame, config: PipelineConfig, as_of_ts: dt.dateti
     # Both the ladder branch and the main branch consume the parsed
     # scan; cache once (SURVEY §3.3 — two-pass reuse).
     parsed = parsed.cache()
+    if caches is not None:
+        caches.append(parsed)
 
     targets = target_expiries(parsed, config, as_of_date)
 
-    # A1 spot price: the reference takes the first truthy spot
-    # (main.py:112-116) — scan-order-dependent; spot is constant per
-    # fetch, so max() is the deterministic equivalent (trap 5).
+    # P3 strike band: applied per-row against each ticker's own spot,
+    # exactly the reference's filter_strikes_by_percentage
+    # (main.py:168-172). (The A1 first-non-null *scalar* spot exists
+    # only for logging in the reference; trap 5's determinism note
+    # applies there, not here.)
     filtered = parsed.where(strike_band(F.col("Strike"), F.col("spot"), config.strike_pct))
     filtered = filtered.where(F.col("Expiry_Date").isNotNull())
     filtered = expiry_membership(filtered, "Expiry_Date", targets)

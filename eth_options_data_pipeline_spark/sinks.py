@@ -60,26 +60,73 @@ def compact_partition(spark: SparkSession, path: str, partition: str,
     (24/day); at scale the scan cost is dominated by file-open overhead
     until partitions are compacted. Returns the row count rewritten.
 
-    The rewrite goes through a temp subdir then replaces the partition
-    dir, so a crash mid-compaction never loses the original data.
+    Crash-safety (swap-via-rename): write to `_compact_tmp_*`, move the
+    live dir aside to `_compact_old_*`, rename tmp into place, then
+    delete old. A crash at ANY point leaves either the original
+    partition serving, or the compacted one — never a window where the
+    table silently serves without the partition. Both scratch names are
+    underscore-prefixed so Spark/Hadoop partition discovery can never
+    read them as bogus partitions. `recover_compaction` cleans/restores
+    after a crash.
+
+    NOTE: relies on POSIX atomic directory rename — correct on local
+    FS/NFS/HDFS-style stores. On object stores (S3/GCS) "rename" is
+    copy+delete and not atomic; there, compact through a table format
+    with a transactional commit protocol instead (Delta/Iceberg
+    OPTIMIZE is this exact operation).
     """
     import shutil
 
     part_dir = os.path.join(path, partition)
     df = spark.read.parquet(part_dir)
     n = df.count()
-    # underscore-prefixed basename: Spark/Hadoop listings ignore it, so
-    # an orphaned temp dir after a crash can never be read as a bogus
-    # partition (a `<part>._compact_tmp` sibling WOULD be — partition
-    # discovery only skips `_`/`.`-prefixed names)
-    tmp = os.path.join(path, f"_compact_tmp_{partition.replace('=', '_')}")
+    # the underscore PREFIX is what hides these from partition
+    # discovery; keeping the raw 'col=value' suffix makes crash
+    # recovery a lossless name round-trip
+    tmp = os.path.join(path, f"_compact_tmp_{partition}")
+    old = os.path.join(path, f"_compact_old_{partition}")
     out = df.coalesce(target_files)
     if cluster_by and set(cluster_by) <= set(df.columns):
         out = out.sortWithinPartitions(*cluster_by)
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(part_dir)
-    os.rename(tmp, part_dir)
+    os.rename(part_dir, old)      # live dir aside (atomic)
+    os.rename(tmp, part_dir)      # compacted into place (atomic)
+    shutil.rmtree(old)            # point of no return — both copies existed until here
     return n
+
+
+def recover_compaction(path: str) -> dict[str, list[str]]:
+    """Startup recovery for interrupted `compact_partition` runs.
+
+    * `_compact_old_<part>` present and `<part>` missing -> the crash
+      hit between the two renames: restore the original partition.
+    * `_compact_old_<part>` present and `<part>` present -> the crash
+      hit before the final cleanup: the compacted data is live, drop
+      the old copy.
+    * `_compact_tmp_<part>` -> incomplete compacted write: drop it.
+
+    Returns {"restored": [...], "cleaned": [...]} partition names.
+    """
+    import shutil
+
+    restored, cleaned = [], []
+    if not os.path.isdir(path):
+        return {"restored": restored, "cleaned": cleaned}
+    entries = set(os.listdir(path))
+    for name in sorted(entries):
+        full = os.path.join(path, name)
+        if name.startswith("_compact_tmp_"):
+            shutil.rmtree(full, ignore_errors=True)
+            cleaned.append(name)
+        elif name.startswith("_compact_old_"):
+            part = name[len("_compact_old_"):]
+            if part in entries:
+                shutil.rmtree(full, ignore_errors=True)
+                cleaned.append(name)
+            else:
+                os.rename(full, os.path.join(path, part))
+                restored.append(part)
+    return {"restored": restored, "cleaned": cleaned}
 
 
 def format_for_export(df: DataFrame) -> DataFrame:

@@ -48,12 +48,59 @@ def _expiry_ladder(as_of: dt.date) -> list[dt.date]:
             fri1, fri1 + dt.timedelta(days=7)]
 
 
+def _resolve_fetcher(spec: str):
+    """Resolve a ``pkg.module:callable`` option string to the fetcher.
+
+    DataSource options travel Spark's string-only option map, so the
+    injection point is an import path, resolved ON THE EXECUTOR — the
+    same way production Spark connectors take a class name. The package
+    providing the fetcher ships to workers like any other dependency
+    (--py-files / the image)."""
+    import importlib
+
+    mod_name, _, fn_name = spec.partition(":")
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
+def http_json_fetcher(page: int, num_pages: int, options: dict):
+    """The production fetch path (reference main.py:94-104: a GET
+    returning an options-chain JSON array), paged by partition index so
+    every executor pulls only its slice. Select it with
+
+        .option("fetcher",
+                "eth_options_data_pipeline_spark.sources_datasource:http_json_fetcher")
+        .option("endpoint", "https://<host>/v1/tickers")
+
+    Yields TICKER_RAW-shaped string tuples. `requests` is imported at
+    call time: the hermetic build/test environment never exercises this
+    path (tests inject a fake fetcher through the same contract)."""
+    import requests  # deferred — only the production path needs it
+
+    resp = requests.get(
+        options["endpoint"],
+        params={"page": page, "pages": num_pages,
+                "category": options.get("category", "option")},
+        timeout=float(options.get("http_timeout", "30")),
+    )
+    resp.raise_for_status()
+    for t in resp.json().get("result", {}).get("list", []):
+        yield (
+            t.get("symbol"), t.get("contract_type"),
+            t.get("strike_price"), t.get("spot_price"),
+            t.get("mark_price"), t.get("open_interest"),
+        )
+
+
 class TickerReader(DataSourceReader):
     def __init__(self, options: dict):
         self.as_of = dt.date.fromisoformat(options.get("as_of_date", "2025-10-27"))
         self.spot = float(options.get("spot", "3200.0"))
         self.n_strikes = int(options.get("n_strikes", "40"))
         self.num_partitions = int(options.get("num_partitions", "4"))
+        # optional injected fetch path ("module:callable"); default is
+        # the deterministic synthetic chain below
+        self.fetcher_spec = options.get("fetcher")
+        self.raw_options = dict(options)
 
     def partitions(self):
         # one partition per expiry-bucket slice; executors read slices
@@ -61,6 +108,10 @@ class TickerReader(DataSourceReader):
         return [InputPartition(i) for i in range(self.num_partitions)]
 
     def read(self, partition: InputPartition):
+        if self.fetcher_spec:
+            fetch = _resolve_fetcher(self.fetcher_spec)
+            yield from fetch(partition.value, self.num_partitions, self.raw_options)
+            return
         expiries = _expiry_ladder(self.as_of)
         step = self.spot * 0.02
         idx = partition.value

@@ -10,7 +10,9 @@ Streaming equivalents:
                               streaming state
   * keep-last dedup        -> dropDuplicatesWithinWatermark
   * append-only sheet      -> outputMode('append') partitioned parquet
-  * re-run double-append   -> checkpointing makes re-delivery exactly-once
+  * re-run double-append   -> checkpoint + batch_id-keyed idempotent
+                              partition overwrite (foreachBatch alone is
+                              at-least-once; see StreamingOptionsPipeline)
 
 Windowed event-time aggregation over the `events` shape (watermark +
 tumbling/sliding/session windows) generalizes the reference to real
@@ -91,9 +93,21 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
 
 def dedup_symbols_within_watermark(tickers: DataFrame, ts_col: str = "ts",
                                    watermark: str = "1 hour") -> DataFrame:
-    """W4's streaming face: keep one row per SYMBOL with bounded state
-    (dropDuplicatesWithinWatermark evicts keys once the watermark
-    passes — the stream-safe version of drop_duplicates)."""
+    """Streaming dedup with bounded state (dropDuplicatesWithinWatermark
+    evicts keys once the watermark passes).
+
+    Documented deviation from W4: this keeps the FIRST row per SYMBOL
+    within the watermark, while W4's batch semantics keep the LAST
+    (dedup.keep_last). Spark's built-in streaming dedup cannot express
+    keep-last (it would have to retract emitted rows in append mode).
+    For the reference's feed the two agree — re-deliveries are verbatim
+    duplicates — so this operator is the right tool for at-least-once
+    transport dedup. When updates per key genuinely differ, use the
+    keyed stateful operator instead (streaming/stateful.py keeps the
+    latest row per SYMBOL and emits per micro-batch), or the
+    foreachBatch pipeline below, which applies true batch keep-last
+    inside every micro-batch. tests/test_streaming.py pins the
+    keep-first behavior so the deviation stays visible."""
     return tickers.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["symbol"])
 
 
@@ -104,9 +118,26 @@ class StreamingOptionsPipeline:
     maintains a compact latest-snapshot state table — state is
     O(|symbols|) regardless of history length, which is exactly the
     reference's tail-300 intent done scale-safely (SURVEY §7.4 trap 2).
-    Checkpointing gives exactly-once appends (fixing the reference's
-    double-append-on-rerun, SURVEY §2.10).
+
+    Exactly-once output: foreachBatch alone is only at-least-once — a
+    micro-batch that fails after the output write but before the
+    checkpoint commit is REPLAYED on restart. Both writes here are
+    therefore idempotent keyed by batch_id:
+
+      * output: dynamic partition overwrite into a
+        ``run_id=batch_<id>`` partition (sinks.overwrite_run) — a
+        replay overwrites exactly its own partition instead of
+        double-appending (the reference's failure mode);
+      * state: each batch writes a fresh ``_snapshot_v<id>`` dir (one
+        write, no read-modify-rewrite of a live dir) and commitment is
+        Spark's own ``_SUCCESS`` marker — a crash mid-write leaves a
+        markerless dir that readers ignore. A replayed batch rebuilds
+        its state version from the *previous* version (max committed
+        v < batch_id), so replays are deterministic even when the
+        crash happened after the state write.
     """
+
+    STATE_VERSIONS_KEPT = 2     # current + previous (replay base)
 
     def __init__(self, config: PipelineConfig, output_dir: str, state_dir: str,
                  as_of_for_batch=None):
@@ -116,25 +147,84 @@ class StreamingOptionsPipeline:
         # injectable batch-time policy for deterministic tests
         self.as_of_for_batch = as_of_for_batch or (lambda batch_id: dt.datetime.utcnow())
 
+    # -- versioned state ----------------------------------------------------
+
+    def _state_path(self, version: int) -> str:
+        # underscore prefix: even if state_dir is ever listed as a
+        # table root, Spark/Hadoop listings skip these dirs
+        return os.path.join(self.state_dir, f"_snapshot_v{version}")
+
+    def _committed_versions(self) -> list[int]:
+        if not os.path.isdir(self.state_dir):
+            return []
+        out = []
+        for name in os.listdir(self.state_dir):
+            if name.startswith("_snapshot_v"):
+                try:
+                    v = int(name[len("_snapshot_v"):])
+                except ValueError:
+                    continue
+                if os.path.exists(os.path.join(self.state_dir, name, "_SUCCESS")):
+                    out.append(v)
+        return sorted(out)
+
+    def _read_state(self, spark: SparkSession, before_batch_id: int) -> DataFrame | None:
+        """Latest committed state STRICTLY BEFORE this batch — a replay
+        of batch N must not read the state N itself wrote."""
+        versions = [v for v in self._committed_versions() if v < before_batch_id]
+        if not versions:
+            return None
+        return spark.read.parquet(self._state_path(versions[-1]))
+
+    def _prune_state(self, current_batch_id: int) -> None:
+        import shutil
+        keep = set(self._committed_versions()[-self.STATE_VERSIONS_KEPT:])
+        keep.add(current_batch_id)
+        if not os.path.isdir(self.state_dir):
+            return
+        for name in os.listdir(self.state_dir):
+            if not name.startswith("_snapshot_v"):
+                continue
+            try:
+                v = int(name[len("_snapshot_v"):])
+            except ValueError:
+                continue
+            # uncommitted leftovers from crashes are pruned too, as long
+            # as they're older than the batch we just committed
+            if v not in keep and v < current_batch_id:
+                shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
+
+    # -- per-batch dataflow -------------------------------------------------
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from eth_options_data_pipeline_spark.sinks import overwrite_run
+
         spark = batch_df.sparkSession
         as_of = self.as_of_for_batch(batch_id)
-        snap = snapshot(batch_df, self.config, as_of)
-        state_path = os.path.join(self.state_dir, "latest_snapshot")
-        # existence check, not try/except: a failed read would log a
-        # full executor stack trace on every cold start
-        prev = spark.read.parquet(state_path) if os.path.isdir(state_path) else None
-        if prev is not None:
-            snap = derive_open_oi_change(snap, prev)
-        out = snap.select(*OPTIONS_CHAIN_COLUMNS)
-        out.write.mode("append").partitionBy("Date").parquet(self.output_dir)
-        # fold the new snapshot into the compact keyed state
-        new_state = out if prev is None else prev.unionByName(out)
-        latest = latest_per_key(new_state, keys=("SYMBOL",), order_cols=("Date", "Time"))
-        tmp = state_path + ".tmp"
-        latest.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(state_path)
+        caches: list = []
+        try:
+            snap = snapshot(batch_df, self.config, as_of, caches=caches)
+            prev = self._read_state(spark, batch_id)
+            if prev is not None:
+                snap = derive_open_oi_change(snap, prev)
+            out = snap.select(*OPTIONS_CHAIN_COLUMNS)
+            # idempotent output: replayed batch overwrites its own
+            # run_id partition instead of appending twice
+            overwrite_run(out, self.output_dir, run_id=f"batch_{batch_id}")
+            # fold the new snapshot into the compact keyed state — read
+            # back from the just-written partition so the fold doesn't
+            # recompute the pipeline plan a second time
+            written = spark.read.parquet(self.output_dir).where(
+                F.col("run_id") == f"batch_{batch_id}").drop("run_id")
+            new_state = written if prev is None else prev.unionByName(written)
+            latest = latest_per_key(new_state, keys=("SYMBOL",), order_cols=("Date", "Time"))
+            latest.write.mode("overwrite").parquet(self._state_path(batch_id))
+            self._prune_state(batch_id)
+        finally:
+            # a fresh plan is cached per micro-batch; release it so
+            # long-running streams don't accumulate cache entries
+            for c in caches:
+                c.unpersist()
 
     def start(self, tickers: DataFrame, checkpoint_dir: str):
         return (

@@ -124,3 +124,38 @@ def test_empty_input_degrades_to_empty(spark):
     out = run(empty, None, HOURLY, AS_OF)
     assert out.count() == 0
     assert out.columns == OPTIONS_CHAIN_COLUMNS
+
+
+def test_empty_history_equals_no_history(spark, tickers):
+    """run(tickers, <0-row history>) == run(tickers, None): the state
+    join against nothing must default Open/OI_Change to 0, not crash or
+    drop rows (reference returns empty frames on failed stages and
+    downstream keeps working — main.py:369-371)."""
+    none_out = run(tickers, None, HOURLY, AS_OF)
+    schema = none_out.schema
+    empty_hist = spark.createDataFrame([], schema)
+    empty_out = run(tickers, empty_hist, HOURLY, AS_OF)
+    assert none_out.exceptAll(empty_out).count() == 0
+    assert empty_out.exceptAll(none_out).count() == 0
+
+
+def test_empty_input_appends_cleanly(spark, tmp_path):
+    """Zero fetched rows -> clean (no-op) append and a next run that
+    still works — no crash, no state corruption (trap 9)."""
+    from eth_options_data_pipeline_spark.sinks import append_snapshot, read_history
+
+    empty = spark.createDataFrame([], TICKER_RAW)
+    out = run(empty, None, HOURLY, AS_OF)
+    path = str(tmp_path / "chain")
+    append_snapshot(out, path)  # writes no data files; must not raise
+
+    # cold-start guard: unreadable/empty history -> None -> normal run
+    try:
+        history = read_history(spark, path)
+        history.first()
+    except Exception:
+        history = None
+    ticks = synthetic_tickers(spark, AS_OF.date())
+    out2 = run(ticks, history, HOURLY, AS_OF + dt.timedelta(hours=1))
+    assert out2.count() > 0
+    assert out2.where((F.col("Open") != 0) | (F.col("OI_Change") != 0)).count() == 0

@@ -96,3 +96,69 @@ def test_streaming_options_pipeline_two_drops(spark, tmp_path):
     q2 = pipe.start(read_ticker_stream(spark, str(in_dir)), checkpoint_dir=str(tmp_path / "ckpt"))
     q2.awaitTermination(60)
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_before
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a crash
+    between the output write and the checkpoint commit must not change
+    the output (batch_id-keyed partition overwrite) and must rebuild
+    the same state (derived from the previous version, not its own)."""
+    ticks = synthetic_tickers(spark, AS_OF.date(), include_edge_cases=False)
+    pipe = StreamingOptionsPipeline(
+        HOURLY,
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        as_of_for_batch=lambda bid: AS_OF + dt.timedelta(hours=bid),
+    )
+    pipe._process_batch(ticks, 0)
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    n1 = out1.count()
+    state1 = sorted(map(tuple, spark.read.parquet(pipe._state_path(0)).collect()))
+
+    # replay the same batch (same batch_id): output and state unchanged
+    pipe._process_batch(ticks, 0)
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    assert out2.count() == n1
+    state2 = sorted(map(tuple, spark.read.parquet(pipe._state_path(0)).collect()))
+    assert state1 == state2
+
+    # next batch chains off batch 0's state: Open == prev Close
+    pipe._process_batch(ticks, 1)
+    out3 = spark.read.parquet(str(tmp_path / "out"))
+    second = out3.where(F.col("run_id") == "batch_1")
+    assert second.where(F.col("Open") != F.col("Close")).count() == 0
+    # and replaying batch 1 after its state write still yields the same
+    # output values (reads v0, not its own v1)
+    vals = sorted(map(tuple, second.drop("run_id").collect()))
+    pipe._process_batch(ticks, 1)
+    second_replay = spark.read.parquet(str(tmp_path / "out")).where(
+        F.col("run_id") == "batch_1")
+    assert sorted(map(tuple, second_replay.drop("run_id").collect())) == vals
+
+
+def test_uncommitted_state_version_is_ignored(spark, tmp_path):
+    """A state dir without Spark's _SUCCESS marker (crash mid-write)
+    must never be read as valid previous state."""
+    ticks = synthetic_tickers(spark, AS_OF.date(), include_edge_cases=False)
+    pipe = StreamingOptionsPipeline(
+        HOURLY,
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        as_of_for_batch=lambda bid: AS_OF + dt.timedelta(hours=bid),
+    )
+    assert pipe._read_state(spark, 0) is None
+    pipe._process_batch(ticks, 0)
+    assert pipe._read_state(spark, 1) is not None
+
+    # fake a crashed (markerless) newer version: still reads v0
+    import os as _os
+    crashed = pipe._state_path(1)
+    _os.makedirs(crashed)
+    with open(_os.path.join(crashed, "part-corrupt.parquet"), "w") as f:
+        f.write("not parquet")
+    assert pipe._committed_versions() == [0]
+    state = pipe._read_state(spark, 2)
+    assert state is not None and state.count() > 0
+
+    # a replay of batch 0 must not see ANY state (nothing before v0)
+    assert pipe._read_state(spark, 0) is None

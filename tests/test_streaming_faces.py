@@ -52,15 +52,23 @@ def test_session_stream_plausible(spark, sf_small, tmp_path):
     assert got.agg(F.sum("n_events")).first()[0] <= events.count()
 
 
-def test_dedup_within_watermark(spark, tmp_path):
+def test_dedup_within_watermark_keeps_first(spark, tmp_path):
+    """One row per symbol, and it is the FIRST-arriving one — the
+    documented deviation from W4's batch keep-last (see
+    dedup_symbols_within_watermark docstring): correct for verbatim
+    re-deliveries; when per-key updates differ, use the keyed stateful
+    operator (streaming/stateful.py) or the foreachBatch pipeline."""
     rows = []
     base = dt.datetime(2025, 1, 1, 12, 0)
     for i in range(10):
-        rows.append((f"S{i % 3}", base + dt.timedelta(minutes=i)))  # 3 distinct symbols
-    df = spark.createDataFrame(rows, "symbol string, ts timestamp")
+        # payload differs between duplicates so first-vs-last is visible
+        rows.append((f"S{i % 3}", base + dt.timedelta(minutes=i), i))
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, seq int")
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ticks"))
-    stream = spark.readStream.schema("symbol string, ts timestamp").parquet(str(tmp_path / "ticks"))
+    stream = spark.readStream.schema("symbol string, ts timestamp, seq int").parquet(str(tmp_path / "ticks"))
     _drain(dedup_symbols_within_watermark(stream), tmp_path, "dedup")
     got = spark.sql("select * from dedup")
     assert got.count() == 3
-    assert sorted(r["symbol"] for r in got.collect()) == ["S0", "S1", "S2"]
+    kept = {r["symbol"]: r["seq"] for r in got.collect()}
+    # single input file -> one batch, ordered scan: first occurrence wins
+    assert kept == {"S0": 0, "S1": 1, "S2": 2}
