@@ -44,26 +44,44 @@ def main() -> None:
     for df in load_tables(spark, "/root/testdata/sf0.001").values():
         df.limit(10).collect()
 
-    timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in REGISTRY}
+    # run-major order (full corpus n_runs times, not each query n_runs
+    # times back-to-back) so per-query repeats don't ride each other's
+    # freshly-warmed caches
+    for _ in range(n_runs):
+        for name in sorted(REGISTRY):
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs[name].append(time.perf_counter() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    # headline per-query number = median (robust to one-off GC/JIT
+    # stalls); min also reported so regressions are distinguishable
+    # from noise across rounds
+    timings = {name: round(median(ts), 4) for name, ts in runs.items()}
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "corpus_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": {name: round(min(ts), 4) for name, ts in runs.items()},
         "sf": sf_from_dir(sf_dir),
         "config": {
             "master": spark.sparkContext.master,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
             "n_queries": len(timings),
+            "n_runs": n_runs,
+            "aggregation": "median_per_query",
+            "plan_notes": "PLANS.md (plan-shape assertions: tests/test_plans.py)",
         },
     }))
 
