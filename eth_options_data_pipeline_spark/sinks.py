@@ -64,10 +64,17 @@ def compact_partition(spark: SparkSession, path: str, partition: str,
     live dir aside to `_compact_old_*`, rename tmp into place, then
     delete old. A crash at ANY point leaves either the original
     partition serving, or the compacted one — never a window where the
-    table silently serves without the partition. Both scratch names are
-    underscore-prefixed so Spark/Hadoop partition discovery can never
-    read them as bogus partitions. `recover_compaction` cleans/restores
-    after a crash.
+    table silently serves without the partition. `recover_compaction`
+    cleans/restores after a crash.
+
+    Scratch naming: Spark/Hadoop's hidden-path filter only skips
+    underscore-prefixed names that contain NO '=' — a dir literally
+    named ``_compact_old_Date=2025-10-27`` would be picked up by
+    partition inference as a bogus ``_compact_old_Date`` partition
+    column (reading the stale copy as live data). The partition name
+    is therefore URL-encoded into the scratch dir name ('=' -> '%3D'),
+    which keeps the name underscore-hidden AND a lossless round-trip
+    for recovery.
 
     NOTE: relies on POSIX atomic directory rename — correct on local
     FS/NFS/HDFS-style stores. On object stores (S3/GCS) "rename" is
@@ -77,14 +84,16 @@ def compact_partition(spark: SparkSession, path: str, partition: str,
     """
     import shutil
 
+    # leftovers from a prior crashed compaction would make the renames
+    # below fail (ENOTEMPTY on an existing _compact_old_*) after the tmp
+    # rewrite was already paid — recover first, then compact
+    recover_compaction(path)
+
     part_dir = os.path.join(path, partition)
     df = spark.read.parquet(part_dir)
     n = df.count()
-    # the underscore PREFIX is what hides these from partition
-    # discovery; keeping the raw 'col=value' suffix makes crash
-    # recovery a lossless name round-trip
-    tmp = os.path.join(path, f"_compact_tmp_{partition}")
-    old = os.path.join(path, f"_compact_old_{partition}")
+    tmp = os.path.join(path, f"_compact_tmp_{_scratch_name(partition)}")
+    old = os.path.join(path, f"_compact_old_{_scratch_name(partition)}")
     out = df.coalesce(target_files)
     if cluster_by and set(cluster_by) <= set(df.columns):
         out = out.sortWithinPartitions(*cluster_by)
@@ -93,6 +102,21 @@ def compact_partition(spark: SparkSession, path: str, partition: str,
     os.rename(tmp, part_dir)      # compacted into place (atomic)
     shutil.rmtree(old)            # point of no return — both copies existed until here
     return n
+
+
+def _scratch_name(partition: str) -> str:
+    """URL-encode a 'col=value' partition name for scratch-dir use: the
+    result contains no '=', so the underscore-prefixed scratch dir is
+    invisible to Spark/Hadoop listing AND partition inference."""
+    from urllib.parse import quote
+
+    return quote(partition, safe="")
+
+
+def _scratch_decode(name: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(name)
 
 
 def recover_compaction(path: str) -> dict[str, list[str]]:
@@ -119,7 +143,7 @@ def recover_compaction(path: str) -> dict[str, list[str]]:
             shutil.rmtree(full, ignore_errors=True)
             cleaned.append(name)
         elif name.startswith("_compact_old_"):
-            part = name[len("_compact_old_"):]
+            part = _scratch_decode(name[len("_compact_old_"):])
             if part in entries:
                 shutil.rmtree(full, ignore_errors=True)
                 cleaned.append(name)

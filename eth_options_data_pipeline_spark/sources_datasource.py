@@ -83,11 +83,19 @@ def http_json_fetcher(page: int, num_pages: int, options: dict):
         timeout=float(options.get("http_timeout", "30")),
     )
     resp.raise_for_status()
+
+    def s(v):
+        # TICKER_RAW is all-string (numerics are parsed downstream with
+        # try_cast, matching the reference's coercive casts); JSON APIs
+        # commonly return numeric strike/spot/OI, which would fail the
+        # executor-side Arrow conversion if yielded raw
+        return None if v is None else str(v)
+
     for t in resp.json().get("result", {}).get("list", []):
         yield (
-            t.get("symbol"), t.get("contract_type"),
-            t.get("strike_price"), t.get("spot_price"),
-            t.get("mark_price"), t.get("open_interest"),
+            s(t.get("symbol")), s(t.get("contract_type")),
+            s(t.get("strike_price")), s(t.get("spot_price")),
+            s(t.get("mark_price")), s(t.get("open_interest")),
         )
 
 

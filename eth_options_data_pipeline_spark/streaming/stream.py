@@ -176,6 +176,35 @@ class StreamingOptionsPipeline:
             return None
         return spark.read.parquet(self._state_path(versions[-1]))
 
+    def _next_batch_id(self, checkpoint_dir: str) -> int:
+        """First batch id the query will run, from the checkpoint's
+        commits log (0 for a fresh/absent checkpoint)."""
+        commits = os.path.join(checkpoint_dir, "commits")
+        if not os.path.isdir(commits):
+            return 0
+        ids = [int(n) for n in os.listdir(commits) if n.isdigit()]
+        return max(ids) + 1 if ids else 0
+
+    def _reset_stale_state(self, checkpoint_dir: str) -> None:
+        """Drop state versions the coming run could mistake for its own.
+
+        If the checkpoint is reset (batch ids restart at 0) while
+        state_dir still holds ``_snapshot_v*`` dirs from a prior run,
+        the versions-``< batch_id`` rule in ``_read_state`` would
+        silently replay a stale prior-run snapshot once the new run's
+        ids catch up — and ``_prune_state`` never removes versions above
+        the current batch. So on start: every version >= the next
+        expected batch id is either prior-run leftovers or an orphan
+        from a batch that never reached its checkpoint commit; both are
+        safe to delete (a replayed batch rebuilds its state version
+        deterministically from the previous one).
+        """
+        import shutil
+        nxt = self._next_batch_id(checkpoint_dir)
+        for v in self._committed_versions():
+            if v >= nxt:
+                shutil.rmtree(self._state_path(v), ignore_errors=True)
+
     def _prune_state(self, current_batch_id: int) -> None:
         import shutil
         keep = set(self._committed_versions()[-self.STATE_VERSIONS_KEPT:])
@@ -227,6 +256,7 @@ class StreamingOptionsPipeline:
                 c.unpersist()
 
     def start(self, tickers: DataFrame, checkpoint_dir: str):
+        self._reset_stale_state(checkpoint_dir)
         return (
             tickers.writeStream
             .foreachBatch(self._process_batch)

@@ -67,11 +67,13 @@ def test_recovery_cleans_orphan_tmp(spark, tmp_path):
     import os
     from eth_options_data_pipeline_spark.sinks import recover_compaction
 
+    from eth_options_data_pipeline_spark.sinks import _scratch_name
+
     path, part, n = _make_table(spark, tmp_path)
-    tmp = os.path.join(path, f"_compact_tmp_{part}")
+    tmp = os.path.join(path, f"_compact_tmp_{_scratch_name(part)}")
     spark.read.parquet(os.path.join(path, part)).coalesce(1).write.parquet(tmp)
     res = recover_compaction(path)
-    assert res["cleaned"] == [f"_compact_tmp_{part}"] and res["restored"] == []
+    assert res["cleaned"] == [f"_compact_tmp_{_scratch_name(part)}"] and res["restored"] == []
     assert not os.path.exists(tmp)
     assert spark.read.parquet(path).count() == n
 
@@ -82,12 +84,27 @@ def test_recovery_restores_missing_partition(spark, tmp_path):
     import os
     from eth_options_data_pipeline_spark.sinks import recover_compaction
 
+    from eth_options_data_pipeline_spark.sinks import _scratch_name
+
     path, part, n = _make_table(spark, tmp_path)
-    os.rename(os.path.join(path, part), os.path.join(path, f"_compact_old_{part}"))
-    # the table now silently serves without the partition — the failure
-    # mode the round-1 advice flagged
-    assert spark.read.parquet(path).count() == 0 or True
+    os.rename(os.path.join(path, part),
+              os.path.join(path, f"_compact_old_{_scratch_name(part)}"))
+    # the table now silently serves without the partition (the
+    # '='-free encoded scratch name hides the moved-aside copy from
+    # listing AND partition inference — a raw 'col=value' suffix would
+    # be inferred as a bogus partition column and read as live data) —
+    # the failure mode recovery exists to fix; n > 0 rows are missing
+    assert n > 0
+    # without the refresh, the session's file-status cache can keep
+    # serving the moved-aside files — invalidate to observe disk truth
+    spark.catalog.refreshByPath(path)
+    try:
+        served = spark.read.parquet(path).count()
+    except Exception:
+        served = 0  # an empty table root may instead fail schema inference
+    assert served == 0
     res = recover_compaction(path)
+    spark.catalog.refreshByPath(path)
     assert res["restored"] == [part]
     assert spark.read.parquet(path).count() == n
 
@@ -99,9 +116,12 @@ def test_recovery_drops_stale_old_when_partition_live(spark, tmp_path):
     import shutil
     from eth_options_data_pipeline_spark.sinks import recover_compaction
 
+    from eth_options_data_pipeline_spark.sinks import _scratch_name
+
     path, part, n = _make_table(spark, tmp_path)
-    shutil.copytree(os.path.join(path, part), os.path.join(path, f"_compact_old_{part}"))
+    enc = f"_compact_old_{_scratch_name(part)}"
+    shutil.copytree(os.path.join(path, part), os.path.join(path, enc))
     res = recover_compaction(path)
-    assert res["cleaned"] == [f"_compact_old_{part}"]
-    assert not os.path.exists(os.path.join(path, f"_compact_old_{part}"))
+    assert res["cleaned"] == [enc]
+    assert not os.path.exists(os.path.join(path, enc))
     assert spark.read.parquet(path).count() == n

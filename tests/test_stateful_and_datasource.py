@@ -124,3 +124,53 @@ def test_injected_fetcher_end_to_end(spark):
     )
     rows = sorted(r["symbol"] for r in df.collect())
     assert rows == ["C-ETH-3200-281020", "C-ETH-3200-281021"]
+
+
+def test_http_fetcher_coerces_numeric_json(monkeypatch):
+    """http_json_fetcher must yield all-string tuples even when the
+    endpoint returns numeric strike/spot/OI (common in JSON APIs) —
+    raw numerics would fail the executor-side Arrow conversion against
+    the all-string TICKER_RAW schema. Exercised with a fake `requests`
+    module: no network, same code path."""
+    import sys
+    import types
+
+    from eth_options_data_pipeline_spark.sources_datasource import http_json_fetcher
+
+    captured = {}
+
+    class _Resp:
+        def raise_for_status(self):
+            pass
+
+        def json(self):
+            return {"result": {"list": [
+                {"symbol": "C-ETH-3200-311025", "contract_type": "call_options",
+                 "strike_price": 3200, "spot_price": 3185.5,
+                 "mark_price": 12.25, "open_interest": 999},
+                {"symbol": "P-ETH-3200-311025", "contract_type": "put_options",
+                 "strike_price": "3200", "spot_price": None,
+                 "mark_price": 3.5, "open_interest": 0},
+            ]}}
+
+    fake = types.ModuleType("requests")
+
+    def _get(url, params=None, timeout=None):
+        captured["url"] = url
+        captured["params"] = params
+        captured["timeout"] = timeout
+        return _Resp()
+
+    fake.get = _get
+    monkeypatch.setitem(sys.modules, "requests", fake)
+
+    rows = list(http_json_fetcher(1, 4, {"endpoint": "https://example.test/v1"}))
+    assert captured["url"] == "https://example.test/v1"
+    assert captured["params"]["page"] == 1 and captured["params"]["pages"] == 4
+    assert captured["timeout"] == 30.0
+    assert rows == [
+        ("C-ETH-3200-311025", "call_options", "3200", "3185.5", "12.25", "999"),
+        ("P-ETH-3200-311025", "put_options", "3200", None, "3.5", "0"),
+    ]
+    for row in rows:
+        assert all(v is None or isinstance(v, str) for v in row)

@@ -162,3 +162,51 @@ def test_uncommitted_state_version_is_ignored(spark, tmp_path):
 
     # a replay of batch 0 must not see ANY state (nothing before v0)
     assert pipe._read_state(spark, 0) is None
+
+
+def test_checkpoint_reset_discards_prior_run_state(spark, tmp_path):
+    """If the checkpoint is reset (batch ids restart at 0) while
+    state_dir still holds committed _snapshot_v* dirs from a prior run,
+    the new run must NOT replay that stale state once its ids catch up.
+    start() derives the next batch id from the checkpoint commits log
+    and deletes state versions at or above it."""
+    import json as _json
+    import os as _os
+
+    ticks = synthetic_tickers(spark, AS_OF.date(), include_edge_cases=False)
+    pipe = StreamingOptionsPipeline(
+        HOURLY,
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+        as_of_for_batch=lambda bid: AS_OF + dt.timedelta(hours=bid),
+    )
+    # prior run committed versions 0 and 1
+    pipe._process_batch(ticks, 0)
+    pipe._process_batch(ticks, 1)
+    assert pipe._committed_versions() == [0, 1]
+
+    # fresh checkpoint (no commits dir) -> next id 0 -> all state stale
+    pipe._reset_stale_state(str(tmp_path / "fresh_ckpt"))
+    assert pipe._committed_versions() == []
+
+    # end-to-end: a brand-new checkpointed run over one drop derives
+    # Open=0 everywhere (no inherited state), not prev-run Close values
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    _write_ticker_drop(spark, ticks, str(in_dir / "drop1.json"))
+    q = pipe.start(read_ticker_stream(spark, str(in_dir)),
+                   checkpoint_dir=str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).where(
+        F.col("run_id") == "batch_0")
+    assert out.count() > 0
+    assert out.where(F.col("Open") != 0).count() == 0
+
+    # a checkpoint with commits up to N keeps versions < N+1
+    pipe._process_batch(ticks, 1)
+    commits = tmp_path / "ckpt3" / "commits"
+    commits.mkdir(parents=True)
+    for b in ("0", "1"):
+        (commits / b).write_text(_json.dumps({"v": 1}))
+    pipe._reset_stale_state(str(tmp_path / "ckpt3"))
+    assert 1 in pipe._committed_versions()
