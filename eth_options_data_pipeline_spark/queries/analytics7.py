@@ -98,3 +98,57 @@ def q43_argmax_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
                (c.c_nationkey == F.col("bk")) & (c.c_acctbal == F.col("best_bal")))
         .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "q45_asof_join",
+    sql="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           c.value AS click_value,
+           coalesce(p.purchase_value, -1.0) AS purchase_value,
+           coalesce(epoch_us(c.ts) - epoch_us(p.ts), -1) AS micros_since_purchase
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q45_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each click paired with the user's
+    most recent purchase at-or-before it — the generalized form of the
+    reference's snapshot join (main.py:279-308: current row vs latest
+    prior state per SYMBOL). Implemented with operators/asof.py's
+    union + ordered-window shape: ONE shuffle and ONE sort over
+    |clicks| + |purchases| rows regardless of per-key density, where
+    the naive inequality join explodes quadratically. The oracle is
+    DuckDB's native ASOF LEFT JOIN — a rare case where the checked
+    operator exists natively in the oracle engine but not in Spark.
+    Build ties at the same (user_id, ts) are pre-aggregated (max) so
+    "latest" is deterministic on both engines; no-match probes take
+    sentinel values (never-null doubles per the hash contract)."""
+    from eth_options_data_pipeline_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts",
+                       payload=["purchase_value", "purchase_ts"])
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        F.coalesce("purchase_value", F.lit(-1.0)).alias("purchase_value"),
+        F.coalesce(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("purchase_ts")),
+                   F.lit(-1)).alias("micros_since_purchase"),
+    )
