@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    BinaryType, LongType, StringType, StructField, StructType,
 )
 
 ASSET_FEATURES = StructType([
@@ -79,4 +79,88 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         modality.alias("modality"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+RESIZED_ASSET = StructType([
+    StructField("asset_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("thumbnail", BinaryType()),
+])
+
+FRAME_SAMPLE = StructType([
+    StructField("asset_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_offset", LongType()),
+    StructField("frame_checksum", StringType()),
+])
+
+
+def resize_assets(assets: DataFrame, max_dim: int = 64,
+                  id_col: str = "asset_id") -> DataFrame:
+    """Image-resize plumbing: 1 row in -> 1 row out per batch.
+
+    The deterministic fake 'decode' derives dimensions from the first
+    two payload bytes and thumbnails as a byte-budgeted prefix —
+    enough to pin the real contract (binary in AND binary out through
+    Arrow, fixed output schema, row-count preservation). A real
+    resizer (PIL `Image.thumbnail`) replaces only the inner loop body;
+    everything around it — batching, schema, partitioning — is what
+    this function actually tests.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = max_dim * max_dim // 8
+        for pdf in it:
+            content = pdf["content"]
+            yield pd.DataFrame({
+                "asset_id": pdf[id_col].astype("int64"),
+                "width": content.map(
+                    lambda b: min(16 + bytes(b)[0] if len(b) else 16, max_dim)
+                ).astype("int64"),
+                "height": content.map(
+                    lambda b: min(16 + bytes(b)[1] if len(b) > 1 else 16, max_dim)
+                ).astype("int64"),
+                "thumbnail": content.map(lambda b: bytes(b)[:budget]),
+            })
+
+    return assets.mapInPandas(batches, schema=RESIZED_ASSET)
+
+
+def sample_frames(assets: DataFrame, stride: int = 256, max_frames: int = 8,
+                  id_col: str = "asset_id") -> DataFrame:
+    """Video frame-sampling plumbing: 1 row in -> N rows out.
+
+    This is the OTHER mapInPandas contract — fan-out, where output
+    batches don't align 1:1 with input rows. Every `stride` bytes of
+    payload is treated as one 'frame' (up to `max_frames`), each
+    emitted with its offset and an md5 checksum of its slice. A real
+    sampler (ffmpeg keyframe extraction) replaces the slicing; the
+    fan-out batch shape, per-frame schema, and bounded-output contract
+    are the engine-side semantics under test. Only `video` assets are
+    sampled; the filter is pushed BEFORE the Python stage so other
+    modalities never cross the Arrow boundary.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out: dict[str, list] = {"asset_id": [], "frame_idx": [],
+                                    "frame_offset": [], "frame_checksum": []}
+            for aid, raw in zip(pdf[id_col], pdf["content"]):
+                b = bytes(raw)
+                n = min(max(len(b) + stride - 1, 1) // stride, max_frames)
+                for i in range(n):
+                    sl = b[i * stride:(i + 1) * stride]
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * stride)
+                    out["frame_checksum"].append(hashlib.md5(sl).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (
+        assets.where(F.col("modality") == "video")
+        .mapInPandas(batches, schema=FRAME_SAMPLE)
     )
