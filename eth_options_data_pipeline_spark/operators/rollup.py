@@ -100,6 +100,21 @@ def readout(partials: DataFrame) -> DataFrame:
     )
 
 
+def _merge_same_grain(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Re-merge partial rows sharing (bucket, keys) — the mergeable-
+    partial fold used by incremental refresh (batch and streaming)."""
+    return (
+        partials.groupBy("bucket", *keys)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+        )
+    )
+
+
 def refresh_incremental(partials: DataFrame, new_events: DataFrame,
                         ts: str, keys: list[str], value: str,
                         distinct_col: str, grain: str = "hour") -> DataFrame:
@@ -110,15 +125,74 @@ def refresh_incremental(partials: DataFrame, new_events: DataFrame,
     idempotently when the caller keys writes by batch id (the sink's
     overwrite-by-run-id pattern)."""
     fresh = rollup_partials(new_events, ts, keys, value, distinct_col, grain)
-    merged = (
-        partials.unionByName(fresh)
-        .groupBy("bucket", *keys)
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("sum_v").alias("sum_v"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
-            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
-        )
+    return _merge_same_grain(partials.unionByName(fresh), keys)
+
+
+def streaming_rollup(events_stream, state_dir: str, checkpoint_dir: str,
+                     ts: str, keys: list[str], value: str,
+                     distinct_col: str, grain: str = "hour"):
+    """Continuous-aggregate maintenance as a stream: each micro-batch
+    folds into a versioned partials table via refresh_incremental —
+    the streaming face of the hypertable rollup.
+
+    State versioning follows StreamingOptionsPipeline's scheme: each
+    batch writes ``_partials_v<batch_id>`` in one shot and the
+    _SUCCESS marker is the commit point, so replays rebuild from the
+    previous version deterministically (foreachBatch is at-least-once).
+    """
+    import os
+
+    def _committed(spark):
+        if not os.path.isdir(state_dir):
+            return []
+        out = []
+        for name in os.listdir(state_dir):
+            if name.startswith("_partials_v"):
+                try:
+                    v = int(name[len("_partials_v"):])
+                except ValueError:
+                    continue
+                if os.path.exists(os.path.join(state_dir, name, "_SUCCESS")):
+                    out.append(v)
+        return sorted(out)
+
+    def fold(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        prev_versions = [v for v in _committed(spark) if v < batch_id]
+        fresh = rollup_partials(batch_df, ts, keys, value, distinct_col, grain)
+        if prev_versions:
+            prev = spark.read.parquet(
+                os.path.join(state_dir, f"_partials_v{prev_versions[-1]}"))
+            merged = _merge_same_grain(prev.unionByName(fresh), keys)
+        else:
+            merged = fresh
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"_partials_v{batch_id}"))
+
+    return (
+        events_stream.writeStream
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
-    return merged
+
+
+def read_streaming_partials(spark, state_dir: str):
+    """Latest committed partial table written by streaming_rollup."""
+    import os
+
+    versions = []
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            if name.startswith("_partials_v"):
+                try:
+                    v = int(name[len("_partials_v"):])
+                except ValueError:
+                    continue
+                if os.path.exists(os.path.join(state_dir, name, "_SUCCESS")):
+                    versions.append(v)
+    if not versions:
+        raise FileNotFoundError(f"no committed partials under {state_dir}")
+    return spark.read.parquet(
+        os.path.join(state_dir, f"_partials_v{max(versions)}"))

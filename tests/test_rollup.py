@@ -106,3 +106,43 @@ def test_grain_direction_enforced(spark):
         coarsen(hourly, "day", "hour", KEYS)
     with pytest.raises(ValueError, match="grain"):
         rollup_partials(ev, "ts", KEYS, "value", "user_id", "minute")
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path):
+    """availableNow stream over event drops -> folded partials equal a
+    one-shot batch rollup of the same rows; replayed batches fold
+    idempotently (versioned state, replay reads the previous version)."""
+    from eth_options_data_pipeline_spark.operators.rollup import (
+        read_streaming_partials,
+        streaming_rollup,
+    )
+
+    ev = _events(spark)
+    ev.write.mode("overwrite").parquet(str(tmp_path / "drops"))
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1).parquet(str(tmp_path / "drops"))
+    q = streaming_rollup(
+        stream, state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ts="ts", keys=KEYS, value="value", distinct_col="user_id")
+    q.awaitTermination(180)
+
+    got = read_streaming_partials(spark, str(tmp_path / "state"))
+    want = rollup_partials(ev, "ts", KEYS, "value", "user_id", "hour")
+    assert _collect_stats(got) == _collect_stats(want)
+    a = {(r["bucket"], r["event_type"]): r["approx_distinct"]
+         for r in readout(got).collect()}
+    b = {(r["bucket"], r["event_type"]): r["approx_distinct"]
+         for r in readout(want).collect()}
+    assert a == b
+
+    # restart with the same checkpoint: no new data -> state unchanged
+    q2 = streaming_rollup(
+        spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 1).parquet(str(tmp_path / "drops")),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ts="ts", keys=KEYS, value="value", distinct_col="user_id")
+    q2.awaitTermination(60)
+    again = read_streaming_partials(spark, str(tmp_path / "state"))
+    assert _collect_stats(again) == _collect_stats(want)
