@@ -65,13 +65,20 @@ def vx04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.zip_with(a, b, lambda x, y: x - y)))
 
     def assign(df, cents):
-        # nearest centroid via broadcast cross join + min-by
-        joined = df.crossJoin(F.broadcast(cents))
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+        # nearest centroid via broadcast cross join + min_by aggregate:
+        # partial aggregation collapses the k rows per vector map-side
+        # (no sort, and only one row per vector reaches the exchange),
+        # where a row_number window would shuffle all |vectors| x k
+        # rows and sort them. `e` is constant within the group, so
+        # min_by on the same deterministic (dist, cluster_id) ordering
+        # recovers it alongside the winning cluster.
+        joined = df.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", l2(F.col("e"), F.col("c")))
+        key = F.struct(F.col("dist"), F.col("cluster_id"))
         return (
-            joined.withColumn("dist", l2(F.col("e"), F.col("c")))
-            .withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
+            joined.groupBy("vec_id")
+            .agg(F.min_by(F.col("cluster_id"), key).alias("cluster_id"),
+                 F.first("e").alias("e"))
             .select("vec_id", "e", "cluster_id")
         )
 
