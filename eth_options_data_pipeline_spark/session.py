@@ -41,6 +41,14 @@ def get_spark(app_name: str = "eth-options-pipeline-spark", master: str | None =
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # -- scan sizing: at 100 TB this bounds per-task input ------
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # -- runtime bloom-filter join pruning: builds a bloom of the
+        #    selective (filtered-dim) join side and pushes it into the
+        #    fact scan. Self-gated: only activates when the application
+        #    side exceeds ~10 GiB and the creation side is under
+        #    ~10 MiB, so it is inert on local testdata and kicks in
+        #    exactly at the dim-join-on-huge-fact shape this engine
+        #    targets at scale
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # -- timestamps: keep parquet round-trips exact -------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
