@@ -91,6 +91,34 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return stream.join(_F.broadcast(dim), on=on, how="left")
 
 
+def join_event_streams(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str, right_ts: str,
+                       lookback: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join with bounded state: each left event
+    pairs with right events for the same key within
+    ``[left_ts - lookback, left_ts]`` (e.g. clicks joined to the
+    purchases that preceded them by at most an hour).
+
+    Both sides carry watermarks and the join condition carries the
+    time bound, which is what lets Spark EVICT state: a buffered right
+    row can be dropped once the watermark passes its ts + lookback,
+    so state is O(rate x (lookback + watermark)) instead of unbounded.
+    Without the time-range predicate Spark would have to keep every
+    row forever (and rejects the query in append mode). This is the
+    streaming face of the batch keyed interval join (q36's shape);
+    the key-less batch variant is operators/ranges.py.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def dedup_symbols_within_watermark(tickers: DataFrame, ts_col: str = "ts",
                                    watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup with bounded state (dropDuplicatesWithinWatermark

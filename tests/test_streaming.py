@@ -210,3 +210,56 @@ def test_checkpoint_reset_discards_prior_run_state(spark, tmp_path):
         (commits / b).write_text(_json.dumps({"v": 1}))
     pipe._reset_stale_state(str(tmp_path / "ckpt3"))
     assert 1 in pipe._committed_versions()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path):
+    """Watermarked stream-stream interval join == the equivalent batch
+    join over the same rows (availableNow drains everything, so the
+    only rows the stream may omit are watermark-late ones — none in a
+    single ordered drain)."""
+    from eth_options_data_pipeline_spark.sources import load_table
+    from eth_options_data_pipeline_spark.streaming.stream import join_event_streams
+
+    events = load_table(spark, sf_small, "events")
+    events.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    def stream(kind):
+        s = spark.readStream.schema(events.schema).parquet(str(tmp_path / "ev"))
+        return (
+            s.where(F.col("event_type") == kind)
+            .select(F.col("event_id").alias(f"{kind}_id"), "user_id",
+                    F.col("ts").alias(f"{kind}_ts"))
+        )
+
+    clicks, purchases = stream("click"), stream("purchase")
+    # same-name key on both sides is fine: the join condition uses
+    # qualified refs and the projection below selects unambiguous cols
+    joined = join_event_streams(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts")
+    q = (
+        joined.selectExpr("click_id", "purchase_id")
+        .writeStream.format("memory").queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["click_id"], r["purchase_id"])
+           for r in spark.sql("select * from ss_join").collect()}
+
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"))
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p, (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("purchase_ts") <= F.col("click_ts"))).collect()
+    }
+    assert got == want and len(want) > 0
