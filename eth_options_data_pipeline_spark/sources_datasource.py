@@ -20,10 +20,12 @@ Usage:
 from __future__ import annotations
 
 import datetime as dt
+import os
 import sys
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, InputPartition, SimpleDataSourceStreamReader,
+    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+    SimpleDataSourceStreamReader, WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -179,6 +181,59 @@ class TickerStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class _TickerCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str, final_name: str):
+        self.tmp_name = tmp_name
+        self.final_name = final_name
+
+
+class TickerWriter(DataSourceWriter):
+    """Writer face: lands TICKER_RAW rows as line-delimited JSON drop
+    files (the format ``sources.read_ticker_json`` ingests), with a
+    two-phase task-commit protocol:
+
+      * each task writes ``_tmp_<uuid>.json`` (underscore-prefixed =
+        invisible to Spark/Hadoop listing if a reader races the write)
+        and returns the name in its commit message;
+      * the driver's ``commit`` renames every temp to its final
+        ``part-<uuid>.json`` only after ALL tasks succeeded; ``abort``
+        deletes the temps. A task that ran twice (speculation/retry)
+        leaves an orphan temp that abort/commit never promotes —
+        the same promote-on-commit contract as Hadoop output
+        committers, at drop-file granularity.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        uid = _uuid.uuid4().hex
+        tmp = os.path.join(self.path, f"_tmp_{uid}.json")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _TickerCommit(f"_tmp_{uid}.json", f"part-{uid}.json")
+
+    def commit(self, messages):
+        for m in messages:
+            src = os.path.join(self.path, m.tmp_name)
+            if os.path.exists(src):
+                os.rename(src, os.path.join(self.path, m.final_name))
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except OSError:
+                pass
+
+
 class TickerDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -189,6 +244,9 @@ class TickerDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return TickerReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return TickerWriter(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         return TickerStreamReader(self.options)

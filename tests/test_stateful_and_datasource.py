@@ -174,3 +174,30 @@ def test_http_fetcher_coerces_numeric_json(monkeypatch):
     ]
     for row in rows:
         assert all(v is None or isinstance(v, str) for v in row)
+
+
+def test_datasource_writer_roundtrip(spark, tmp_path):
+    """Write through the eth_tickers writer face, read back through
+    the landed-JSON ingest path: same rows; temps promoted to final
+    part files only at commit (no _tmp_ leftovers)."""
+    import os
+
+    from eth_options_data_pipeline_spark.sources import (
+        read_ticker_json,
+        synthetic_tickers,
+    )
+    from eth_options_data_pipeline_spark.sources_datasource import TickerDataSource
+
+    spark.dataSource.register(TickerDataSource)
+    out = str(tmp_path / "drops")
+    ticks = synthetic_tickers(spark, __import__("datetime").date(2025, 10, 27),
+                              include_edge_cases=False)
+    ticks.write.format("eth_tickers").option("path", out).mode("append").save()
+
+    names = os.listdir(out)
+    assert names and all(n.startswith("part-") and n.endswith(".json") for n in names)
+    back = read_ticker_json(spark, out)
+    assert back.count() == ticks.count()
+    a = sorted(map(tuple, ticks.collect()))
+    b = sorted(map(tuple, back.select(*ticks.columns).collect()))
+    assert a == b
