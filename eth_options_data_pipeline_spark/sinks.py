@@ -153,6 +153,32 @@ def recover_compaction(path: str) -> dict[str, list[str]]:
     return {"restored": restored, "cleaned": cleaned}
 
 
+def write_bucketed(df: DataFrame, table: str, path: str, key: str,
+                   buckets: int = 8) -> None:
+    """Persist a table bucketed (and sorted) by a join key.
+
+    Bucketing pre-shuffles ONCE at write time: every future join or
+    aggregation on ``key`` between tables bucketed with the same
+    bucket count reads co-located buckets and skips the exchange
+    entirely — at 100 TB this converts every recurring fact-to-fact
+    join on the key from a full shuffle into a local zip of bucket
+    files (`tests/test_bucketed_join.py` asserts the exchange-free
+    plan). sortBy within buckets additionally enables sort-merge joins
+    without the sort step.
+
+    Spark ties bucket metadata to the catalog, hence saveAsTable with
+    an explicit external path rather than a bare parquet write.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def format_for_export(df: DataFrame) -> DataFrame:
     """Sink-boundary formatting: DateType -> 'yyyy-MM-dd' strings and
     TimestampType Time -> 'HH:mm:ss' (F10, main.py:202-205). Internal
