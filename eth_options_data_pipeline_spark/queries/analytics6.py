@@ -78,18 +78,25 @@ def dx12_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     log() rounding can't flip the winner; the tfidf value itself is a
     rounded payload."""
     docs = t(spark, sf_dir, "documents")
+    # cached: the tf, df and n_docs branches each consume the exploded
+    # token stream — one materialization instead of three explodes
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
-    )
+    ).cache()
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tokens.select(F.countDistinct("doc_id").alias("n_docs"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), "term")
-    return (
+    scored = (
         tf.join(F.broadcast(df), "term")
         .join(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6))
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+    # top term per doc via min_by on the inverted integer key — the
+    # partially-aggregatable form of row_number()==1 (map-side collapse,
+    # no per-doc sort; same deterministic (tf desc, df asc, term) order)
+    key = F.struct((-F.col("tf")).alias("ntf"), F.col("df"), F.col("term"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.min_by(F.struct("term", "tf", "df", "tfidf"), key).alias("top"))
+        .select("doc_id", "top.term", "top.tf", "top.df", "top.tfidf")
     )
