@@ -30,15 +30,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q41_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-count per attribute group after a
     dimension join — the broadcast join keeps the fact scan
-    shuffle-free; the distinct-count is the only wide stage."""
+    shuffle-free. The distinct is two-stage (pre-group on the full key
+    including suppkey, then count rows / sum partial counts) instead
+    of countDistinct-next-to-count: mixing a distinct and a plain agg
+    makes Catalyst EXPAND every input row into two, doubling the rows
+    through the wide stage; the pre-group form partial-aggregates
+    map-side and shuffles at most one row per (brand, size, suppkey)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").where(F.col("p_size") >= 20)
-    return (
+    per_supp = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_size")
+        .groupBy("p_brand", "p_size", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_supp.groupBy("p_brand", "p_size")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("_c").alias("n_lineitems"),
         )
     )
 
