@@ -534,12 +534,15 @@ def q17_union_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_type").alias("cohort"), "cnt")
     )
     o = t(spark, sf_dir, "orders")
+    # cached: the intersect AND except branches each consume both
+    # cohorts — without the cache every branch rescans orders and
+    # repeats the distinct shuffle
     y98 = o.where(
         (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
-    ).select("o_custkey").distinct()
+    ).select("o_custkey").distinct().cache()
     y99 = o.where(
         (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
-    ).select("o_custkey").distinct()
+    ).select("o_custkey").distinct().cache()
     both = y98.intersect(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit("set_intersect").alias("facet"), F.lit("both").alias("cohort"), "cnt")
     only98 = y98.exceptAll(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
