@@ -1,0 +1,84 @@
+"""Connected components via alternating large-star / small-star —
+the O(log n)-round algorithm for scale, complementing dx13's
+min-label propagation.
+
+dx13's propagation needs one round per unit of cluster DIAMETER: fine
+for dedup graphs (near-dup clusters are dense and shallow), but a
+pathological chain of length 1000 needs 1000 joins. The alternating
+star operations (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) contract chains exponentially — O(log n) rounds
+on any graph:
+
+  * large-star: for every node u, connect every STRICTLY LARGER
+    neighbor v > u to u's current minimum neighbor m(u) (< u or = u);
+  * small-star: connect every neighbor v <= u (and u itself) to m(u).
+
+Both steps are a groupBy-min + re-emit of edges — two shuffles per
+round on the edge list, no vertex state table, and the edge list only
+shrinks (toward the star graph component_min -> node). Convergence:
+the edge multiset stops changing; the fixpoint IS the answer mapping.
+
+Every step keeps the invariant "connected things stay connected", and
+monotonically decreases the potential function sum(dist-to-root), so
+the fixpoint assigns every node its component's minimum id — the same
+labeling dx13's oracle computes, asserted in
+tests/test_components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Direct every edge high->low and drop self-loops/duplicates."""
+    u, v = F.col("src"), F.col("dst")
+    return (
+        edges.select(F.greatest(u, v).alias("src"), F.least(u, v).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star pass over a high->low edge list."""
+    # m(u): u's smallest neighbor (already <= every dst by direction)
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    # large-star: every neighbor v of u with v > u links to m(u).
+    # With edges directed high->low, "neighbors greater than u" are the
+    # reverse direction: for edge (s -> d), s is the larger endpoint,
+    # so from d's perspective s > d links to m(d) (or d itself if
+    # m(d) doesn't exist — d is a local minimum).
+    dmins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    rev = (
+        edges.join(dmins.withColumnRenamed("src", "dst"), "dst", "left")
+        .select(F.col("src").alias("src"),
+                F.coalesce(F.col("m"), F.col("dst")).alias("dst"))
+    )
+    # small-star: u links its own minimum to every v <= u it touches
+    # (keeps the original edges' low endpoints attached to m(u))
+    small = (
+        edges.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return _canonical(rev.unionByName(small))
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(node, component) for every node on an undirected edge list with
+    columns (src, dst); component = min node id in the component."""
+    cur = _canonical(edges).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = _star_round(cur).localCheckpoint(eager=True)
+        if nxt.exceptAll(cur).limit(1).count() == 0 \
+                and cur.exceptAll(nxt).limit(1).count() == 0:
+            cur = nxt
+            break
+        cur = nxt
+    # fixpoint edges form stars component_min -> member; emit both
+    # directions' nodes (roots map to themselves)
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = cur.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    return members.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component"))
