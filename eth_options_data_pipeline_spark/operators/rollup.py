@@ -168,6 +168,20 @@ def streaming_rollup(events_stream, state_dir: str, checkpoint_dir: str,
             merged = fresh
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"_partials_v{batch_id}"))
+        # bound state growth: keep the just-written version plus one
+        # replay base; older versions (and crashed markerless dirs
+        # below the new version) are dead
+        import shutil
+        keep = set(_committed(spark)[-2:]) | {batch_id}
+        for name in os.listdir(state_dir):
+            if name.startswith("_partials_v"):
+                try:
+                    v = int(name[len("_partials_v"):])
+                except ValueError:
+                    continue
+                if v not in keep and v < batch_id:
+                    shutil.rmtree(os.path.join(state_dir, name),
+                                  ignore_errors=True)
 
     return (
         events_stream.writeStream

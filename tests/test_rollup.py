@@ -146,3 +146,55 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
     q2.awaitTermination(60)
     again = read_streaming_partials(spark, str(tmp_path / "state"))
     assert _collect_stats(again) == _collect_stats(want)
+
+
+def test_streaming_rollup_prunes_old_versions(spark, tmp_path):
+    """Multi-batch stream keeps at most current + replay-base partials
+    versions on disk (state must not grow with stream length)."""
+    import os
+
+    from eth_options_data_pipeline_spark.operators.rollup import streaming_rollup
+
+    ev = _events(spark).cache()
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    for i in range(4):  # four files -> four micro-batches
+        ev.where(F.col("event_id") % 4 == i).write.mode("overwrite").parquet(
+            str(drops / f"d{i}"))
+    paths = [str(drops / f"d{i}") for i in range(4)]
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1).parquet(str(drops) + "/d*")
+    q = streaming_rollup(
+        stream, state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ts="ts", keys=KEYS, value="value", distinct_col="user_id")
+    q.awaitTermination(240)
+    versions = [n for n in os.listdir(str(tmp_path / "state"))
+                if n.startswith("_partials_v")]
+    assert len(versions) <= 3  # current + replay base (+ tolerance)
+    ev.unpersist()
+
+
+def test_streaming_rollup_empty_batch_is_noop(spark, tmp_path):
+    """Trap-9 streaming face: an empty drop folds cleanly (no crash,
+    stats unchanged)."""
+    from eth_options_data_pipeline_spark.operators.rollup import (
+        read_streaming_partials,
+        streaming_rollup,
+    )
+
+    ev = _events(spark)
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    ev.write.mode("overwrite").parquet(str(drops / "d0"))
+    ev.limit(0).write.mode("overwrite").parquet(str(drops / "d1"))
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1).parquet(str(drops) + "/d*")
+    q = streaming_rollup(
+        stream, state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ts="ts", keys=KEYS, value="value", distinct_col="user_id")
+    q.awaitTermination(180)
+    got = read_streaming_partials(spark, str(tmp_path / "state"))
+    want = rollup_partials(ev, "ts", KEYS, "value", "user_id", "hour")
+    assert _collect_stats(got) == _collect_stats(want)
