@@ -50,9 +50,8 @@ def _star_round(edges: DataFrame) -> DataFrame:
     # reverse direction: for edge (s -> d), s is the larger endpoint,
     # so from d's perspective s > d links to m(d) (or d itself if
     # m(d) doesn't exist — d is a local minimum).
-    dmins = edges.groupBy("src").agg(F.min("dst").alias("m"))
     rev = (
-        edges.join(dmins.withColumnRenamed("src", "dst"), "dst", "left")
+        edges.join(mins.withColumnRenamed("src", "dst"), "dst", "left")
         .select(F.col("src").alias("src"),
                 F.coalesce(F.col("m"), F.col("dst")).alias("dst"))
     )
