@@ -459,18 +459,37 @@ def q14_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-2 merge of the former q14_distinct_minmax + q24_percentiles
     (same group-by base). At 100 TB swap percentile() for
     approx_percentile with a documented error bound (same plan shape,
-    sketch-mergeable — qx28 is that face)."""
+    sketch-mergeable — qx28 is that face).
+
+    Scale shape: countDistinct beside plain aggregates plans an EXPAND
+    that doubles every row through the wide (percentile-carrying)
+    stage. Instead the distinct-day stats run as their own two-stage
+    aggregate — pre-group on (l_linestatus, day) collapses map-side to
+    ~|days| rows before any exchange — and the tiny per-group results
+    broadcast-join back onto the percentile aggregate (same lesson as
+    q41)."""
     li = t(spark, sf_dir, "lineitem")
     d = F.col("l_shipdate").cast("date")
-    return li.groupBy("l_linestatus").agg(
-        F.countDistinct(d).alias("n_ship_days"),
-        F.date_format(F.min(d), "yyyy-MM-dd").alias("min_day"),
-        F.date_format(F.max(d), "yyyy-MM-dd").alias("max_day"),
+    day_stats = (
+        li.select("l_linestatus", d.alias("_d"))
+        .distinct()
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_ship_days"),
+            F.date_format(F.min("_d"), "yyyy-MM-dd").alias("min_day"),
+            F.date_format(F.max("_d"), "yyyy-MM-dd").alias("max_day"),
+        )
+    )
+    main = li.groupBy("l_linestatus").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+    return main.join(F.broadcast(day_stats), "l_linestatus").select(
+        "l_linestatus", "n_ship_days", "min_day", "max_day",
+        "min_price", "max_price", "median_qty", "p90_price", "avg_qty",
     )
 
 
