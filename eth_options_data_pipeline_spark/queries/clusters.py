@@ -2,11 +2,13 @@
 near-dup pair graph — the step that turns pairwise LSH hits into
 dedup groups with one canonical survivor per cluster.
 
-Spark side: min-label propagation iterated to fixpoint (driver-bounded
-loop, lineage truncated per iteration via localCheckpoint — the
-standard iterative-algorithm pattern; at 100 TB each iteration is one
-join + aggregate on the edge list, and the iteration count is the
-cluster diameter, tiny for dedup graphs).
+Spark side: alternating large-star/small-star contraction
+(``operators.components.connected_components`` — Kiveris et al.,
+SoCC'14): O(log n) rounds on ANY graph shape, two edge-list shuffles
+per round, lineage truncated per round via localCheckpoint. Round 1
+used min-label propagation here (rounds = cluster diameter — fine for
+dense dedup graphs, pathological on chains); the star algorithm is
+strictly the better 100 TB shape and this query is its oracle face.
 
 Oracle side: DuckDB recursive CTE computing the transitive closure and
 taking the minimum reachable id — an independent algorithm arriving at
@@ -20,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators import text as tx
+from eth_options_data_pipeline_spark.operators.components import connected_components
 from eth_options_data_pipeline_spark.queries.fuzzy import _MH_COLS_SQL, _SH
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
@@ -88,43 +91,19 @@ def dx13_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # same verify-join shape as dx10: broadcast the 2-longs/row candidate
+    # list (first join moves no shingle arrays), hash-join the second
+    # without sorting arrays; swap broadcast for shuffle_hash beyond
+    # ~10M candidates
     edges = (
-        cand.join(sha, "doc_a").join(shb, "doc_b")
+        F.broadcast(cand).join(sha, "doc_a").join(shb.hint("shuffle_hash"), "doc_b")
         .where(tx.jaccard(F.col("sh_a"), F.col("sh_b")) >= _JACCARD_MIN)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    bi = edges.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionByName(
-        edges.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
-    ).localCheckpoint(eager=True)
-
-    labels = bi.select(F.col("s").alias("doc_id")).distinct().withColumn(
-        "component", F.col("doc_id")
-    ).localCheckpoint(eager=True)
-
-    # min-label propagation to fixpoint (iterations <= cluster diameter)
-    for _ in range(20):
-        neighbor_min = (
-            bi.join(labels, bi.s == labels.doc_id)
-            .groupBy(F.col("d").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select(F.col("node").alias("doc_id"), "component")
 
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "component").select("doc_id", "component", "cluster_size")
