@@ -1,0 +1,86 @@
+"""SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
+al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication"). Extends the exact (dedup.py) and syntactic
+(fuzzy MinHash/SimHash) dedup family with embedding-space semantics:
+paraphrases and re-renderings that share no n-grams still collide.
+
+Algorithm, re-expressed Spark-first:
+
+1. k-means over the embedding column (operators/clustering.py) —
+   k ~ n / target_cluster_size, so the quadratic step below stays
+   bounded per cluster (the paper runs 50k clusters for 100M docs).
+2. Per doc: cosine similarity to its own cluster centroid (no
+   shuffle — centroids are literals).
+3. Within each cluster, pairs with cosine >= threshold are semantic
+   duplicates. A doc is PRUNED iff some same-cluster neighbor within
+   the threshold has a strictly smaller (centroid_sim, id) key — i.e.
+   per connected duplicate-group the survivor is the doc FARTHEST
+   from the centroid, the paper's keep-low-centroid-similarity rule
+   (keeps outliers, maximizes retained diversity), with id as the
+   deterministic tiebreak.
+
+Scale shape: the only quadratic work is the within-cluster self-join,
+shuffled on the cluster id; k controls the blowup exactly like
+LSH_BUCKET_CAP bounds band buckets in the MinHash path. Assignment
+and centroid-sim are shuffle-free; the prune decision is one
+groupBy(id) max over pair rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators import clustering
+from eth_options_data_pipeline_spark.operators.vectors import cosine
+
+
+def semdedup(emb: DataFrame, k: int, threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_iters: int = 5, method: str = "expr") -> DataFrame:
+    """Returns (id, cluster, centroid_sim, keep) for every input row.
+
+    ``keep`` is false iff the row loses to a same-cluster neighbor
+    with cosine >= threshold and a smaller (centroid_sim, id) key.
+    """
+    vecs = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias(vec_col))
+    assigned, cents = clustering.kmeans(
+        vecs, k, id_col, vec_col, max_iters=max_iters, method=method)
+
+    # cosine to own centroid, decided per-row against the literal
+    # centroid bank (k branches, JVM-side)
+    sim_expr = None
+    for i, c in enumerate(cents):
+        cl = F.array(*[F.lit(float(v)) for v in c])
+        branch = cosine(F.col(vec_col), cl)
+        sim_expr = (F.when(F.col("cluster") == i, branch) if sim_expr is None
+                    else sim_expr.when(F.col("cluster") == i, branch))
+    docs = (
+        vecs.join(assigned, id_col)
+        .select(id_col, vec_col, "cluster",
+                sim_expr.alias("centroid_sim"))
+        .cache()   # reused by both sides of the pair join + the output
+    )
+
+    a = docs.select(F.col(id_col).alias("_a"), F.col("cluster"),
+                    F.col(vec_col).alias("_va"),
+                    F.col("centroid_sim").alias("_sa"))
+    b = docs.select(F.col(id_col).alias("_b"), F.col("cluster"),
+                    F.col(vec_col).alias("_vb"),
+                    F.col("centroid_sim").alias("_sb"))
+    # loser of a duplicate pair = the larger (centroid_sim, id) key;
+    # emit one row per losing doc, distinct before the anti-join
+    losers = (
+        a.join(b, "cluster")
+        .where(F.struct(F.col("_sa"), F.col("_a"))
+               < F.struct(F.col("_sb"), F.col("_b")))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        docs.join(losers.withColumn("_lost", F.lit(True)), id_col, "left")
+        .select(id_col, "cluster", "centroid_sim",
+                F.col("_lost").isNull().alias("keep"))
+    )
