@@ -1,0 +1,60 @@
+"""Leakage-safe splits: clusters never straddle splits, singleton
+docs split independently, determinism, and sane proportions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators.splits import leakage_safe_split
+
+FRACS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def fixtures(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long")
+    # chains 0-1-2, 10-11, 20-21-22-23; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long")
+    return docs, pairs
+
+
+def test_clusters_never_straddle(spark):
+    docs, pairs = fixtures(spark)
+    out = leakage_safe_split(docs, pairs, FRACS)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 500
+    for cluster in [[0, 1, 2], [10, 11], [20, 21, 22, 23]]:
+        assert len({rows[d] for d in cluster}) == 1
+
+
+def test_deterministic_and_seed_sensitive(spark):
+    docs, pairs = fixtures(spark)
+    a = {r["doc_id"]: r["split"] for r in
+         leakage_safe_split(docs, pairs, FRACS, seed="s1").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         leakage_safe_split(docs, pairs, FRACS, seed="s1").collect()}
+    c = {r["doc_id"]: r["split"] for r in
+         leakage_safe_split(docs, pairs, FRACS, seed="s2").collect()}
+    assert a == b
+    assert a != c
+
+
+def test_proportions_roughly_hold(spark):
+    docs, pairs = fixtures(spark)
+    got = {row["split"]: row["n"] for row in
+           leakage_safe_split(docs, pairs, FRACS)
+           .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == set(FRACS)
+    assert 330 <= got["train"] <= 470          # 0.8 of 500 +- slack
+    assert got["valid"] + got["test"] == 500 - got["train"]
+
+
+def test_bad_fractions_rejected(spark):
+    docs, pairs = fixtures(spark)
+    try:
+        leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.4})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
