@@ -1,0 +1,69 @@
+"""PageRank over a link graph — the importance prior web-corpus
+curation pipelines use to pick which pages to keep (Common Crawl
+publishes harmonic/PageRank-style host ranks exactly for this; the
+OpenWebText recipe filters by link popularity). Complements the
+content-quality scores (repetition, quality heuristics) with a
+graph-structural one.
+
+Spark-first shape: ranks and out-degrees are (node, value) tables;
+one iteration = join ranks to the edge list on src (shuffle on node
+id), emit contributions dst <- rank/out_deg, groupBy dst (second
+shuffle, map-side combinable), apply damping. Dangling nodes (no
+out-links) redistribute their mass uniformly — computed as one tiny
+aggregate per round, folded into the damping constant, which keeps
+the total mass at exactly 1 so ranks stay comparable across graphs.
+
+Iterative hygiene, as in components.py: localCheckpoint per round
+truncates the growing lineage; the edge list and degree table are
+computed once and cached. Fixed iteration count (no convergence job)
+— PageRank's use here is a ranking prior, and the ordering stabilizes
+long before the values do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
+             ) -> DataFrame:
+    """(node, rank) for every node in the (src, dst) edge list.
+
+    Ranks sum to 1.0 (dangling mass redistributed uniformly).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct().cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        linked = ranks.join(deg, ranks["node"] == deg["src"], "left")
+        # mass sitting on dangling nodes this round
+        dangling = (
+            linked.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
+        )
+        contribs = (
+            linked.where(F.col("out_deg").isNotNull())
+            .select("src", (F.col("rank") / F.col("out_deg")).alias("w"))
+            .join(edges, "src")
+            .groupBy("dst").agg(F.sum("w").alias("in_mass"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)))
+                .alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks
