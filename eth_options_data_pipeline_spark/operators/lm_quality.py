@@ -1,0 +1,149 @@
+"""Language-model quality scoring: train a bigram LM on the corpus,
+score each document by perplexity under it.
+
+CCNet (Wenzek et al. 2020) ranks web documents by the perplexity a
+reference LM assigns them and keeps the fluent head; the reference
+repo has no LM path, so this is a beyond-§2 training-data operator.
+The smoothing scheme is Stupid Backoff (Brants et al. 2007, "Large
+Language Models in Machine Translation"), chosen BECAUSE it was
+designed for MapReduce-scale distributed counting: the score
+
+    S(w2 | w1) = count(w1 w2) / count(w1)          if count(w1 w2) > 0
+               = alpha * count(w2) / N             otherwise
+
+needs only count tables — no held-out normalization pass, no
+iterative EM — so "training" is two groupBy-counts and scoring is
+joins against them.
+
+Scale shape (the part that must survive 100 TB):
+
+* Training shuffles (token, 1) pairs with map-side partial counts —
+  the classic word-count shape; output is the model, a pair of count
+  tables partitioned by token/bigram hash.
+* Scoring pre-aggregates each document's bigrams to (doc, bigram, n)
+  BEFORE the model join, so join cardinality is distinct-bigrams-
+  per-doc, and joins the bigram table on its natural key — a plain
+  hash join both sides; the model is NEVER broadcast or collected
+  (a web-scale bigram table is far bigger than executor memory).
+  Misses backfill through a second join on the unigram table.
+* Per-doc perplexity is then one ungrouped re-aggregation keyed by
+  doc id. Three shuffles total, each on a high-cardinality key.
+
+Out-of-vocabulary w2 (unseen even as a unigram) gets a fixed floor
+probability ``oov_floor`` so perplexity stays finite — the standard
+open-vocabulary convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALPHA = 0.4          # Brants et al.'s backoff discount
+OOV_FLOOR = 1e-7     # probability assigned to unseen unigrams
+BOS = "\x02"         # sentence-start token so the first word is scored
+
+
+def _words(text) -> "F.Column":
+    # same tokenization as operators.text: lowercase, whitespace split
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, n) — per-document bigram multiplicities.
+
+    BOS is prepended so a k-word document yields exactly k bigrams and
+    every word is scored once, matching perplexity over k events.
+    """
+    ws = F.concat(F.array(F.lit(BOS)), _words(F.col(text_col)))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                           F.element_at(ws, i + 1).alias("w2")))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text"
+                    ) -> tuple[DataFrame, DataFrame, int]:
+    """Count tables for Stupid Backoff: (bigrams, unigrams, total).
+
+    ``bigrams`` is (w1, w2, c_bg, c_w1) with the conditional's
+    denominator already joined in; ``unigrams`` is (w2, c_uni);
+    ``total`` is the corpus token count N (the only driver-side
+    scalar — one long, not a table).
+    """
+    ws = F.concat(F.array(F.lit(BOS)), _words(F.col(text_col)))
+    tokens = docs.select(F.explode(ws).alias("w"))
+    unigrams = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c_uni"))
+
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                           F.element_at(ws, i + 1).alias("w2")))
+    bigrams = (
+        docs.select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    # denominator for the conditional: count(w1) including BOS slots
+    w1_counts = (
+        bigrams.groupBy("w1").agg(F.sum("c_bg").alias("c_w1")))
+    bigrams = bigrams.join(w1_counts, "w1")
+
+    total = tokens.where(F.col("w") != BOS).count()
+    return bigrams, unigrams.withColumnRenamed("w", "w2"), int(total)
+
+
+def score_perplexity(docs: DataFrame, bigrams: DataFrame,
+                     unigrams: DataFrame, total: int,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     alpha: float = ALPHA,
+                     oov_floor: float = OOV_FLOOR) -> DataFrame:
+    """(id_col, n_tokens, log_ppl) — average negative log2 probability
+    per token under Stupid Backoff; lower = more fluent. Documents
+    with no tokens are dropped (nothing to score).
+    """
+    db = _doc_bigrams(docs, id_col, text_col)
+    scored = (
+        db
+        .join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, ["w2"], "left")
+        .withColumn(
+            "p",
+            F.when(F.col("c_bg").isNotNull(),
+                   F.col("c_bg") / F.col("c_w1"))
+            .when(F.col("c_uni").isNotNull(),
+                  F.lit(alpha) * F.col("c_uni") / F.lit(float(total)))
+            .otherwise(F.lit(oov_floor)))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.sum("n").alias("n_tokens"),
+             (-F.sum(F.col("n") * F.log2("p")) / F.sum("n")).alias("log_ppl"))
+        .select(F.col("id").alias(id_col), "n_tokens", "log_ppl")
+    )
+
+
+def perplexity_gate(docs: DataFrame, bigrams: DataFrame,
+                    unigrams: DataFrame, total: int,
+                    keep_fraction: float = 0.5,
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> DataFrame:
+    """CCNet-style head selection: keep the ``keep_fraction`` of
+    documents with the LOWEST perplexity. The cut point is one
+    approx_percentile over the score table (tiny vs the corpus);
+    the corpus itself is filtered by a semi-join on kept ids so
+    document bodies never ride through the scoring shuffles.
+    """
+    scores = score_perplexity(docs, bigrams, unigrams, total,
+                              id_col=id_col, text_col=text_col)
+    cut = scores.agg(F.percentile_approx(
+        "log_ppl", F.lit(keep_fraction), F.lit(10000)).alias("cut"))
+    kept = (scores.crossJoin(F.broadcast(cut))
+            .where(F.col("log_ppl") <= F.col("cut"))
+            .select(id_col))
+    return docs.join(kept, id_col, "left_semi")
