@@ -1,0 +1,73 @@
+"""Distributed heavy hitters: exact counts for the frequent items
+without shuffling the full frequency table.
+
+The naive top-k (groupBy(col).count().orderBy(...).limit(k)) shuffles
+one row per DISTINCT item — at corpus scale the token vocabulary is
+billions of rows of shuffle for a k of a few hundred. The two-pass
+summary shape used here (the mergeable-summaries insight of Agarwal
+et al. 2012 / Misra-Gries 1982) keeps the shuffle proportional to
+``capacity * partitions`` instead:
+
+1. **Summarize**: each partition emits its top ``capacity`` items by
+   exact in-partition count (a per-partition value_counts — an Arrow
+   batch pass, no shuffle). At most ``capacity`` items in a partition
+   can exceed n_p/(capacity+1) occurrences, so the per-partition
+   top-``capacity`` contains every item with in-partition frequency
+   above that bar; by averaging, any item with GLOBAL frequency
+   > n/(capacity+1) beats the bar in at least one partition and
+   therefore survives into the candidate set.
+2. **Recount**: the candidate union (tiny: <= capacity * partitions)
+   is broadcast back as a semi-join filter and only candidate rows
+   are counted exactly. Counts in the result are therefore EXACT,
+   and the result provably contains every item with true frequency
+   > n/(capacity+1) — the returned ``threshold``.
+
+False positives from pass 1 are harmless (they get exact counts and
+lose the final top-k); false negatives are impossible above the
+threshold. Raise ``capacity`` to lower the guarantee bar.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_candidates(df: DataFrame, col: str,
+                         capacity: int) -> DataFrame:
+    """Per-partition top-``capacity`` items by exact local count."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+        if counts:
+            top = sorted(counts.items(), key=lambda kv: -kv[1])[:capacity]
+            yield pd.DataFrame({col: [v for v, _ in top]})
+
+    return df.select(col).mapInPandas(
+        summarize, schema=df.select(col).schema)
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 20,
+                  capacity: int = 1000) -> tuple[DataFrame, "F.Column"]:
+    """(top-k DataFrame ``(col, cnt)``, guarantee threshold column).
+
+    Counts are exact; any item with true count > total/(capacity+1)
+    is guaranteed present before the final limit. The threshold is
+    returned as a 1-row aggregate expression the caller can evaluate
+    (``df.agg(thr)``) without an extra action here.
+    """
+    cands = partition_candidates(df, col, capacity).distinct()
+    counted = (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(col))
+        .limit(k)
+    )
+    threshold = (F.count(F.lit(1)) / (capacity + 1)).alias("threshold")
+    return counted, threshold
