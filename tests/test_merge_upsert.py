@@ -1,0 +1,97 @@
+"""MERGE semantics (update matched, insert new), partition isolation
+(untouched partitions' files are not rewritten), idempotent rerun,
+NULL-key guard, and partition pruning on the target read."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators.merge_upsert import merge_upsert
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    rows = [(s, d, float(v)) for d in ("2025-01-01", "2025-01-02", "2025-01-03")
+            for s, v in (("A", 1), ("B", 2), ("C", 3))]
+    spark.createDataFrame(rows, ["sym", "dt", "val"]) \
+        .write.partitionBy("dt").parquet(path)
+    return path
+
+
+def _snapshot(spark, path):
+    # partition inference reads dt back as date; normalize to str
+    return {(r.sym, str(r.dt)): r.val
+            for r in spark.read.parquet(path).collect()}
+
+
+def _files(path, part):
+    return {f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(path, f"dt={part}", "*.parquet"))}
+
+
+def test_merge_updates_inserts_and_leaves_other_partitions(spark, table):
+    before_p3 = _files(table, "2025-01-03")
+    updates = spark.createDataFrame(
+        [("A", "2025-01-01", 10.0),      # update existing key
+         ("D", "2025-01-01", 40.0),      # insert new key, existing partition
+         ("E", "2025-01-04", 50.0)],     # insert into brand-new partition
+        ["sym", "dt", "val"])
+    n = merge_upsert(spark, table, updates, keys=("sym", "dt"),
+                     partition_col="dt")
+    assert n == 2
+    got = _snapshot(spark, table)
+    assert got == {
+        ("A", "2025-01-01"): 10.0, ("B", "2025-01-01"): 2.0,
+        ("C", "2025-01-01"): 3.0, ("D", "2025-01-01"): 40.0,
+        ("A", "2025-01-02"): 1.0, ("B", "2025-01-02"): 2.0,
+        ("C", "2025-01-02"): 3.0,
+        ("A", "2025-01-03"): 1.0, ("B", "2025-01-03"): 2.0,
+        ("C", "2025-01-03"): 3.0,
+        ("E", "2025-01-04"): 50.0,
+    }
+    # the untouched partition kept the exact same files
+    assert _files(table, "2025-01-03") == before_p3
+
+
+def test_rerun_is_idempotent(spark, table):
+    updates = spark.createDataFrame(
+        [("A", "2025-01-01", 10.0), ("D", "2025-01-02", 40.0)],
+        ["sym", "dt", "val"])
+    merge_upsert(spark, table, updates, keys=("sym", "dt"),
+                 partition_col="dt")
+    first = _snapshot(spark, table)
+    merge_upsert(spark, table, updates, keys=("sym", "dt"),
+                 partition_col="dt")
+    assert _snapshot(spark, table) == first
+
+
+def test_null_key_rejected(spark, table):
+    updates = spark.createDataFrame(
+        [(None, "2025-01-01", 9.0)], "sym string, dt string, val double")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert(spark, table, updates, keys=("sym",),
+                     partition_col="dt")
+    assert ("A", "2025-01-01") in _snapshot(spark, table)
+
+
+def test_empty_updates_touch_nothing(spark, table):
+    updates = spark.createDataFrame([], "sym string, dt string, val double")
+    before = _snapshot(spark, table)
+    assert merge_upsert(spark, table, updates, keys=("sym", "dt"),
+                        partition_col="dt") == 0
+    assert _snapshot(spark, table) == before
+
+
+def test_target_read_prunes_partitions(spark, table):
+    # the same read+filter shape merge_upsert builds must hit partition
+    # pruning, not a full scan
+    plan = (spark.read.parquet(table)
+            .where(F.col("dt").isin(["2025-01-01"]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters")[1][:200]
