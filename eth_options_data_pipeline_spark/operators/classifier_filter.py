@@ -1,0 +1,79 @@
+"""Model-based corpus filtering: train a lightweight text classifier
+on labeled seed documents, score the whole corpus, keep what clears
+a probability threshold.
+
+This is the fastText-classifier filtering step of public LLM-data
+pipelines (CCNet's LM filter, the quality classifiers described for
+GPT-3/LLaMA-style data work): a cheap linear model over bag-of-hashed-
+token features separates "looks like the target distribution" from
+the rest. Everything here is stock pyspark.ml so the model trains,
+broadcasts, and scores inside the JVM:
+
+    Tokenizer -> HashingTF (2^hash_bits buckets) -> IDF -> LogisticRegression
+
+Scale shape:
+
+* Training runs on the labeled SEED set — small by construction
+  (human- or heuristic-labeled), so iterative L-BFGS over it is not a
+  corpus-scale cost.
+* Scoring is a Pipeline transform: the fitted model (a weight vector
+  of 2^hash_bits doubles + IDF vector) ships to executors once via
+  broadcast; per-row work is tokenize + hash + sparse dot — no
+  shuffle at all, verified by plan assertion in the test.
+* The keep-threshold filter composes with Catalyst (it's a plain
+  Column predicate on the probability), so downstream projection and
+  pushdown still apply.
+
+The probability column is extracted with vector_to_array — the
+ml.linalg VectorUDT never reaches the caller's schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF, IDF, Tokenizer
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_quality_classifier(labeled: DataFrame, text_col: str = "text",
+                             label_col: str = "label",
+                             hash_bits: int = 18,
+                             reg_param: float = 1e-3) -> PipelineModel:
+    """Fit the tokenize→hash→idf→logreg pipeline on seed docs with a
+    binary ``label_col`` (1.0 = target distribution)."""
+    stages = [
+        Tokenizer(inputCol=text_col, outputCol="_words"),
+        HashingTF(inputCol="_words", outputCol="_tf",
+                  numFeatures=2 ** hash_bits),
+        IDF(inputCol="_tf", outputCol="_features"),
+        LogisticRegression(featuresCol="_features", labelCol=label_col,
+                           regParam=reg_param, maxIter=100),
+    ]
+    return Pipeline(stages=stages).fit(
+        labeled.withColumn(label_col, F.col(label_col).cast("double")))
+
+
+def score_documents(docs: DataFrame, model: PipelineModel,
+                    text_col: str = "text",
+                    score_col: str = "quality_prob") -> DataFrame:
+    """Adds ``score_col`` = P(label=1 | text); drops the pipeline's
+    intermediate vector columns."""
+    scored = model.transform(docs)
+    return (
+        scored.withColumn(score_col,
+                          vector_to_array(F.col("probability"))[1])
+        .drop("_words", "_tf", "_features", "rawPrediction",
+              "probability", "prediction")
+    )
+
+
+def classifier_gate(docs: DataFrame, model: PipelineModel,
+                    threshold: float = 0.5, text_col: str = "text"
+                    ) -> DataFrame:
+    """Rows whose classifier probability clears ``threshold``, with
+    the score column retained for audit."""
+    return score_documents(docs, model, text_col).where(
+        F.col("quality_prob") >= F.lit(threshold))
