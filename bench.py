@@ -89,20 +89,26 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
+    # headline fields (value/total/n_queries/sf) FIRST so a truncated
+    # tail still yields them even if the queries dict is cut mid-way
     line = json.dumps({
         "metric": "corpus_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "total": total,
+        "n_queries": len(timings),
         "sf": sf_from_dir(sf_dir),
+        "queries": timings,
     }, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never exceed the capture
         line = json.dumps({
             "metric": "corpus_total_runtime",
             "value": total,
             "unit": "sec",
-            "queries": {"detail": "BENCH_DETAIL.json"},
+            "total": total,
+            "n_queries": len(timings),
             "sf": sf_from_dir(sf_dir),
+            "queries": {"detail": "BENCH_DETAIL.json"},
         }, separators=(",", ":"))
     print(line)
 

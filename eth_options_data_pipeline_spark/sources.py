@@ -56,10 +56,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        if dict(raw.dtypes).get("ts") == "bigint":
-            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return spread_small_input(raw, path)
+        return spread_small_input(normalize_event_time(raw), path)
     return spread_small_input(spark.read.parquet(path), path)
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Pin the event-time column to plain ``TIMESTAMP`` (with local tz).
+
+    The driver's ``events.parquet`` has arrived in three flavors across
+    rounds: TIMESTAMP(NANOS) (readable only as raw nanos via the legacy
+    conf), TIMESTAMP_NTZ, and plain TIMESTAMP(MICROS). Every downstream
+    operator (``unix_micros`` session gaps, bigint casts, watermarks)
+    requires ``TimestampType``, so the source boundary owns the
+    normalization — queries never see a raw un-normalized ``ts``.
+    Under the session's fixed UTC timezone (session.py) the NTZ->TZ cast
+    is the identity on the stored micros, so DuckDB (which reads the
+    same values as naive) hashes agree.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong: truncate ns->us like DuckDB
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
