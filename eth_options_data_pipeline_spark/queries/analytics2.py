@@ -146,18 +146,49 @@ def vx03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("qx28_approx_sketches", sql=None)  # sketch outputs are engine-specific
+@query(
+    "qx28_approx_sketches",
+    sql="""
+    SELECT l_linestatus,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS hll_ok, true AS p50_ok, true AS p99_ok
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
 def qx28_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for the 100 TB path: HLL distinct counts and
-    t-digest-style approximate percentiles — mergeable partial states,
-    one pass, bounded memory. No SQL oracle (sketch results are
-    engine-specific); the driver records a rows-only check, and the
-    exact counterparts (q14, q24) pin correctness."""
+    approximate percentiles — mergeable partial states, one pass,
+    bounded memory.
+
+    Hash-checked face (r3-verdict item #5): the raw sketch estimates
+    are engine-specific (Spark HLL++ registers / QuantileSummaries
+    aren't reproducible in DuckDB), so instead of emitting them the
+    query emits their GUARANTEES as booleans — HLL within 3*rsd
+    relative error, percentile_approx inside the exact-percentile
+    band at rank q +/- 3/accuracy — plus the exact distinct count.
+    The oracle asserts the booleans are true and value-checks the
+    exact count. The exact faces (countDistinct / percentile) exist
+    only to verify the sketches; at 100 TB only the sketch columns
+    run. Register-level HLL algebra is oracle-checked exactly in
+    test_sketch_algebra.py."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99_price"),
+    agg = li.groupBy("l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_hll"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_p50"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("_p99"),
+        F.expr("percentile(l_extendedprice, 0.497)").alias("_p50_lo"),
+        F.expr("percentile(l_extendedprice, 0.503)").alias("_p50_hi"),
+        F.expr("percentile(l_extendedprice, 0.987)").alias("_p99_lo"),
+        F.expr("percentile(l_extendedprice, 0.993)").alias("_p99_hi"),
+    )
+    return agg.select(
+        "l_linestatus",
+        "exact_parts",
+        (F.abs(F.col("_hll") - F.col("exact_parts"))
+         / F.col("exact_parts") <= 0.06).alias("hll_ok"),
+        F.col("_p50").between(F.col("_p50_lo"), F.col("_p50_hi")).alias("p50_ok"),
+        F.col("_p99").between(F.col("_p99_lo"), F.col("_p99_hi")).alias("p99_ok"),
     )
 
 

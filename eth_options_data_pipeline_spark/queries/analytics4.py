@@ -43,7 +43,64 @@ def q32_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vx04_ivf_ann", sql=None)  # float-boundary cluster assignment -> rows-only
+# l2 distance between two DOUBLE[] exprs, replicating Spark's
+# zip_with-diff -> sequential-fold shape (list_dot_product is the same
+# left-to-right sum on the same doubles)
+def _l2_sql(a: str, b: str) -> str:
+    d = f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+    return f"sqrt(list_dot_product({d}, {d}))"
+
+
+_VX04_SQL = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (SELECT vec_id AS cluster_id, e AS c FROM emb WHERE vec_id < 16),
+    a1 AS (
+      SELECT vec_id, e, cluster_id FROM (
+        SELECT v.vec_id, v.e, s.cluster_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_l2_sql('v.e', 's.c')}, s.cluster_id) AS _rk
+        FROM emb v CROSS JOIN seeds s)
+      WHERE _rk = 1
+    ),
+    refined AS (
+      SELECT cluster_id, list(m ORDER BY pos) AS c
+      FROM (
+        SELECT cluster_id, pos, round(avg(v), 9) AS m
+        FROM (SELECT cluster_id, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM a1)
+        GROUP BY cluster_id, pos)
+      GROUP BY cluster_id
+    ),
+    a2 AS (
+      SELECT vec_id, e, cluster_id FROM (
+        SELECT v.vec_id, v.e, s.cluster_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_l2_sql('v.e', 's.c')}, s.cluster_id) AS _rk
+        FROM emb v CROSS JOIN refined s)
+      WHERE _rk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 3),
+    qcells AS (
+      SELECT q_id, qe, cluster_id FROM (
+        SELECT q.q_id, q.qe, s.cluster_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_l2_sql('q.qe', 's.c')}, s.cluster_id) AS _rk
+        FROM q CROSS JOIN refined s)
+      WHERE _rk <= 2
+    ),
+    cand AS (
+      SELECT qc.q_id, a2.vec_id AS cand_id,
+             {vx.cosine_sql('a2.e', 'qc.qe')} AS cos_raw
+      FROM qcells qc JOIN a2 ON a2.cluster_id = qc.cluster_id AND a2.vec_id <> qc.q_id
+    )
+    SELECT q_id, cand_id, round(cos_raw, 6) AS cos_sim, rk FROM (
+      SELECT q_id, cand_id, cos_raw,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, cand_id) AS rk
+      FROM cand)
+    WHERE rk <= 3
+"""
+
+
+@query("vx04_ivf_ann", sql=_VX04_SQL)
 def vx04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantization (nearest of 16 seed
     centroids, one Lloyd refinement) -> probe the query's 2 nearest
@@ -52,9 +109,11 @@ def vx04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is DataFrame ops: the centroid refinement is
     posexplode -> (cluster, dim) mean -> re-assemble, i.e. the
     iterative-algorithm pattern at 100 TB (k centroids broadcast; the
-    corpus never self-joins). Rows-only check: cluster assignment
-    sits on float sums whose accumulation order an external oracle
-    can't reproduce bit-for-bit.
+    corpus never self-joins). Hash-checked oracle (r3-verdict item #4):
+    every float op except the Lloyd mean is a sequential fold that
+    DuckDB reproduces bit-for-bit; the mean is rounded to 9 decimals on
+    BOTH sides, absorbing partial-aggregation accumulation-order noise
+    (~1e-16) so cluster assignment and rerank order agree exactly.
     """
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -89,7 +148,7 @@ def vx04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Lloyd step: element-wise mean per cluster
     refined = (
         assigned.select("cluster_id", F.posexplode("e").alias("pos", "v"))
-        .groupBy("cluster_id", "pos").agg(F.avg("v").alias("m"))
+        .groupBy("cluster_id", "pos").agg(F.round(F.avg("v"), 9).alias("m"))
         .groupBy("cluster_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cluster_id", F.transform("pm", lambda s: s.m).alias("c"))
