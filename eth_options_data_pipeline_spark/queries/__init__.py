@@ -23,6 +23,7 @@ from eth_options_data_pipeline_spark.queries import analytics6  # noqa: F401,E40
 from eth_options_data_pipeline_spark.queries import clusters  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics7  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics8  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics9  # noqa: F401,E402
 
 
 def queries():
