@@ -25,6 +25,7 @@ from eth_options_data_pipeline_spark.queries import analytics7  # noqa: F401,E40
 from eth_options_data_pipeline_spark.queries import analytics8  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics9  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics10  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics11  # noqa: F401,E402
 
 
 def queries():

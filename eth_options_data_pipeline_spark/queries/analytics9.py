@@ -323,8 +323,10 @@ def dx24_export_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANT_SQL = """
     WITH q AS (
       SELECT vec_id,
-             list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale,
-             embedding AS e
+             -- DOUBLE from the start: round(FLOAT, 9) is a no-op in
+             -- DuckDB and would leave float->double widening artifacts
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+             embedding::DOUBLE[] AS e
       FROM embeddings
     )
     SELECT vec_id, round(scale, 9) AS emb_scale,

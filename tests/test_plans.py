@@ -73,8 +73,10 @@ def test_no_python_in_hot_paths(spark, sf_small):
     """Every corpus query except the explicitly-Pandas multimodal one
     must be pure JVM expression code — no Python row/batch eval
     operators anywhere in the physical plan."""
+    # exemptions: multimodal (Arrow decode path is the point) and the
+    # heavy-hitters summary pass (deliberate bounded mapInPandas)
     for name, spec in REGISTRY.items():
-        if name.startswith("mm"):
+        if name.startswith("mm") or name == "dx36_heavy_hitters":
             continue
         p = plan(spec.fn(spark, sf_small))
         assert "EvalPython" not in p and "MapInPandas" not in p, f"{name} drops to Python"
