@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query (omitted for the
-    probabilistic/non-SQL ops — driver records rows-only checks)."""
+    """DuckDB-equivalent ANSI SQL per query. As of round 4 every
+    registered query has one (probabilistic ops are expressed via
+    guarantee-bound booleans or deterministic md5 seeding)."""
     return corpus.oracle_sql()

@@ -43,12 +43,19 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for i in range(iters):
+        # each round's ranks feed TWO consumers (the dangling aggregate
+        # and the contribution join); cache so the lineage evaluates
+        # once per round instead of forking exponentially
+        ranks = ranks.cache()
         linked = ranks.join(deg, ranks["node"] == deg["src"], "left")
-        # mass sitting on dangling nodes this round
+        # mass sitting on dangling nodes this round — kept as a 1-row
+        # lazy aggregate riding the plan via broadcast cross join, so
+        # an iteration costs ZERO driver actions (a .first() here
+        # would force the whole lineage once per round)
         dangling = (
             linked.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contribs = (
             linked.where(F.col("out_deg").isNotNull())
@@ -56,14 +63,21 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
             .join(edges, "src")
             .groupBy("dst").agg(F.sum("w").alias("in_mass"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # same float op order as the scalar form:
+        # (1-d)/n + (d * dang) / n + d * in_mass
+        base = (F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.col("_dang") / F.lit(float(n)))
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base)
+                (base
                  + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)))
                 .alias("rank"))
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage periodically: plan depth grows per round and
+        # optimizer time goes superlinear past a handful of self-joins
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -164,31 +164,52 @@ def qx28_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-specific (Spark HLL++ registers / QuantileSummaries
     aren't reproducible in DuckDB), so instead of emitting them the
     query emits their GUARANTEES as booleans — HLL within 3*rsd
-    relative error, percentile_approx inside the exact-percentile
-    band at rank q +/- 3/accuracy — plus the exact distinct count.
-    The oracle asserts the booleans are true and value-checks the
-    exact count. The exact faces (countDistinct / percentile) exist
-    only to verify the sketches; at 100 TB only the sketch columns
-    run. Register-level HLL algebra is oracle-checked exactly in
-    test_sketch_algebra.py."""
+    relative error; percentile_approx's rank interval
+    [#(x < v), #(x <= v)] overlapping [q-eps, q+eps]*n — plus the
+    exact distinct count. The oracle asserts the booleans true and
+    value-checks the exact count. Every verification aggregate is
+    partial-aggregatable (two-stage distinct, conditional rank
+    counts) — no EXPAND, no sort-based exact percentile — so the
+    face itself survives 100 TB. Register-level HLL algebra is
+    oracle-checked exactly in test_sketch_algebra.py."""
     li = t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_linestatus").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # sketch pass: one partial-aggregatable groupBy (no EXPAND, no
+    # sort-based exact percentile — those made this face 13s at sf0.1)
+    sketches = li.groupBy("l_linestatus").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("_hll"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_p50"),
         F.percentile_approx("l_extendedprice", 0.99, 1000).alias("_p99"),
-        F.expr("percentile(l_extendedprice, 0.497)").alias("_p50_lo"),
-        F.expr("percentile(l_extendedprice, 0.503)").alias("_p50_hi"),
-        F.expr("percentile(l_extendedprice, 0.987)").alias("_p99_lo"),
-        F.expr("percentile(l_extendedprice, 0.993)").alias("_p99_hi"),
     )
-    return agg.select(
+    # exact distinct: two-stage (distinct then count), no EXPAND
+    exact = (
+        li.select("l_linestatus", "l_partkey").distinct()
+        .groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    # percentile guarantee via rank counts: the estimate's rank
+    # interval [#(x < v), #(x <= v)] must overlap [q-eps, q+eps]*n —
+    # conditional counts are map-side combinable, unlike percentile()
+    ranked = (
+        li.join(F.broadcast(sketches), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.first("_hll").alias("_hll"),
+            F.sum((F.col("l_extendedprice") < F.col("_p50")).cast("long")).alias("_lt50"),
+            F.sum((F.col("l_extendedprice") <= F.col("_p50")).cast("long")).alias("_le50"),
+            F.sum((F.col("l_extendedprice") < F.col("_p99")).cast("long")).alias("_lt99"),
+            F.sum((F.col("l_extendedprice") <= F.col("_p99")).cast("long")).alias("_le99"),
+        )
+    )
+    eps = 0.003
+    return ranked.join(F.broadcast(exact), "l_linestatus").select(
         "l_linestatus",
         "exact_parts",
         (F.abs(F.col("_hll") - F.col("exact_parts"))
          / F.col("exact_parts") <= 0.06).alias("hll_ok"),
-        F.col("_p50").between(F.col("_p50_lo"), F.col("_p50_hi")).alias("p50_ok"),
-        F.col("_p99").between(F.col("_p99_lo"), F.col("_p99_hi")).alias("p99_ok"),
+        ((F.col("_lt50") / F.col("_n") <= 0.5 + eps)
+         & (F.col("_le50") / F.col("_n") >= 0.5 - eps)).alias("p50_ok"),
+        ((F.col("_lt99") / F.col("_n") <= 0.99 + eps)
+         & (F.col("_le99") / F.col("_n") >= 0.99 - eps)).alias("p99_ok"),
     )
 
 

@@ -69,6 +69,37 @@ def test_keep_last_single_shuffle(spark, sf_small):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_range_join_no_nested_loop(spark, sf_small):
+    """Bucketized interval containment must plan as a hash join on the
+    bucket id — never BroadcastNestedLoopJoin / CartesianProduct."""
+    p = plan(REGISTRY["dx33_range_join"].fn(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_budget_selection_no_global_window(spark, sf_small):
+    """The running-total selection must be the distributed prefix sum —
+    no window over an unpartitioned (empty-key) global ordering on the
+    corpus side. The only permitted global window is the one over the
+    |partitions|-row offsets table, which AQE collapses to one tiny
+    task."""
+    df = REGISTRY["dx16_select_to_budget"].fn(spark, sf_small)
+    p = plan(df)
+    # corpus rows ride windows partitioned by _pid; the offsets window
+    # is over the aggregate output (rows = shuffle partitions), which
+    # shows up AFTER a HashAggregate, never over the scan directly
+    for ln in p.splitlines():
+        if "Window" in ln and "windowspecdefinition()" in ln:
+            raise AssertionError(f"global window over corpus rows:\n{ln}")
+
+
+def test_export_shuffle_single_exchange(spark, sf_small):
+    """Export shuffle = one shard exchange + in-partition sort; no
+    global sort."""
+    p = plan(REGISTRY["dx24_export_shuffle"].fn(spark, sf_small))
+    assert "Exchange rangepartitioning" not in p
+
+
 def test_no_python_in_hot_paths(spark, sf_small):
     """Every corpus query except the explicitly-Pandas multimodal one
     must be pure JVM expression code — no Python row/batch eval
