@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eth_options_data_pipeline_spark.operators import text as tx
 from eth_options_data_pipeline_spark.operators.heavy_hitters import heavy_hitters
+from eth_options_data_pipeline_spark.operators.incremental_dedup import (
+    build_band_index,
+    screen_batch,
+)
 from eth_options_data_pipeline_spark.operators.lm_quality import (
     score_perplexity,
     train_bigram_lm,
@@ -115,3 +120,64 @@ def dx36_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
     counted, _thr = heavy_hitters(words, "word", k=_HH_K, capacity=_HH_CAP)
     return counted
+
+
+# ----------------------------------------------- incremental dedup
+
+_SH = tx.shingles_sql("text")
+_MH_SQL = ",\n             ".join(
+    f"{tx.minhash_sql('sh', j)} AS mh{j}" for j in range(tx.MINHASH_K))
+_BANDS_SQL = ", ".join(
+    f"'{b}|' || mh{2 * b} || '|' || mh{2 * b + 1}" for b in range(tx.LSH_BANDS))
+
+_INC_SQL = f"""
+    WITH hist AS (SELECT doc_id, {_SH} AS sh FROM documents WHERE doc_id % 4 <> 0),
+    newb AS (SELECT doc_id, {_SH} AS sh FROM documents WHERE doc_id % 4 = 0),
+    hsig AS (SELECT doc_id, sh, {_MH_SQL} FROM hist),
+    nsig AS (SELECT doc_id, sh, {_MH_SQL} FROM newb),
+    hband AS (SELECT doc_id AS dup_of, unnest([{_BANDS_SQL}]) AS band_key FROM hsig),
+    nband AS (SELECT doc_id, unnest([{_BANDS_SQL}]) AS band_key FROM nsig),
+    hist_cand AS (
+      SELECT DISTINCT n.doc_id, h.dup_of, 'history' AS origin
+      FROM nband n JOIN hband h ON h.band_key = n.band_key
+    ),
+    batch_cand AS (
+      SELECT DISTINCT a.doc_id, b.doc_id AS dup_of, 'batch' AS origin
+      FROM nband a JOIN nband b ON b.band_key = a.band_key AND a.doc_id > b.doc_id
+    ),
+    cand AS (SELECT * FROM hist_cand UNION ALL SELECT * FROM batch_cand),
+    pairs AS (
+      SELECT c.doc_id, c.dup_of, c.origin,
+             len(list_intersect(na.sh, ob.sh))
+               / CAST(len(na.sh) + len(ob.sh)
+                      - len(list_intersect(na.sh, ob.sh)) AS DOUBLE) AS jac
+      FROM cand c
+      JOIN nsig na ON na.doc_id = c.doc_id
+      JOIN (SELECT doc_id, sh FROM hist UNION ALL SELECT doc_id, sh FROM newb) ob
+        ON ob.doc_id = c.dup_of
+    )
+    SELECT doc_id, dup_of, origin, round(score, 6) AS score FROM (
+      SELECT doc_id, dup_of, origin, jac AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jac DESC, dup_of ASC) AS _rk
+      FROM pairs WHERE jac >= 0.5)
+    WHERE _rk = 1
+"""
+
+
+@query("dx37_incremental_screen", sql=_INC_SQL)
+def dx37_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: a new ingest batch (doc_id % 4
+    == 0) checked against the persisted LSH band index of accepted
+    history — only the batch is sketched; history shingles are
+    recomputed solely for candidate ids fetched by an id semi-join
+    (operators/incremental_dedup.py). Flags carry the strongest
+    witness (max exact Jaccard, ties to the smaller id) and whether
+    it came from history or the batch itself."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 4 != 0)
+    newb = docs.where(F.col("doc_id") % 4 == 0)
+    idx = build_band_index(hist)
+    out = screen_batch(newb, hist, idx)
+    return out.select("doc_id", "dup_of", "origin",
+                      F.round("score", 6).alias("score"))
