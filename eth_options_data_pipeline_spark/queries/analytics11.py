@@ -165,6 +165,81 @@ _INC_SQL = f"""
 """
 
 
+_PACK_BUDGET = 100
+_PACK_SHARDS = 8
+
+# The greedy kernel's exact state walk, replayed as a recursive CTE:
+# state after each row = (pack_seq, used); the next row opens a new
+# pack when it would overflow, and a pack closes immediately at >=
+# budget. Anchor = rn 1 per shard.
+_PACK_SQL = f"""
+    WITH RECURSIVE keyed AS (
+      SELECT CAST(doc_id AS BIGINT) AS _id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS _tok,
+             CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               % {_PACK_SHARDS} AS shard,
+             md5('packo|' || CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents
+    ),
+    base AS (
+      SELECT shard, _id, _tok, okey,
+             row_number() OVER (PARTITION BY shard ORDER BY okey, _id) AS rn
+      FROM keyed
+    ),
+    walk AS (
+      SELECT shard, rn, _id,
+             CAST(0 AS BIGINT) AS pack_seq,
+             CAST(0 AS BIGINT) AS offset_in_pack,
+             _tok AS pack_tokens,
+             CASE WHEN _tok >= {_PACK_BUDGET} THEN CAST(1 AS BIGINT) ELSE 0 END AS next_seq,
+             CASE WHEN _tok >= {_PACK_BUDGET} THEN CAST(0 AS BIGINT) ELSE _tok END AS next_used
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.shard, b.rn, b._id,
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                  THEN w.next_seq + 1 ELSE w.next_seq END AS pack_seq,
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                  THEN 0 ELSE w.next_used END AS offset_in_pack,
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                  THEN b._tok ELSE w.next_used + b._tok END AS pack_tokens,
+             CASE WHEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                             THEN b._tok ELSE w.next_used + b._tok END) >= {_PACK_BUDGET}
+                  THEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                             THEN w.next_seq + 1 ELSE w.next_seq END) + 1
+                  ELSE (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                             THEN w.next_seq + 1 ELSE w.next_seq END) END AS next_seq,
+             CASE WHEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                             THEN b._tok ELSE w.next_used + b._tok END) >= {_PACK_BUDGET}
+                  THEN 0
+                  ELSE (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                             THEN b._tok ELSE w.next_used + b._tok END) END AS next_used
+      FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+    )
+    SELECT _id AS doc_id_packed, shard, pack_seq,
+           shard * {1 << 40} + pack_seq AS pack_id,
+           offset_in_pack, pack_tokens
+    FROM walk
+"""
+
+
+@query("dx38_sequence_packing", sql=_PACK_SQL)
+def dx38_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed-token-budget packs: docs
+    hash-bucket into independent shards (parallelism = shards = output
+    files) and each shard packs sequentially in deterministic md5
+    order via an Arrow applyInPandas kernel — every doc lands whole,
+    packs never exceed budget except single oversized docs
+    (operators/packing.py). The oracle replays the exact state walk
+    as a recursive CTE."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    from eth_options_data_pipeline_spark.operators.packing import pack_documents
+    return pack_documents(docs, "doc_id", "toks",
+                          budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
 @query("dx37_incremental_screen", sql=_INC_SQL)
 def dx37_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup screening: a new ingest batch (doc_id % 4
