@@ -240,6 +240,85 @@ def dx38_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                           budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
 
 
+# ------------------------------------------------------ CDC chunks
+
+_CDC_M = (1 << 31) - 1
+_CDC_BW = 282034563  # pow(257, 16, M)
+
+# the per-char rolling-hash walk (operators/fingerprint.py
+# chunk_boundaries), replayed as a recursive CTE: state after char i
+# (1-based) = (h, start); boundary when (len >= 24 and h % 64 == 63)
+# or len >= 256; h and start reset at boundaries. Python's % is
+# non-negative — emulate with ((x % M) + M) % M.
+_CDC_SQL = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+    ),
+    walk AS (
+      SELECT doc_id, 1 AS i,
+             CAST(ord(substr(text, 1, 1)) % {_CDC_M} AS BIGINT) AS h,
+             CAST(0 AS BIGINT) AS start,
+             FALSE AS boundary
+      FROM d
+      UNION ALL
+      SELECT w.doc_id, w.i + 1,
+             CASE WHEN bdy THEN 0 ELSE hw END AS h,
+             CASE WHEN bdy THEN w.i + 1 ELSE w.start END AS start,
+             bdy AS boundary
+      FROM walk w
+      JOIN d ON d.doc_id = w.doc_id AND w.i < d.n,
+      LATERAL (
+        SELECT hw,
+               ((w.i + 1 - w.start) >= 24 AND hw % 64 = 63)
+                 OR (w.i + 1 - w.start) >= 256 AS bdy
+        FROM (
+          SELECT CASE WHEN w.i - w.start >= 16
+                      THEN ((((w.h * 257 + CAST(ord(substr(d.text, w.i + 1, 1)) AS BIGINT)) % {_CDC_M})
+                             - CAST(ord(substr(d.text, w.i + 1 - 16, 1)) AS BIGINT) * {_CDC_BW})
+                            % {_CDC_M} + {_CDC_M}) % {_CDC_M}
+                      ELSE (w.h * 257 + CAST(ord(substr(d.text, w.i + 1, 1)) AS BIGINT)) % {_CDC_M}
+                 END AS hw
+        )
+      )
+    ),
+    lastb AS (
+      SELECT d.doc_id, d.n,
+             coalesce(max(CASE WHEN w.boundary THEN w.i END), 0) AS lb
+      FROM d LEFT JOIN walk w ON w.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.n
+    ),
+    bounds AS (
+      SELECT doc_id, i AS e FROM walk WHERE boundary
+      UNION ALL
+      SELECT doc_id, n AS e FROM lastb WHERE lb < n
+    ),
+    ch AS (
+      SELECT doc_id, e,
+             row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS cstart
+      FROM bounds
+    )
+    SELECT ch.doc_id, chunk_idx, cstart AS chunk_start,
+           e - cstart AS chunk_len,
+           md5(substr(d.text, CAST(cstart + 1 AS INT), CAST(e - cstart AS INT)))
+             AS chunk_digest
+    FROM ch JOIN d ON d.doc_id = ch.doc_id
+"""
+
+
+@query("dx39_cdc_chunks", sql=_CDC_SQL)
+def dx39_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: Rabin-Karp rolling hash declares
+    boundaries that move WITH the content, so shifted/edited
+    duplicates keep identical chunk digests (the LBFS/restic dedup
+    shape). The per-doc recurrence is the engine's canonical Arrow
+    mapInPandas kernel (operators/fingerprint.py); the oracle replays
+    the exact integer state walk per character as a recursive CTE."""
+    from eth_options_data_pipeline_spark.operators.fingerprint import cdc_chunks
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(docs.where(F.length("text") > 0))
+
+
 @query("dx37_incremental_screen", sql=_INC_SQL)
 def dx37_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup screening: a new ingest batch (doc_id % 4

@@ -107,7 +107,7 @@ def test_no_python_in_hot_paths(spark, sf_small):
     # exemptions: multimodal (Arrow decode path is the point) and the
     # heavy-hitters summary pass (deliberate bounded mapInPandas)
     for name, spec in REGISTRY.items():
-        if name.startswith("mm") or name in ("dx36_heavy_hitters", "dx38_sequence_packing"):
+        if name.startswith("mm") or name in ("dx36_heavy_hitters", "dx38_sequence_packing", "dx39_cdc_chunks"):
             continue
         p = plan(spec.fn(spark, sf_small))
         assert "EvalPython" not in p and "MapInPandas" not in p, f"{name} drops to Python"
