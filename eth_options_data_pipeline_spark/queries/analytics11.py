@@ -240,6 +240,82 @@ def dx38_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                           budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
 
 
+# ---------------------------------------------- leakage-safe split
+
+_SPLIT_H = ("CAST(('0x' || substr(md5('split-v1|' || CAST("
+            "coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT)"
+            " / 1152921504606846976.0")
+
+_LSPLIT_SQL = f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sig AS (SELECT doc_id, sh, {_MH_SQL} FROM sh),
+    bands AS (SELECT doc_id, unnest([{_BANDS_SQL}]) AS band_key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh))
+              / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            >= 0.5
+    ),
+    bi AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM bi
+      UNION
+      SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s
+    ),
+    comp AS (SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s)
+    SELECT d.doc_id,
+           CASE WHEN {_SPLIT_H} < 0.8 THEN 'train'
+                WHEN {_SPLIT_H} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+@query("dx40_leakage_safe_split", sql=_LSPLIT_SQL)
+def dx40_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-dup clusters
+    (MinHash-LSH pairs -> exact-Jaccard edges -> connected components)
+    are split on their CLUSTER id, so no near-duplicate pair ever
+    straddles a split boundary; singleton docs split on their own id
+    (operators/splits.py composing operators/components.py)."""
+    from eth_options_data_pipeline_spark.operators.splits import leakage_safe_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh")).cache()
+    mh = tx.minhash_signature(F.col("sh"))
+    sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(tx.band_keys(
+            [F.col(f"mh{j}") for j in range(tx.MINHASH_K)])).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        F.broadcast(cand).join(sha, "doc_a").join(shb.hint("shuffle_hash"), "doc_b")
+        .where(tx.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    out = leakage_safe_split(
+        docs.select("doc_id"), pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
 # ------------------------------------------------------ CDC chunks
 
 _CDC_M = (1 << 31) - 1
