@@ -240,6 +240,56 @@ def dx38_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                           budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
 
 
+# ------------------------------------------- stream-join batch face
+
+_SJ_SQL = """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, p.purchase_id,
+           CAST(floor(epoch(c.click_ts)) - floor(epoch(p.purchase_ts)) AS BIGINT)
+             AS gap_secs
+    FROM c JOIN p ON p.user_id = c.user_id
+     AND p.purchase_ts >= c.click_ts - INTERVAL 1 HOUR
+     AND p.purchase_ts <= c.click_ts
+"""
+
+
+@query("sx03_stream_join", sql=_SJ_SQL)
+def sx03_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-stream join (clicks paired with the
+    purchases that preceded them by at most an hour, per user). Runs
+    the SAME operator as the streaming path —
+    streaming/stream.py::join_event_streams, whose watermark +
+    time-bound condition is what lets Spark evict buffered state; on a
+    batch input the watermark is a no-op and the join condition is the
+    whole semantics. tests/test_streaming.py pins stream == batch on
+    micro-batched input; this face pins batch == oracle."""
+    from eth_options_data_pipeline_spark.streaming.stream import join_event_streams
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    joined = join_event_streams(
+        clicks, purch.withColumnRenamed("p_user", "user_id"),
+        key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        lookback="1 hour")
+    return joined.select(
+        "click_id", "purchase_id",
+        (F.col("click_ts").cast("long") - F.col("purchase_ts").cast("long"))
+        .alias("gap_secs"),
+    )
+
+
 # ---------------------------------------------- leakage-safe split
 
 _SPLIT_H = ("CAST(('0x' || substr(md5('split-v1|' || CAST("
