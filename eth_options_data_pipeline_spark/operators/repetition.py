@@ -32,11 +32,17 @@ def _char_len(arr: Column) -> Column:
 
 
 def _word_ngrams(words: Column, n: int) -> Column:
+    # zip_with over n shifted slices, NOT element_at inside a
+    # transform lambda: a lambda body referencing the outer ``words``
+    # re-evaluates that whole expression (the split!) once per
+    # element — O(words²) per row — whereas HOF *arguments* are
+    # evaluated once per row.
     k = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
-    )
+    m = k - F.lit(n) + 1
+    grams = F.slice(words, F.lit(1), m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(words, F.lit(j + 1), m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(k >= n, grams).otherwise(F.array())
 
 
@@ -64,8 +70,20 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     dseg = F.array_distinct(segs)
     n_seg, n_dseg = F.size(segs), F.size(dseg)
     seg_chars, dseg_chars = _char_len(segs), _char_len(dseg)
-    max_rep = F.when(n_seg == 0, F.lit(0)).otherwise(F.array_max(
-        F.transform(dseg, lambda d: F.size(F.filter(segs, lambda s: s == d)))))
+    # most-repeated segment count: sort, then longest equal-adjacent
+    # run in ONE linear fold — O(n log n) per row where the naive
+    # per-distinct filter-count is O(n^2) and a single pathological
+    # document (e.g. 50k identical lines) would stall its task.
+    zero = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def _run_step(acc: Column, s: Column) -> Column:
+        run = F.when(s == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(s.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    max_rep = F.aggregate(F.array_sort(segs), zero, _run_step,
+                          lambda acc: acc["best"])
 
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 

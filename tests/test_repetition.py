@@ -92,6 +92,26 @@ def test_shuffle_free_plan(spark, docs_df):
     assert "Exchange" not in plan
 
 
+def test_pathological_doc_bounded_time(spark):
+    """50k segments in ONE document must finish promptly — the naive
+    per-distinct filter-count was O(segments^2) per row and would stall
+    a task on exactly this shape; the sorted run-length fold is
+    O(n log n)."""
+    import time
+
+    n = 50_000
+    # half identical, half unique -> exercises both run paths
+    text = " ".join(["Repeated line."] * (n // 2)
+                    + [f"Unique line {i}." for i in range(n // 2)])
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    start = time.monotonic()
+    row = repetition_stats(df).collect()[0]
+    elapsed = time.monotonic() - start
+    assert row["max_seg_repeats"] == n // 2
+    assert row["n_segments"] == n
+    assert elapsed < 60, f"took {elapsed:.1f}s"
+
+
 def test_smoke_on_documents_table(spark, sf_small):
     from eth_options_data_pipeline_spark.sources import load_table
     docs = load_table(spark, sf_small, "documents")
