@@ -77,3 +77,40 @@ def classifier_gate(docs: DataFrame, model: PipelineModel,
     the score column retained for audit."""
     return score_documents(docs, model, text_col).where(
         F.col("quality_prob") >= F.lit(threshold))
+
+
+def score_frozen_linear(docs: DataFrame, weights: dict[str, float],
+                        bias: float, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        score_col: str = "quality_prob") -> DataFrame:
+    """Score documents with a FROZEN linear text classifier — the
+    deploy-time half of the train→freeze→score lifecycle (the trained
+    model shipped as a weight table, the way a fastText quality
+    classifier is distributed with a data pipeline rather than
+    retrained per run).
+
+    score = sigmoid(bias + Σ_token weight[token] · count(token, doc))
+
+    over whitespace-lowercase tokens. Scale shape: tokens explode
+    map-side, the weight table (|vocab| rows) broadcasts, and the only
+    shuffle is the per-doc sum — partial aggregation applies because
+    sum is algebraic. Docs with no vocabulary hits keep score
+    sigmoid(bias) via the left join back to ``docs``. Everything is
+    JVM-side Column arithmetic; no UDF.
+    """
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame(
+        [(t, float(w)) for t, w in weights.items()], f"token string, _w double")
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"))
+    z = (
+        toks.join(F.broadcast(w_df), "token")
+        .groupBy(id_col).agg(F.sum("_w").alias("_z"))
+    )
+    logit = F.lit(float(bias)) + F.coalesce(F.col("_z"), F.lit(0.0))
+    return (
+        docs.select(id_col).join(z, id_col, "left")
+        .select(id_col,
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias(score_col))
+    )

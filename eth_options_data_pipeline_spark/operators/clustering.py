@@ -94,9 +94,14 @@ def _seed_centroids(df: DataFrame, k: int, id_col: str,
 
 def _update_centroids(df: DataFrame, assigned: DataFrame, k: int,
                       dim: int, prev: list[list[float]], id_col: str,
-                      vec_col: str) -> list[list[float]]:
+                      vec_col: str,
+                      round_to: int | None = None) -> list[list[float]]:
     """Element-wise mean per cluster: dim avg columns, map-side
-    partial aggregation, <= k rows reach the driver."""
+    partial aggregation, <= k rows reach the driver. ``round_to``
+    rounds each mean to that many decimals — the only float op in the
+    loop whose partial-aggregation accumulation order is engine- and
+    partitioning-dependent, so rounding it makes the whole clustering
+    bit-reproducible across engines (the vx04 oracle technique)."""
     rows = (
         df.join(assigned, id_col)
         .groupBy("cluster")
@@ -106,12 +111,15 @@ def _update_centroids(df: DataFrame, assigned: DataFrame, k: int,
     nxt = [list(c) for c in prev]          # empty cluster keeps its seat
     for r in rows:
         nxt[r["cluster"]] = [float(r[f"m{i}"]) for i in range(dim)]
+    if round_to is not None:
+        nxt = [[round(v, round_to) for v in c] for c in nxt]
     return nxt
 
 
 def kmeans(df: DataFrame, k: int, id_col: str = "vec_id",
            vec_col: str = "embedding", max_iters: int = 10,
            tol: float = 1e-6, method: str = "expr",
+           round_to: int | None = None,
            ) -> tuple[DataFrame, list[list[float]]]:
     """Full Lloyd loop. Returns (assignments (id, cluster), centroids).
 
@@ -129,7 +137,7 @@ def kmeans(df: DataFrame, k: int, id_col: str = "vec_id",
     for _ in range(max_iters):
         assigned = assign_centroids(vecs, cents, id_col, vec_col, method)
         nxt = _update_centroids(vecs, assigned, k, dim, cents,
-                                id_col, vec_col)
+                                id_col, vec_col, round_to=round_to)
         shift = max(
             math.sqrt(sum((a - b) ** 2 for a, b in zip(ca, cb)))
             for ca, cb in zip(cents, nxt)

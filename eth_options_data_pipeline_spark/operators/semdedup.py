@@ -37,16 +37,20 @@ from eth_options_data_pipeline_spark.operators.vectors import cosine
 
 def semdedup(emb: DataFrame, k: int, threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             max_iters: int = 5, method: str = "expr") -> DataFrame:
+             max_iters: int = 5, method: str = "expr",
+             round_to: int | None = None) -> DataFrame:
     """Returns (id, cluster, centroid_sim, keep) for every input row.
 
     ``keep`` is false iff the row loses to a same-cluster neighbor
     with cosine >= threshold and a smaller (centroid_sim, id) key.
+    ``round_to`` rounds the Lloyd means (see clustering.kmeans) for
+    engine-reproducible clustering.
     """
     vecs = emb.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias(vec_col))
     assigned, cents = clustering.kmeans(
-        vecs, k, id_col, vec_col, max_iters=max_iters, method=method)
+        vecs, k, id_col, vec_col, max_iters=max_iters, method=method,
+        round_to=round_to)
 
     # cosine to own centroid, decided per-row against the literal
     # centroid bank (k branches, JVM-side)

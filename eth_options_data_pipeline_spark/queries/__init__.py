@@ -26,6 +26,7 @@ from eth_options_data_pipeline_spark.queries import analytics8  # noqa: F401,E40
 from eth_options_data_pipeline_spark.queries import analytics9  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics10  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics11  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics12  # noqa: F401,E402
 
 
 # ---------------------------------------------------------------------------
@@ -39,9 +40,9 @@ from eth_options_data_pipeline_spark.queries import analytics11  # noqa: F401,E4
 #
 #   1. the 29 faces never driver-checked through round 4 (dx14..dx40,
 #      qx46, sx03) — these must earn a CORRECTNESS row;
-#   2. faces added in round 5 (dx41, sx04, sx05);
-#   3. an 18-query §2-critical regression core (q01..q21 minus the three
-#      simplest order/set ops) so the reference-parity operators keep a
+#   2. faces added in round 5 (dx41, sx04, sx05, dx42);
+#   3. a 17-query §2-critical regression core (q01..q21 minus the four
+#      simplest single-op rows) so the reference-parity operators keep a
 #      driver-checked row every round.
 #
 # That is exactly 50 names.  Everything else follows in registration order
@@ -83,6 +84,7 @@ _WINDOW_PRIORITY = [
     "dx41_classifier_gate",
     "sx04_asof_stream",
     "sx05_topk_stream",
+    "dx42_semdedup",
     # -- 3. §2-critical regression core -----------------------------------
     "q01_pricing_summary",
     "q02_band_filter_project",
@@ -94,7 +96,6 @@ _WINDOW_PRIORITY = [
     "q08_expiry_ladder",
     "q09_friday_ladder",
     "q11_symbol_parse",
-    "q12_case_when",
     "q13_json_extract_cast",
     "q14_agg_battery",
     "q15_conditional_counts",

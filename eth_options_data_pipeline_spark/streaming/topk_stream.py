@@ -40,6 +40,22 @@ from pyspark.sql.types import LongType, StructField, StructType
 from ..operators.heavy_hitters import partition_candidates
 
 
+def tracked_batch_counts(batch_df: DataFrame, col: str, capacity: int,
+                         prior_tracked: DataFrame) -> DataFrame:
+    """One micro-batch's state delta: exact in-batch counts for the
+    union of previously-tracked items and this batch's per-partition
+    top-``capacity`` candidates. Pure (no sink) so the streaming
+    foreachBatch and the batch correctness face run the identical
+    logic."""
+    cands = partition_candidates(batch_df.select(col), col, capacity)
+    tracked = prior_tracked.select(col).unionByName(cands).distinct()
+    return (
+        batch_df.select(col)
+        .join(F.broadcast(tracked), col, "left_semi")
+        .groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 class StreamingHeavyHitters:
     def __init__(self, state_dir: str, col: str,
                  capacity: int = 1000) -> None:
@@ -65,15 +81,8 @@ class StreamingHeavyHitters:
         spark = batch_df.sparkSession
         schema = self._state_schema(batch_df)
         prior = self._read_state(spark, schema, batch_id)
-        cands = partition_candidates(
-            batch_df.select(self.col), self.col, self.capacity)
-        tracked = (prior.select(self.col)
-                   .unionByName(cands).distinct())
-        counts = (
-            batch_df.select(self.col)
-            .join(F.broadcast(tracked), self.col, "left_semi")
-            .groupBy(self.col).agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        counts = tracked_batch_counts(
+            batch_df, self.col, self.capacity, prior)
         (
             counts.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

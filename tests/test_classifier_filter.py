@@ -77,3 +77,54 @@ def test_scoring_plan_is_shuffle_free(spark, model_and_holdout):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_frozen_coefficients_provenance(spark, sf_medium):
+    """The dx41 face's frozen weight literals are reproducible from the
+    documented training recipe (pyspark.ml LogisticRegression on vocab
+    counts of the sf0.01 seed slice, label = n_chars >= 300) — the
+    training half of the train→freeze→score lifecycle stays verified
+    while the deploy half stays DuckDB-oracle-checkable."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from eth_options_data_pipeline_spark.queries.analytics12 import (
+        _CLF_BIAS, _CLF_WEIGHTS)
+
+    vocab = list(_CLF_WEIGHTS)
+    docs = spark.read.parquet(f"{sf_medium}/documents.parquet")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    feat = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("n_chars") >= 300).cast("double").alias("label"),
+        *[F.size(F.filter(toks, lambda w: w == F.lit(v)))
+          .cast("double").alias(f"f_{v}") for v in vocab])
+    va = VectorAssembler(inputCols=[f"f_{v}" for v in vocab],
+                         outputCol="features")
+    lr = LogisticRegression(featuresCol="features", labelCol="label",
+                            regParam=1e-3, maxIter=100, standardization=False)
+    model = lr.fit(va.transform(feat))
+    assert abs(float(model.intercept) - _CLF_BIAS) < 1e-4
+    for v, c in zip(vocab, model.coefficients):
+        assert abs(float(c) - _CLF_WEIGHTS[v]) < 1e-4, v
+
+
+def test_score_frozen_linear_matches_manual(spark):
+    import math
+
+    from eth_options_data_pipeline_spark.operators.classifier_filter import (
+        score_frozen_linear)
+
+    weights = {"good": 2.0, "bad": -3.0}
+    bias = 0.5
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "neutral words only"), (3, "BAD Good")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.quality_prob
+           for r in score_frozen_linear(docs, weights, bias).collect()}
+    expect = {
+        1: 1 / (1 + math.exp(-(0.5 + 2 * 2.0 - 3.0))),
+        2: 1 / (1 + math.exp(-0.5)),        # no vocab hits -> sigmoid(bias)
+        3: 1 / (1 + math.exp(-(0.5 + 2.0 - 3.0))),  # case-folded
+    }
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12, k
