@@ -180,19 +180,18 @@ def qx28_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_p50"),
         F.percentile_approx("l_extendedprice", 0.99, 1000).alias("_p99"),
     )
-    # exact distinct: two-stage (distinct then count), no EXPAND
-    exact = (
-        li.select("l_linestatus", "l_partkey").distinct()
-        .groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("exact_parts"))
-    )
-    # percentile guarantee via rank counts: the estimate's rank
-    # interval [#(x < v), #(x <= v)] must overlap [q-eps, q+eps]*n —
-    # conditional counts are map-side combinable, unlike percentile()
-    ranked = (
+    # verification pass: exact distinct AND rank counts from ONE scan.
+    # Pre-aggregating at (status, partkey) makes the second groupBy's
+    # row count = the exact distinct count, while the conditional rank
+    # counts sum losslessly through the pre-agg — so the exact-distinct
+    # comparison no longer needs its own scan + distinct shuffle (the
+    # r4 shape paid a third lineitem pass for it). Both stages stay
+    # map-side combinable; no EXPAND, no sort-based exact percentile.
+    pre = (
         li.join(F.broadcast(sketches), "l_linestatus")
-        .groupBy("l_linestatus")
+        .groupBy("l_linestatus", "l_partkey")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
+            F.count(F.lit(1)).alias("_pn"),
             F.first("_hll").alias("_hll"),
             F.sum((F.col("l_extendedprice") < F.col("_p50")).cast("long")).alias("_lt50"),
             F.sum((F.col("l_extendedprice") <= F.col("_p50")).cast("long")).alias("_le50"),
@@ -200,8 +199,20 @@ def qx28_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") <= F.col("_p99")).cast("long")).alias("_le99"),
         )
     )
+    ranked = (
+        pre.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("exact_parts"),
+            F.sum("_pn").alias("_n"),
+            F.first("_hll").alias("_hll"),
+            F.sum("_lt50").alias("_lt50"),
+            F.sum("_le50").alias("_le50"),
+            F.sum("_lt99").alias("_lt99"),
+            F.sum("_le99").alias("_le99"),
+        )
+    )
     eps = 0.003
-    return ranked.join(F.broadcast(exact), "l_linestatus").select(
+    return ranked.select(
         "l_linestatus",
         "exact_parts",
         (F.abs(F.col("_hll") - F.col("exact_parts"))
