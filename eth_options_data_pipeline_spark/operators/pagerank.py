@@ -39,15 +39,18 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     )
     n = nodes.count()
     if n == 0:
+        nodes.unpersist(blocking=False)
         return nodes.withColumn("rank", F.lit(0.0))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    live_caches: list[DataFrame] = []
     for i in range(iters):
         # each round's ranks feed TWO consumers (the dangling aggregate
         # and the contribution join); cache so the lineage evaluates
         # once per round instead of forking exponentially
         ranks = ranks.cache()
+        live_caches.append(ranks)
         linked = ranks.join(deg, ranks["node"] == deg["src"], "left")
         # mass sitting on dangling nodes this round — kept as a 1-row
         # lazy aggregate riding the plan via broadcast cross join, so
@@ -76,8 +79,17 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                  + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)))
                 .alias("rank"))
         )
-        # truncate lineage periodically: plan depth grows per round and
-        # optimizer time goes superlinear past a handful of self-joins
-        if (i + 1) % 4 == 0 and (i + 1) < iters:
+        # truncate lineage periodically (plan depth grows per round and
+        # optimizer time goes superlinear past a handful of self-joins)
+        # and ALWAYS on the last round, so every per-round cache can be
+        # released the moment a checkpoint materializes past it — a
+        # long corpus run must not leave iters+2 DataFrames pinned in
+        # the block manager per pagerank() call
+        if (i + 1) % 4 == 0 or (i + 1) == iters:
             ranks = ranks.localCheckpoint(eager=True)
+            for df in live_caches:
+                df.unpersist(blocking=False)
+            live_caches.clear()
+    nodes.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
     return ranks

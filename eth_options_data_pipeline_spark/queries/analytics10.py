@@ -35,7 +35,7 @@ def _pagerank_sql() -> str:
     dangling, so the redistribution path is genuinely exercised)."""
     head = f"""
     WITH edges AS (
-      SELECT DISTINCT l_suppkey AS src, 100000 + l_partkey AS dst FROM lineitem
+      SELECT DISTINCT l_suppkey AS src, -l_partkey - 1 AS dst FROM lineitem
     ),
     nodes AS (
       SELECT DISTINCT node FROM (
@@ -74,11 +74,15 @@ def dx28_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     link graph: one iteration = join ranks to edges + map-side-
     combinable groupBy(dst); dangling mass is one tiny scalar per
     round (operators/pagerank.py). Ranks rounded to 9 (sum-order
-    noise ~1e-16)."""
+    noise ~1e-16). Part nodes are sign-flipped (-partkey - 1) so the
+    two id spaces can never collide at ANY scale factor — suppkeys are
+    strictly positive, part nodes strictly negative (an additive
+    offset silently merged supplier and part nodes once suppkey
+    exceeded it)."""
     li = t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("src"),
-        (F.col("l_partkey") + 100000).alias("dst"),
+        (-F.col("l_partkey") - 1).alias("dst"),
     ).distinct()
     out = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
     return out.select("node", F.round("rank", 9).alias("rank"))

@@ -100,9 +100,11 @@ _HH_SQL = f"""
     WITH words AS (
       SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
       FROM documents
-    )
-    SELECT word, count(*) AS cnt FROM words
-    GROUP BY word ORDER BY cnt DESC, word LIMIT {_HH_K}
+    ),
+    tot AS (SELECT count(*) AS n FROM words)
+    SELECT word, count(*) AS cnt,
+           count(*) > (SELECT n FROM tot) / {_HH_CAP + 1} AS guaranteed
+    FROM words GROUP BY word ORDER BY cnt DESC, word LIMIT {_HH_K}
 """
 
 
@@ -113,13 +115,20 @@ def dx36_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), candidate union broadcast back as a semi-join filter,
     exact recount of candidates only — shuffle is O(capacity x
     partitions), not O(vocabulary) (operators/heavy_hitters.py).
-    With capacity >= the vocabulary the guarantee makes the result
-    exactly the global top-k, so the oracle is the exact count."""
+    ``guaranteed`` evaluates the operator's returned Misra-Gries
+    threshold per row (cnt > N/(capacity+1) ⇒ the item could not have
+    been evicted in pass 1, so its presence AND count are exact); the
+    oracle hard-codes the same arithmetic, so a capacity that stops
+    covering the vocabulary at a larger sf becomes a visible hash
+    break instead of silent divergence."""
     docs = t(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
-    counted, _thr = heavy_hitters(words, "word", k=_HH_K, capacity=_HH_CAP)
-    return counted
+    counted, thr = heavy_hitters(words, "word", k=_HH_K, capacity=_HH_CAP)
+    return (
+        counted.crossJoin(F.broadcast(words.agg(thr)))
+        .select("word", "cnt", (F.col("cnt") > F.col("threshold")).alias("guaranteed"))
+    )
 
 
 # ----------------------------------------------- incremental dedup

@@ -264,11 +264,23 @@ def qx46_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites ONLY partitions present in the updates, via dynamic
     partition overwrite + broadcast anti-join on keys
     (operators/merge_upsert.py); the oracle states the merge
-    relationally."""
+    relationally.
+
+    NOTE on cost accounting: unlike every other face, the work here
+    (two parquet writes + the merge) happens eagerly at DataFrame-
+    construction time — the sink IS the operator under test — so a
+    timed action on the returned frame only measures the read-back
+    aggregate. The scratch tree lives at ONE fixed per-session path
+    (keyed by applicationId) and is rewritten in place on repeat
+    invocations, so bench's 3 runs and the verifier reuse it instead
+    of leaking a full orders copy per call."""
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority")
     base = orders.where(F.col("o_orderkey") % 3 != 0)
-    path = os.path.join(tempfile.mkdtemp(prefix="merge_face_"), "t")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"merge_face_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)))
     base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
     updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
         "o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
