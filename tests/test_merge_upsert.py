@@ -97,6 +97,44 @@ def test_target_read_prunes_partitions(spark, table):
     assert "dt" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_merge_rerun_after_partial_failure(spark, table, tmp_path):
+    """Torn multi-partition swap: a crash between partition-directory
+    swaps leaves SOME affected partitions updated and others serving
+    their old files. The docstring's recovery claim is that rerunning
+    the SAME merge converges; simulate the tear by restoring one of
+    the two affected partitions from a pre-merge backup and rerun."""
+    import shutil
+
+    updates = spark.createDataFrame(
+        [("A", "2025-01-01", 10.0),      # update in partition 1
+         ("D", "2025-01-02", 40.0)],     # insert in partition 2
+        ["sym", "dt", "val"])
+    backup = str(tmp_path / "backup")
+    shutil.copytree(table, backup)
+
+    assert merge_upsert(spark, table, updates, keys=("sym", "dt"),
+                        partition_col="dt") == 2
+    want = _snapshot(spark, table)
+
+    # tear: partition 2 rolls back to its pre-merge files (as if the
+    # crash happened after swapping partition 1 but before partition 2)
+    shutil.rmtree(os.path.join(table, "dt=2025-01-02"))
+    shutil.copytree(os.path.join(backup, "dt=2025-01-02"),
+                    os.path.join(table, "dt=2025-01-02"))
+    spark.catalog.refreshByPath(table)
+    torn = _snapshot(spark, table)
+    assert torn != want and ("D", "2025-01-02") not in torn
+
+    assert merge_upsert(spark, table, updates, keys=("sym", "dt"),
+                        partition_col="dt") == 2
+    assert _snapshot(spark, table) == want
+
+    # and a third run is still a fixed point
+    merge_upsert(spark, table, updates, keys=("sym", "dt"),
+                 partition_col="dt")
+    assert _snapshot(spark, table) == want
+
+
 def test_delete_removes_keys_and_whole_partitions(spark, table):
     from eth_options_data_pipeline_spark.operators.merge_upsert import (
         merge_delete)
