@@ -32,6 +32,11 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
 
     Ranks sum to 1.0 (dangling mass redistributed uniformly).
     """
+    # the edge list is consumed once per round plus twice for setup —
+    # cache it (MEMORY_AND_DISK, released on return) so a derived edge
+    # list (e.g. a distinct over a fact table) is computed once, not
+    # iters+2 times
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -39,9 +44,16 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     )
     n = nodes.count()
     if n == 0:
+        edges.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # degree-weighted edges and the dangling-node set are loop
+    # invariants: join them ONCE instead of re-joining ranks to deg
+    # every round
+    ew = edges.join(deg, "src").cache()
+    dang_nodes = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti").cache()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     live_caches: list[DataFrame] = []
@@ -51,19 +63,17 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         # once per round instead of forking exponentially
         ranks = ranks.cache()
         live_caches.append(ranks)
-        linked = ranks.join(deg, ranks["node"] == deg["src"], "left")
         # mass sitting on dangling nodes this round — kept as a 1-row
         # lazy aggregate riding the plan via broadcast cross join, so
         # an iteration costs ZERO driver actions (a .first() here
         # would force the whole lineage once per round)
         dangling = (
-            linked.where(F.col("out_deg").isNull())
+            ranks.join(dang_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contribs = (
-            linked.where(F.col("out_deg").isNotNull())
-            .select("src", (F.col("rank") / F.col("out_deg")).alias("w"))
-            .join(edges, "src")
+            ranks.join(ew, ranks["node"] == ew["src"])
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("w"))
             .groupBy("dst").agg(F.sum("w").alias("in_mass"))
         )
         # same float op order as the scalar form:
@@ -90,6 +100,6 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
             for df in live_caches:
                 df.unpersist(blocking=False)
             live_caches.clear()
-    nodes.unpersist(blocking=False)
-    deg.unpersist(blocking=False)
+    for df in (edges, nodes, ew, dang_nodes):
+        df.unpersist(blocking=False)
     return ranks

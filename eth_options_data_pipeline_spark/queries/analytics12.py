@@ -187,7 +187,13 @@ def sx05_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = []
     for i in range(3):
         batch = ev.where(F.col("event_id") % 3 == i)
-        counts = tracked_batch_counts(batch, "user_id", _TK_CAP, tracked)
+        # localCheckpoint = the face's stand-in for the streaming
+        # sink's per-batch parquet state write: each delta
+        # materializes exactly once (it feeds both the running tracked
+        # set and the final merge; left lazy, batch 1's mapInPandas
+        # pass would re-run inside every later batch's plan)
+        counts = tracked_batch_counts(
+            batch, "user_id", _TK_CAP, tracked).localCheckpoint()
         deltas.append(counts)
         tracked = tracked.unionByName(counts.select("user_id")).distinct()
     merged = (
