@@ -57,10 +57,12 @@ def _doc_buckets(docs: DataFrame, id_col: str, text_col: str,
     # explicit empty branch
     pairs = F.when(
         F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                               F.element_at(ws, i + 1).alias("w2")))
+        # zip_with over shifted slices: element_at(ws, i) inside a
+        # transform lambda re-evaluates ws per element (O(words^2)/row)
+        F.zip_with(
+            F.slice(ws, F.lit(1), F.size(ws) - 1),
+            F.slice(ws, F.lit(2), F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
@@ -78,10 +80,12 @@ def bucket_distribution(docs: DataFrame, text_col: str = "text",
     # explicit empty branch
     pairs = F.when(
         F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                               F.element_at(ws, i + 1).alias("w2")))
+        # zip_with over shifted slices: element_at(ws, i) inside a
+        # transform lambda re-evaluates ws per element (O(words^2)/row)
+        F.zip_with(
+            F.slice(ws, F.lit(1), F.size(ws) - 1),
+            F.slice(ws, F.lit(2), F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     return (
         docs.select(F.explode(pairs).alias("bg"))

@@ -49,6 +49,15 @@ def _words(text) -> "F.Column":
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def _adjacent_pairs(ws: "F.Column") -> "F.Column":
+    """(w_i, w_{i+1}) structs via zip_with over shifted slices — an
+    element_at(ws, i) lambda re-evaluates the whole ``ws`` expression
+    per element (O(words²) per row); HOF arguments evaluate once."""
+    m = F.size(ws) - 1
+    return F.zip_with(F.slice(ws, F.lit(1), m), F.slice(ws, F.lit(2), m),
+                      lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
+
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2, n) — per-document bigram multiplicities.
 
@@ -56,10 +65,7 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     every word is scored once, matching perplexity over k events.
     """
     ws = F.concat(F.array(F.lit(BOS)), _words(F.col(text_col)))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                           F.element_at(ws, i + 1).alias("w2")))
+    pairs = _adjacent_pairs(ws)
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
         .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -80,10 +86,7 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text"
     tokens = docs.select(F.explode(ws).alias("w"))
     unigrams = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c_uni"))
 
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                           F.element_at(ws, i + 1).alias("w2")))
+    pairs = _adjacent_pairs(ws)
     bigrams = (
         docs.select(F.explode(pairs).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))

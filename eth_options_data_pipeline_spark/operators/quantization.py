@@ -33,11 +33,15 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     x ~= q * scale, q in [-127, 127]. All-zero vectors get scale 0 and
     an all-zero code (never a null or a division by zero)."""
     v = F.col(vec_col)
-    scale = (_max_abs(v) / F.lit(127.0)).cast("double")
-    q = F.when(scale > 0, F.transform(
-        v, lambda x: F.round(x / scale).cast("tinyint"))
+    # scale lands in its own projection first: referenced inside the
+    # transform lambda, the array_max expression would re-evaluate per
+    # element (O(dim^2) per row)
+    out = df.withColumn(SCALE_COL, (_max_abs(v) / F.lit(127.0)).cast("double"))
+    s = F.col(SCALE_COL)
+    q = F.when(s > 0, F.transform(
+        v, lambda x: F.round(x / s).cast("tinyint"))
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return df.withColumn(SCALE_COL, scale).withColumn(Q_COL, q)
+    return out.withColumn(Q_COL, q)
 
 
 def dequantize(q: Column, scale: Column) -> Column:

@@ -40,28 +40,40 @@ LSH_BUCKET_CAP = 64
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; documents shorter than n words
-    collapse to a single whole-document shingle."""
+    collapse to a single whole-document shingle.
+
+    Built with zip_with over shifted slices, NOT element_at inside a
+    transform lambda: a lambda body referencing the outer ``words``
+    re-evaluates the whole split per element — O(words²) per row —
+    whereas HOF arguments are evaluated once per row."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
     k = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
-    )
-    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", words))))
+    m = k - F.lit(n) + 1
+    grams = F.slice(words, F.lit(1), m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(words, F.lit(j + 1), m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(
+        F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", words))))
 
 
 def char_shingles(col_name: str, n: int = 5) -> Column:
     """Distinct character n-gram shingles over lowercase trimmed text.
 
     Catches near-dups word shingles miss (reordered words, punctuation
-    edits). Uses the SQL expression form: ``substring`` with a dynamic
-    start position isn't expressible through the Column API inside a
-    HOF lambda."""
-    base = f"lower(trim({col_name}))"
-    return F.array_distinct(F.expr(
-        f"transform(sequence(0, greatest(length({base}) - {n - 1}, 1) - 1), "
-        f"i -> substring({base}, i + 1, {n}))"
-    ))
+    edits). Splits to a char array once and zips shifted slices — a
+    substring(base, i, n) lambda re-evaluates lower(trim(text)) per
+    position, O(len²) per row."""
+    base = F.lower(F.trim(F.col(col_name)))
+    chars = F.split(base, "")
+    m = F.length(base) - F.lit(n - 1)
+    grams = F.slice(chars, F.lit(1), m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(chars, F.lit(j + 1), m),
+                           lambda a, b: F.concat(a, b))
+    return F.array_distinct(
+        F.when(F.length(base) >= n, grams)
+        .otherwise(F.array(F.substring(base, 1, n))))
 
 
 def char_shingles_sql(text_expr: str, n: int = 5) -> str:
