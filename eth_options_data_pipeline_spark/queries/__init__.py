@@ -27,6 +27,7 @@ from eth_options_data_pipeline_spark.queries import analytics9  # noqa: F401,E40
 from eth_options_data_pipeline_spark.queries import analytics10  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics11  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics12  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics13  # noqa: F401,E402
 
 
 # ---------------------------------------------------------------------------
@@ -85,12 +86,14 @@ _WINDOW_PRIORITY = [
     "sx04_asof_stream",
     "sx05_topk_stream",
     "dx42_semdedup",
-    # -- 3. §2-critical regression core -----------------------------------
+    "dx43_rag_retrieval",
+    "dx44_vocab_coverage",
+    "sx06_stream_dedup",
+    # -- 3. §2-critical regression core (q02/q03/q05 — the simplest
+    #    single-op rows, 3 rounds green — rotate to the CI sweep to make
+    #    room for the three newest faces) ---------------------------------
     "q01_pricing_summary",
-    "q02_band_filter_project",
-    "q03_falsy_guard",
     "q04_left_join_coalesce",
-    "q05_semi_join",
     "q06_keep_last",
     "q07_lag_delta",
     "q08_expiry_ladder",

@@ -1,0 +1,286 @@
+"""Round-5 corpus faces: RAG retrieval composition, vocabulary
+coverage, and the streaming exact-dedup batch face.
+
+dx43 composes three existing stages — chunking (operators/chunking.py),
+deterministic feature-hash embedding (md5-bit dims, the vectors.py
+technique), and exact cosine top-k — into the end-to-end RAG indexing
+pipeline a retrieval corpus build runs. dx44 is tokenizer vocabulary
+construction plus per-document OOV coverage, the gate a training run
+uses to decide whether its tokenizer fits a new corpus. sx06 is the
+batch face of streaming exact dedup (`dropDuplicates` over a keyed
+stream): micro-batch replay through the same anti-join-against-
+tracked-state kernel a foreachBatch sink runs, so "keep the first
+arrival ever seen" is pinned against a one-window oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators import vectors as vx
+from eth_options_data_pipeline_spark.operators.chunking import chunk_documents
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------ RAG retrieval (dx43)
+#
+# chunk -> feature-hash embed -> exact cosine top-k for a fixed query
+# panel. The embedding is integer token-count hashing (dim and sign
+# from md5 bits), so every float that reaches the cosine is an exact
+# integer and the only inexact ops (sqrt, divide) are bit-identical
+# IEEE on both engines — the vx01/dx42 reproducibility technique.
+
+_RAG_CT, _RAG_OV = 12, 4     # chunk_tokens / overlap (stride 8, as dx30)
+_RAG_DIM = 16                # hash-embedding dimensions
+_RAG_K = 3                   # hits per query chunk
+_RAG_NQ = 3                  # fixed query-panel size
+
+
+def _hash_embed(text_col):
+    """array<double>[_RAG_DIM]: signed token-count feature hashing.
+
+    One md5 per token (computed once, reused by dim and sign), dim =
+    first 13 hex chars as int mod _RAG_DIM, sign = hex char 14 parity.
+    Pure per-row HOF expressions — zero shuffle, zero Python.
+    """
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), F.lit(0))
+    hs = F.transform(toks, lambda tok: F.md5(tok))
+    dim = lambda h: F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % _RAG_DIM  # noqa: E731
+    sgn = lambda h: F.when(  # noqa: E731
+        F.conv(F.substring(h, 14, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1)).otherwise(F.lit(-1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_RAG_DIM - 1)),
+        lambda d: F.aggregate(
+            F.filter(hs, lambda h: dim(h) == d.cast("long")),
+            F.lit(0), lambda acc, h: acc + sgn(h)).cast("double"))
+
+
+def _hash_embed_sql(text_expr: str) -> str:
+    """DuckDB twin of _hash_embed (same md5 bits, same fold)."""
+    toks = f"regexp_extract_all(lower({text_expr}), '[a-z0-9]+')"
+    hs = f"list_transform({toks}, tok -> md5(tok))"
+    dim = "CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % " + str(_RAG_DIM)
+    sgn = ("CASE WHEN CAST(('0x' || substr(h, 14, 1)) AS BIGINT) % 2 = 0 "
+           "THEN 1 ELSE -1 END")
+    return (
+        f"list_transform(range(0, {_RAG_DIM}), d -> CAST(coalesce(list_sum("
+        f"list_transform(list_filter({hs}, h -> {dim} = d), h -> {sgn})), 0)"
+        f" AS DOUBLE))"
+    )
+
+
+def _rag_sql() -> str:
+    ct, ov, st = _RAG_CT, _RAG_OV, _RAG_CT - _RAG_OV
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ws, CAST(unnest(range(0, CASE WHEN len(ws) > {ct}
+               THEN CAST(ceil((len(ws) - {ct}) / {st}.0) AS BIGINT)
+               ELSE 0 END + 1)) AS INT) AS chunk_index
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index,
+             array_to_string(ws[chunk_index*{st}+1 : chunk_index*{st}+{ct}],
+                             ' ') AS chunk_text
+      FROM s
+    ),
+    emb AS (
+      SELECT doc_id, chunk_id, chunk_index,
+             {_hash_embed_sql('chunk_text')} AS e
+      FROM chunks
+    ),
+    corpus AS (
+      SELECT * FROM emb WHERE list_dot_product(e, e) > 0
+    ),
+    qs AS (
+      SELECT doc_id AS q_doc, chunk_id AS query_chunk_id, e AS qe
+      FROM corpus WHERE chunk_index = 0
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_RAG_NQ}
+    ),
+    scored AS (
+      SELECT q.query_chunk_id, c.chunk_id,
+             round({vx.cosine_sql('c.e', 'q.qe')}, 6) AS sim
+      FROM corpus c CROSS JOIN qs q
+      WHERE c.doc_id <> q.q_doc
+    )
+    SELECT query_chunk_id, CAST(rk AS INT) AS rank, chunk_id, sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_chunk_id
+                                   ORDER BY sim DESC, chunk_id) AS rk
+      FROM scored)
+    WHERE rk <= {_RAG_K}
+    """
+
+
+@query("dx43_rag_retrieval", sql=_rag_sql())
+def dx43_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus indexing end-to-end: overlapping 12-token chunks
+    (operators/chunking.py), 16-dim signed feature-hash embeddings
+    (md5-bit dim/sign, one md5 per token — integer counts, so cosine
+    inputs are exact on both engines), then exact cosine top-3 against
+    a fixed 3-chunk query panel (md5-ordered head — panel size is a
+    CONSTANT, so the scan is one linear pass at any corpus size, not
+    quadratic), excluding same-document hits. Ranking orders by the
+    ROUNDED sim then chunk_id, so rank is engine-independent even
+    under float ties. Chunk+embed are pure per-row expressions (zero
+    shuffle); the panel is a 3-row broadcast; the only exchange is the
+    per-query top-k window, which AQE sees as a WindowGroupLimit
+    partial top-k. The billion-chunk scale path swaps the exact scan
+    for the LSH/IVF candidate stages (vx01/vx04) and keeps this exact
+    kernel as the rerank — same operators, different stage order."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=_RAG_CT, overlap=_RAG_OV)
+    emb = chunks.select(
+        "doc_id", "chunk_id", "chunk_index",
+        _hash_embed(F.col("chunk_text")).alias("e"))
+    corpus = emb.where(vx.dot(F.col("e"), F.col("e")) > 0)
+    qs = (
+        corpus.where(F.col("chunk_index") == 0)
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(_RAG_NQ)
+        .select(F.col("doc_id").alias("q_doc"),
+                F.col("chunk_id").alias("query_chunk_id"),
+                F.col("e").alias("qe"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("doc_id") != F.col("q_doc"))
+        .select("query_chunk_id", "chunk_id",
+                F.round(vx.cosine(F.col("e"), F.col("qe")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_chunk_id").orderBy(
+        F.col("sim").desc(), F.col("chunk_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _RAG_K)
+        .select("query_chunk_id", F.col("rank").cast("int").alias("rank"),
+                "chunk_id", "sim")
+    )
+
+
+# -------------------------------------------- vocabulary / OOV (dx44)
+
+_VOCAB_N = 200
+
+_VOCAB_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+        FROM tok GROUP BY tok)
+      WHERE rk <= {_VOCAB_N}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (WHERE v.tok IS NULL) * 1.0 / count(*), 6)
+             AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+"""
+
+
+@query("dx44_vocab_coverage", sql=_VOCAB_SQL)
+def dx44_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build + coverage gate: top-200
+    tokens by (count desc, token) — the deterministic tie-break makes
+    the vocab itself engine-independent — then per-document token and
+    out-of-vocabulary counts. Shapes: the frequency pass partial-
+    aggregates tokens map-side before its one exchange; the top-N is a
+    TakeOrderedAndProject (never a full sort); the vocab is a tiny
+    broadcast hash join against the exploded corpus; the per-doc agg
+    shuffles once on doc_id. At 100 TB the explode is the dominant
+    cost and stays embarrassingly parallel; the vocab stays O(N)
+    rows regardless of corpus size."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias("tok"))
+    vocab = (
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok").limit(_VOCAB_N)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"))
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"))
+    )
+
+
+# --------------------------------- streaming exact dedup face (sx06)
+
+_SD_BATCHES = 3
+
+_SX06_SQL = f"""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+           CAST(event_id % {_SD_BATCHES} AS INT) AS batch_no
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY event_id % {_SD_BATCHES}, event_id) = 1
+"""
+
+
+@query("sx06_stream_dedup", sql=_SX06_SQL)
+def sx06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of streaming exact dedup (``stream.dropDuplicates``
+    on a key — unbounded-state keep-FIRST-arrival, the complement of
+    the batch keep-last in operators/dedup.py): the event stream
+    replayed as three deterministic micro-batches
+    (event_id % 3; replay order = (batch, event_id) IS the
+    arrival order), each batch running the same kernel a foreachBatch
+    dedup sink runs — collapse the batch to per-key firsts (one
+    window), anti-join against the tracked-key state, append survivors
+    to state. localCheckpoint per batch stands in for the sink's state
+    write, exactly as sx05 does for counts. The oracle is the closed
+    form: one row_number over arrival order. State is one key set —
+    the 100 TB shape is a key-hash-partitioned state store, never a
+    broadcast; the per-batch work is one window + one shuffle join on
+    the key."""
+    ev = t(spark, sf_dir, "events")
+    keys = ["user_id", "event_type"]
+    tracked = spark.createDataFrame([], "user_id bigint, event_type string")
+    kept = []
+    for i in range(_SD_BATCHES):
+        batch = ev.where(F.col("event_id") % _SD_BATCHES == i)
+        w = Window.partitionBy(*keys).orderBy("event_id")
+        firsts = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts", "value")
+            .join(tracked, keys, "left_anti")
+            .withColumn("batch_no", F.lit(i))
+            .localCheckpoint()
+        )
+        kept.append(firsts)
+        tracked = tracked.unionByName(firsts.select(*keys))
+    out = kept[0]
+    for df in kept[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "value",
+        F.col("batch_no").cast("int").alias("batch_no"))

@@ -1,0 +1,83 @@
+"""Invariant tests for the round-5 faces (RAG retrieval, vocab
+coverage, streaming exact dedup). Oracle parity is covered by the
+registry sweep in test_corpus_oracle.py; these pin the semantic
+properties the oracle hash alone doesn't explain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.queries.analytics13 import (
+    _RAG_K,
+    _RAG_NQ,
+    _hash_embed,
+    dx43_rag_retrieval,
+    dx44_vocab_coverage,
+    sx06_stream_dedup,
+)
+
+
+def test_hash_embed_deterministic_and_dim(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha 42"), (2, ""), (3, "ALPHA beta")],
+        "id int, text string")
+    out = df.select("id", _hash_embed(F.col("text")).alias("e")).collect()
+    by_id = {r.id: r.e for r in out}
+    assert all(len(e) == 16 for e in by_id.values())
+    # empty text -> all-zero vector, not null
+    assert by_id[2] == [0.0] * 16
+    # case-insensitive: "ALPHA beta" tokens == {"alpha","beta"}
+    ref = df.select(_hash_embed(F.lit("alpha beta")).alias("e")).first().e
+    assert by_id[3] == ref
+    # token counts add: "alpha beta alpha 42" = alpha*2 + beta + 42
+    again = df.select("id", _hash_embed(F.col("text")).alias("e")).collect()
+    assert {r.id: r.e for r in again} == by_id
+
+
+def test_rag_retrieval_shape(spark, sf_small):
+    rows = dx43_rag_retrieval(spark, sf_small).collect()
+    assert rows, "retrieval returned nothing"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_chunk_id, []).append(r)
+        assert -1.0 - 1e-9 <= r.sim <= 1.0 + 1e-9
+        # no same-document hits: chunk ids are "<doc>#<idx>"
+        assert r.chunk_id.split("#")[0] != r.query_chunk_id.split("#")[0]
+    assert len(by_q) <= _RAG_NQ
+    for q, hits in by_q.items():
+        ranks = sorted(h.rank for h in hits)
+        assert ranks == list(range(1, len(hits) + 1))
+        assert len(hits) <= _RAG_K
+        # ranks follow (sim desc, chunk_id asc)
+        ordered = sorted(hits, key=lambda h: (-h.sim, h.chunk_id))
+        assert [h.rank for h in ordered] == list(range(1, len(hits) + 1))
+
+
+def test_vocab_coverage_bounds(spark, sf_small):
+    out = dx44_vocab_coverage(spark, sf_small)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+    # every document with at least one alnum token appears exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_stream_dedup_keep_first(spark, sf_small):
+    out = sx06_stream_dedup(spark, sf_small)
+    rows = out.collect()
+    keys = [(r.user_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys)), "dedup emitted a key twice"
+    # closed form: min over arrival order (batch asc, event_id asc)
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    expect = (
+        ev.withColumn("_b", F.col("event_id") % 3)
+        .groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("_b", "event_id")).alias("m"))
+        .select("user_id", "event_type", F.col("m.event_id").alias("event_id"))
+        .collect()
+    )
+    got = {(r.user_id, r.event_type): r.event_id for r in rows}
+    want = {(r.user_id, r.event_type): r.event_id for r in expect}
+    assert got == want
