@@ -27,10 +27,22 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
-             ) -> DataFrame:
+             broadcast_nodes_max: int = 2_000_000) -> DataFrame:
     """(node, rank) for every node in the (src, dst) edge list.
 
     Ranks sum to 1.0 (dangling mass redistributed uniformly).
+
+    Join strategy is picked from the EXACT node count (already needed
+    for the 1/n prior): when the rank table fits comfortably in one
+    executor (<= broadcast_nodes_max nodes), every iteration
+    broadcast-joins ranks into the cached edge scan — the edge list,
+    which dominates storage by orders of magnitude on real graphs,
+    is NEVER re-shuffled, and the only exchange per round is the
+    map-side-combined contribution aggregate (bounded by node count).
+    Past the threshold (billion-node web graphs, where ranks can't
+    broadcast) it falls back to hash-partitioned joins on the node id
+    — the same runtime-statistics-driven choice AQE makes for one
+    join, applied across the whole iteration.
     """
     # the edge list is consumed once per round plus twice for setup —
     # cache it (MEMORY_AND_DISK, released on return) so a derived edge
@@ -55,6 +67,7 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     dang_nodes = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti").cache()
 
+    small = n <= broadcast_nodes_max
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     live_caches: list[DataFrame] = []
     for i in range(iters):
@@ -63,16 +76,18 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         # once per round instead of forking exponentially
         ranks = ranks.cache()
         live_caches.append(ranks)
+        r_b = F.broadcast(ranks) if small else ranks
         # mass sitting on dangling nodes this round — kept as a 1-row
         # lazy aggregate riding the plan via broadcast cross join, so
         # an iteration costs ZERO driver actions (a .first() here
         # would force the whole lineage once per round)
         dangling = (
-            ranks.join(dang_nodes, "node", "left_semi")
+            ranks.join(F.broadcast(dang_nodes) if small else dang_nodes,
+                       "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contribs = (
-            ranks.join(ew, ranks["node"] == ew["src"])
+            ew.join(r_b, r_b["node"] == ew["src"])
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("w"))
             .groupBy("dst").agg(F.sum("w").alias("in_mass"))
         )
@@ -81,7 +96,8 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         base = (F.lit((1.0 - damping) / n)
                 + F.lit(damping) * F.col("_dang") / F.lit(float(n)))
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            nodes.join(F.broadcast(contribs) if small else contribs,
+                       nodes["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
