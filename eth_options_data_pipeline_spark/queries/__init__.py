@@ -89,9 +89,10 @@ _WINDOW_PRIORITY = [
     "dx43_rag_retrieval",
     "dx44_vocab_coverage",
     "sx06_stream_dedup",
-    # -- 3. §2-critical regression core (q02/q03/q05 — the simplest
+    "cx01_corpus_pipeline",
+    # -- 3. §2-critical regression core (q02/q03/q05/q18 — the simplest
     #    single-op rows, 3 rounds green — rotate to the CI sweep to make
-    #    room for the three newest faces) ---------------------------------
+    #    room for the four newest faces) ----------------------------------
     "q01_pricing_summary",
     "q04_left_join_coalesce",
     "q06_keep_last",
@@ -102,7 +103,6 @@ _WINDOW_PRIORITY = [
     "q13_json_extract_cast",
     "q14_agg_battery",
     "q15_conditional_counts",
-    "q18_scrub_nonfinite",
     "q19_region_revenue",
     "q20_topk_per_group",
     "q21_options_pipeline",

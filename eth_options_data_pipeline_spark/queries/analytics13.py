@@ -18,8 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eth_options_data_pipeline_spark.operators import text as tx
 from eth_options_data_pipeline_spark.operators import vectors as vx
 from eth_options_data_pipeline_spark.operators.chunking import chunk_documents
+from eth_options_data_pipeline_spark.operators.selection import select_to_budget
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
 
@@ -42,24 +44,44 @@ _RAG_K = 3                   # hits per query chunk
 _RAG_NQ = 3                  # fixed query-panel size
 
 
+def _token_dim_signs(text_col):
+    """array<struct<d,s>>: one (dimension, ±1 sign) pair per token.
+
+    One md5 per token; dim = first 13 hex chars as int mod _RAG_DIM,
+    sign = hex char 14 parity.
+    """
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), F.lit(0))
+    return F.transform(
+        toks,
+        lambda tok: F.struct(
+            (F.conv(F.substring(F.md5(tok), 1, 13), 16, 10).cast("long")
+             % _RAG_DIM).alias("d"),
+            F.when(F.conv(F.substring(F.md5(tok), 14, 1), 16, 10)
+                   .cast("long") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1)).alias("s")))
+
+
 def _hash_embed(text_col):
     """array<double>[_RAG_DIM]: signed token-count feature hashing.
 
-    One md5 per token (computed once, reused by dim and sign), dim =
-    first 13 hex chars as int mod _RAG_DIM, sign = hex char 14 parity.
-    Pure per-row HOF expressions — zero shuffle, zero Python.
+    Shape matters: the (dim, sign) pairs are the ARGUMENT of one
+    top-level ``aggregate`` that folds them into a 16-wide integer
+    accumulator. HOF arguments evaluate once per row; the obvious
+    per-dim form — transform(sequence(0..15), d -> sum over
+    filter(pairs, ...)) — captures the pair-building tree inside the
+    outer lambda and re-runs every md5 16x per row (the same
+    re-evaluation class the shingle/bigram kernels fixed; a separate
+    projection doesn't help here because CollapseProject re-inlines a
+    once-referenced alias). Integer accumulation is order-exact, so
+    the DuckDB oracle may fold in any shape.
     """
-    toks = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), F.lit(0))
-    hs = F.transform(toks, lambda tok: F.md5(tok))
-    dim = lambda h: F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % _RAG_DIM  # noqa: E731
-    sgn = lambda h: F.when(  # noqa: E731
-        F.conv(F.substring(h, 14, 1), 16, 10).cast("long") % 2 == 0,
-        F.lit(1)).otherwise(F.lit(-1))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(_RAG_DIM - 1)),
-        lambda d: F.aggregate(
-            F.filter(hs, lambda h: dim(h) == d.cast("long")),
-            F.lit(0), lambda acc, h: acc + sgn(h)).cast("double"))
+    zeros = F.array_repeat(F.lit(0), _RAG_DIM)
+    folded = F.aggregate(
+        _token_dim_signs(text_col), zeros,
+        lambda acc, p: F.transform(
+            acc, lambda x, i: F.when(i.cast("long") == p["d"], x + p["s"])
+                               .otherwise(x)))
+    return F.transform(folded, lambda x: x.cast("double"))
 
 
 def _hash_embed_sql(text_expr: str) -> str:
@@ -284,3 +306,120 @@ def sx06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "value",
         F.col("batch_no").cast("int").alias("batch_no"))
+
+
+# ------------------------------ corpus curation pipeline (cx01)
+#
+# The headline composition: every stage is an existing, individually
+# oracle-checked operator, chained the way a production pre-training
+# corpus build chains them. One face proves they compose — schemas,
+# determinism, and scale shapes all survive the hand-offs.
+
+_CX_MIN_TOKS = 20     # quality gate
+_CX_BUDGET = 6000     # token budget for the selection stage
+
+_CX_MH_COLS = ",\n             ".join(
+    f"{tx.minhash_sql('sh', j)} AS mh{j}" for j in range(tx.MINHASH_K))
+_CX_BANDS = ", ".join(
+    f"'{b}|' || mh{2 * b} || '|' || mh{2 * b + 1}" for b in range(tx.LSH_BANDS))
+
+_CX01_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS toks
+      FROM documents WHERE lang = 'en'
+    ),
+    gated AS (SELECT * FROM base WHERE toks >= {_CX_MIN_TOKS}),
+    ex AS (
+      SELECT doc_id, text, toks FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ORDER BY doc_id) AS _rn
+        FROM gated)
+      WHERE _rn = 1
+    ),
+    sig AS (
+      SELECT doc_id, toks, {_CX_MH_COLS}
+      FROM (SELECT doc_id, toks, {tx.shingles_sql('text')} AS sh FROM ex)
+    ),
+    bands AS (
+      SELECT doc_id, toks, unnest([{_CX_BANDS}]) AS band_key FROM sig
+    ),
+    bmin AS (
+      SELECT doc_id, toks,
+             min(doc_id) OVER (PARTITION BY band_key) AS bucket_min
+      FROM bands
+    ),
+    surv AS (
+      SELECT doc_id, min(toks) AS toks
+      FROM bmin GROUP BY doc_id HAVING min(bucket_min) = doc_id
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(sum(toks) OVER (ORDER BY toks DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM surv
+    )
+    SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_CX_BUDGET}
+"""
+
+
+@query("cx01_corpus_pipeline", sql=_CX01_SQL)
+def cx01_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — five stages, each an existing
+    oracle-checked operator, chained as one lazy plan:
+
+      1. language filter (lang = 'en' — the dx05 heuristic's output
+         column, here the stored label);
+      2. quality gate (>= 20 whitespace tokens — also guarantees every
+         survivor has word-3-gram shingles, so the MinHash stage never
+         sees the empty-array NULL edge);
+      3. exact dedup (md5 of whitespace-normalized text, keep lowest
+         doc_id — the dx01 fingerprint);
+      4. near-dup screen (MinHash k=8 -> 4-band LSH -> drop any doc
+         sharing a band bucket with a lower doc_id — the dx37
+         one-pass screen; transitive clustering is dx13's job);
+      5. token-budget selection (distributed prefix sum over
+         (toks desc, doc_id), strict 6000-token cutoff —
+         operators/selection.py, no global window).
+
+    The whole pipeline is ONE Catalyst plan: stages 1-3 fuse into the
+    scan projection + one dedup shuffle, stage 4 shuffles 32-char band
+    digests only, stage 5 is the range-partitioned prefix sum. Nothing
+    is collected, nothing is quadratic, and every inter-stage column
+    contract is pinned by the oracle hash."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = (
+        docs.where(F.col("lang") == "en")
+        .select("doc_id", "text", toks.alias("toks"))
+        .where(F.col("toks") >= _CX_MIN_TOKS)
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    w_fp = Window.partitionBy(fp).orderBy("doc_id")
+    ex = (
+        base.withColumn("_rn", F.row_number().over(w_fp))
+        .where(F.col("_rn") == 1).drop("_rn")
+    )
+    sh = ex.select("doc_id", "toks",
+                   tx.word_shingles(F.col("text")).alias("sh"))
+    mh = tx.minhash_signature(F.col("sh"))
+    bands = sh.select(
+        "doc_id", "toks",
+        F.explode(tx.band_keys(
+            [c for c in mh])).alias("band_key"))
+    w_b = Window.partitionBy("band_key")
+    surv = (
+        bands.withColumn("bucket_min", F.min("doc_id").over(w_b))
+        .groupBy("doc_id").agg(F.min("toks").alias("toks"),
+                               F.min("bucket_min").alias("_bm"))
+        .where(F.col("_bm") == F.col("doc_id")).drop("_bm")
+    )
+    return (
+        select_to_budget(surv, quality_col="toks", token_col="toks",
+                         budget=_CX_BUDGET)
+        .select("doc_id", F.col("toks").cast("bigint").alias("n_tokens"),
+                "cum_tokens")
+    )

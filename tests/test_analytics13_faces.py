@@ -81,3 +81,34 @@ def test_stream_dedup_keep_first(spark, sf_small):
     got = {(r.user_id, r.event_type): r.event_id for r in rows}
     want = {(r.user_id, r.event_type): r.event_id for r in expect}
     assert got == want
+
+
+def test_corpus_pipeline_invariants(spark, sf_small):
+    from eth_options_data_pipeline_spark.queries.analytics13 import (
+        _CX_BUDGET,
+        _CX_MIN_TOKS,
+        cx01_corpus_pipeline,
+    )
+
+    rows = cx01_corpus_pipeline(spark, sf_small).collect()
+    assert rows
+    # budget respected and every doc passed the gate
+    assert max(r.cum_tokens for r in rows) <= _CX_BUDGET
+    assert all(r.n_tokens >= _CX_MIN_TOKS for r in rows)
+    # cum_tokens is the prefix sum in (n_tokens desc, doc_id) order
+    ordered = sorted(rows, key=lambda r: (-r.n_tokens, r.doc_id))
+    run = 0
+    for r in ordered:
+        run += r.n_tokens
+        assert r.cum_tokens == run
+    # survivors are exact-dedup-unique on the normalized fingerprint
+    kept_ids = {r.doc_id for r in rows}
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    from pyspark.sql import functions as F
+    fps = (
+        docs.where(F.col("doc_id").isin(list(kept_ids)))
+        .select(F.md5(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), r"\s+", " "))).alias("fp"))
+        .collect()
+    )
+    assert len({r.fp for r in fps}) == len(fps)
