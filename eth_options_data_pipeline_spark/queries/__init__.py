@@ -90,9 +90,11 @@ _WINDOW_PRIORITY = [
     "dx44_vocab_coverage",
     "sx06_stream_dedup",
     "cx01_corpus_pipeline",
-    # -- 3. §2-critical regression core (q02/q03/q05/q18 — the simplest
-    #    single-op rows, 3 rounds green — rotate to the CI sweep to make
-    #    room for the four newest faces) ----------------------------------
+    "dx45_bm25_topk",
+    "dx46_hybrid_rrf",
+    # -- 3. §2-critical regression core (q02/q03/q05/q13/q15/q18 — the
+    #    simplest single-op rows, 3 rounds green — rotate to the CI sweep
+    #    to make room for the six newest faces) ---------------------------
     "q01_pricing_summary",
     "q04_left_join_coalesce",
     "q06_keep_last",
@@ -100,9 +102,7 @@ _WINDOW_PRIORITY = [
     "q08_expiry_ladder",
     "q09_friday_ladder",
     "q11_symbol_parse",
-    "q13_json_extract_cast",
     "q14_agg_battery",
-    "q15_conditional_counts",
     "q19_region_revenue",
     "q20_topk_per_group",
     "q21_options_pipeline",

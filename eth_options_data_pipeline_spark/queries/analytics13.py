@@ -423,3 +423,214 @@ def cx01_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("toks").cast("bigint").alias("n_tokens"),
                 "cum_tokens")
     )
+
+
+# ----------------------------------- lexical retrieval: BM25 (dx45)
+#
+# The lexical half of the retrieval stack (dx43 is the vector half).
+# Zero-explode shape: per-row term frequencies via array filters, one
+# broadcast stats row (N, avgdl, per-term df), top-k as a
+# TakeOrderedAndProject — the corpus is scanned exactly once and only
+# k rows ever reach the driver side of the plan.
+
+_BM25_TERMS = ["vector", "stream", "hash"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_K = 10
+
+
+def _bm25_score_sql() -> str:
+    return " + ".join(
+        f"((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * (d.tf{i} * {_BM25_K1 + 1.0})"
+        f" / (d.tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))"
+        for i in range(len(_BM25_TERMS)))
+
+
+def _bm25_ctes() -> str:
+    """The shared `d` (per-doc tf/dl) and `s` (corpus stats) CTEs."""
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    tf_cols = ", ".join(
+        f"len(list_filter({toks}, x -> x = '{tx_}')) AS tf{i}"
+        for i, tx_ in enumerate(_BM25_TERMS))
+    df_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE tf{i} > 0) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({toks}) AS DOUBLE) AS dl, {tf_cols}
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {df_cols}
+      FROM d
+    )"""
+
+
+def _bm25_sql() -> str:
+    score_terms = _bm25_score_sql()
+    return f"""
+    {_bm25_ctes()}
+    SELECT doc_id, score, CAST(rk AS INT) AS rank FROM (
+      SELECT d.doc_id, round({score_terms}, 6) AS score,
+             row_number() OVER (ORDER BY round({score_terms}, 6) DESC,
+                                d.doc_id) AS rk
+      FROM d CROSS JOIN s
+      WHERE d.tf0 + d.tf1 + d.tf2 > 0)
+    WHERE rk <= {_BM25_K}
+    """
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): rounded BM25 over _BM25_TERMS, matches only.
+
+    idf uses the RATIONAL core (N - df + 0.5)/(df + 0.5) without the
+    usual log wrapper: every input is integer-derived, so +,*,/ keep
+    the score bit-identical across engines (Math.log vs libm log is
+    not guaranteed to agree in the last ulp, which a value hash would
+    see). Monotone in the same direction, so rankings are BM25
+    rankings.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"),
+                                F.lit(0))
+    def _eq(term):
+        # single-parameter closure: a default param would receive the
+        # element index from F.filter instead of the term literal
+        return lambda x: x == F.lit(term)
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[F.size(F.filter(toks, _eq(t_))).alias(f"tf{i}")
+          for i, t_ in enumerate(_BM25_TERMS)])
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("double")
+          .alias(f"df{i}") for i in range(len(_BM25_TERMS))])
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        term = (
+            ((F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+             / (F.col(f"df{i}") + F.lit(0.5)))
+            * (F.col(f"tf{i}") * F.lit(_BM25_K1 + 1.0))
+            / (F.col(f"tf{i}")
+               + F.lit(_BM25_K1) * (F.lit(1.0 - _BM25_B)
+                                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    return (
+        d.where(sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+    )
+
+
+@query("dx45_bm25_topk", sql=_bm25_sql())
+def dx45_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75, rational idf core — see
+    _bm25_scored for why no log) for the fixed query
+    'vector stream hash': per-row term frequencies from array filters
+    (no explode, no per-term shuffle), corpus stats as ONE broadcast
+    row, global top-10 by (score desc, doc_id) planned as
+    TakeOrderedAndProject — each executor forwards at most k rows."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_K)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "score", "rank")
+    )
+
+
+# ------------------------- hybrid retrieval fusion: RRF (dx46)
+
+_RRF_K = 60       # standard reciprocal-rank-fusion damping
+_RRF_POOL = 20    # depth of each source list
+_RRF_OUT = 10
+
+
+def _rrf_sql() -> str:
+    qvec = _hash_embed_sql("'" + " ".join(_BM25_TERMS) + "'")
+    return f"""
+    {_bm25_ctes()},
+    bm AS (
+      SELECT doc_id, rk FROM (
+        SELECT d.doc_id,
+               row_number() OVER (ORDER BY round({_bm25_score_sql()}, 6) DESC,
+                                  d.doc_id) AS rk
+        FROM d CROSS JOIN s WHERE d.tf0 + d.tf1 + d.tf2 > 0)
+      WHERE rk <= {_RRF_POOL}
+    ),
+    ve AS (
+      SELECT doc_id, rk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS rk
+        FROM (
+          SELECT doc_id,
+                 round({vx.cosine_sql(_hash_embed_sql("text"), "qv.q")}, 6)
+                   AS sim
+          FROM documents CROSS JOIN (SELECT {qvec} AS q) qv
+          WHERE list_dot_product({_hash_embed_sql("text")},
+                                 {_hash_embed_sql("text")}) > 0))
+      WHERE rk <= {_RRF_POOL}
+    )
+    SELECT doc_id,
+           round(coalesce(1.0 / ({_RRF_K} + bm.rk), 0)
+                 + coalesce(1.0 / ({_RRF_K} + ve.rk), 0), 6) AS rrf,
+           CAST(row_number() OVER (
+             ORDER BY round(coalesce(1.0 / ({_RRF_K} + bm.rk), 0)
+                            + coalesce(1.0 / ({_RRF_K} + ve.rk), 0), 6) DESC,
+                      doc_id) AS INT) AS rank
+    FROM bm FULL JOIN ve USING (doc_id)
+    QUALIFY rank <= {_RRF_OUT}
+    """
+
+
+@query("dx46_hybrid_rrf", sql=_rrf_sql())
+def dx46_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 and hash-embedding cosine top-20
+    for the same query ('vector stream hash'), fused by reciprocal
+    rank (1/(60+rank), the TREC RRF constant), top-10 by (fused score,
+    doc_id). Both source rankings order by ROUNDED scores with doc_id
+    tie-break, so ranks — and therefore the fusion — are engine-exact.
+    Scale shape: two independent TakeOrderedAndProject scans (each
+    forwards <= 20 rows), a 20x20 full outer join on the driver-free
+    broadcast path, nothing quadratic in the corpus."""
+    bm_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id").limit(_RRF_POOL)
+        .withColumn("bm_rk", F.row_number().over(bm_w))
+        .select("doc_id", "bm_rk")
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    qvec = _hash_embed(F.lit(" ".join(_BM25_TERMS)))
+    emb = docs.select("doc_id", _hash_embed(F.col("text")).alias("e"))
+    sims = (
+        emb.where(vx.dot(F.col("e"), F.col("e")) > 0)
+        .select("doc_id",
+                F.round(vx.cosine(F.col("e"), qvec), 6).alias("sim"))
+    )
+    ve_w = Window.orderBy(F.col("sim").desc(), "doc_id")
+    ve = (
+        sims.orderBy(F.col("sim").desc(), "doc_id").limit(_RRF_POOL)
+        .withColumn("ve_rk", F.row_number().over(ve_w))
+        .select("doc_id", "ve_rk")
+    )
+    fused = (
+        bm.join(ve, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("bm_rk")),
+                           F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ve_rk")),
+                             F.lit(0.0)), 6).alias("rrf"))
+    )
+    out_w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_OUT)
+        .withColumn("rank", F.row_number().over(out_w).cast("int"))
+        .select("doc_id", "rrf", "rank")
+    )

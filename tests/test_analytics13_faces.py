@@ -112,3 +112,44 @@ def test_corpus_pipeline_invariants(spark, sf_small):
         .collect()
     )
     assert len({r.fp for r in fps}) == len(fps)
+
+
+def test_bm25_ranking_properties(spark, sf_small):
+    from eth_options_data_pipeline_spark.queries.analytics13 import (
+        _BM25_K,
+        _BM25_TERMS,
+        dx45_bm25_topk,
+    )
+
+    rows = dx45_bm25_topk(spark, sf_small).collect()
+    assert 0 < len(rows) <= _BM25_K
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    ordered = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    assert [r.rank for r in ordered] == list(range(1, len(rows) + 1))
+    # every hit really contains at least one query term
+    import re
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        f"{sf_small}/documents.parquet").collect()}
+    for r in rows:
+        toks = set(re.findall(r"[a-z0-9]+", docs[r.doc_id].lower()))
+        assert toks & set(_BM25_TERMS)
+        assert r.score > 0
+
+
+def test_rrf_fuses_both_sources(spark, sf_small):
+    from eth_options_data_pipeline_spark.queries.analytics13 import (
+        _RRF_K,
+        _RRF_OUT,
+        _RRF_POOL,
+        dx46_hybrid_rrf,
+    )
+
+    rows = dx46_hybrid_rrf(spark, sf_small).collect()
+    assert 0 < len(rows) <= _RRF_OUT
+    hi = round(2.0 / (_RRF_K + 1), 6)          # in both lists at rank 1
+    lo = round(1.0 / (_RRF_K + _RRF_POOL), 6)  # one list, last slot
+    for r in rows:
+        assert lo <= r.rrf <= hi
+    # the fused order is (rrf desc, doc_id)
+    ordered = sorted(rows, key=lambda r: (-r.rrf, r.doc_id))
+    assert [r.rank for r in ordered] == list(range(1, len(rows) + 1))

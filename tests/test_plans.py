@@ -112,3 +112,34 @@ def test_no_python_in_hot_paths(spark, sf_small):
             continue
         p = plan(spec.fn(spark, sf_small))
         assert "EvalPython" not in p and "MapInPandas" not in p, f"{name} drops to Python"
+
+
+def test_bm25_single_scan_topk(spark, sf_small):
+    """dx45: corpus read once, stats side is one broadcast row, top-k
+    is a TakeOrderedAndProject (each executor forwards <= k rows)."""
+    p = plan(REGISTRY["dx45_bm25_topk"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Scan parquet") <= 2  # doc scan + stats branch
+
+
+def test_rrf_sources_are_bounded(spark, sf_small):
+    """dx46: both source rankings end in TakeOrderedAndProject BEFORE
+    the fusion join, so the join's inputs are <= pool-size rows at any
+    corpus scale. (The full-outer join itself stays a sort-merge —
+    Spark has no broadcast full-outer equi-join — which is fine
+    because both inputs are already bounded.)"""
+    p = plan(REGISTRY["dx46_hybrid_rrf"].fn(spark, sf_small))
+    assert p.count("TakeOrderedAndProject") >= 3  # bm pool, ve pool, final
+    join_at = p.index("FullOuter")
+    # both bounded pools must sit BELOW the fusion join in the tree
+    assert p.index("TakeOrderedAndProject(limit=20", join_at) > join_at
+
+
+def test_rag_corpus_side_shuffle_free_until_topk(spark, sf_small):
+    """dx43: chunk + embed are per-row expressions; the only key
+    exchange is the per-query top-k window (WindowGroupLimit)."""
+    p = plan(REGISTRY["dx43_rag_retrieval"].fn(spark, sf_small))
+    assert "WindowGroupLimit" in p
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
