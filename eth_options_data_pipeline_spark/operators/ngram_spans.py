@@ -1,0 +1,112 @@
+"""Exact n-gram span deduplication — the "verbatim shared substring"
+detector (Lee et al., *Deduplicating Training Data Makes Language
+Models Better*, ACL 2022) re-expressed as a banded Spark plan.
+
+MinHash (operators/text.py) answers "are these documents mostly the
+same?"; CDC chunking (operators/fingerprint.py) finds shifted copies
+of whole chunks. Neither reports WHERE two documents share verbatim
+text nor how long the longest shared run is — the signal
+exact-substring training-data dedup cuts on (the paper removes any
+50-token span appearing twice in the corpus). The single-node tool is
+a suffix array over the concatenated corpus; the Spark-shaped
+equivalent is a rolling n-gram inverted index:
+
+1. every document emits one ``(digest, doc_id, pos)`` posting per
+   word position — a JVM-side transform/explode, no Python;
+2. digests with document frequency outside ``[2, max_df]`` are
+   dropped (df=1 cannot pair; df>max_df is boilerplate — the same
+   frequency gate a suffix-array postprocess applies);
+3. surviving postings self-join on digest → matched position pairs
+   ``(pa, pb)`` per document pair;
+4. matches on the same diagonal (``pa - pb`` constant) at consecutive
+   ``pa`` form an island — a maximal shared run. Gaps-and-islands
+   turns per-position matches into per-span facts: the longest run of
+   ``r`` consecutive matched n-grams is a verbatim shared substring of
+   ``r + n - 1`` words.
+
+Scale shape: only 32-byte digests plus two longs ever shuffle — text
+never leaves the scan stage. The frequency gate bounds per-digest
+fan-out to ``C(max_df, 2)`` pairs, so no bucket explodes; the island
+window partitions by (doc_a, doc_b, diagonal) — millions of tiny
+partitions, never a global sort. At 100 TB the posting index is
+~tokens x 40 bytes, hash-partitioned on digest; every stage is a
+shuffle-on-digest or shuffle-on-pair with map-side partial
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_N = 5
+
+
+def ngram_postings(docs: DataFrame, n: int = DEFAULT_N,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """``(g, doc_id, pos)`` posting per word position: md5 digest of
+    the n-word gram starting at 1-based ``pos``. Pure JVM expressions
+    (split -> sequence -> slice/concat_ws/md5 -> explode)."""
+    w = F.split(F.col(text_col), " ")
+    npos = F.size(w) - F.lit(n - 1)
+    # sequence(1, 0) would DESCEND; guard short docs with an empty array
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)) \
+                 .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(w, i, n))).alias("g"),
+        ),
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("t"))
+        .select(F.col("t.g").alias("g"), "doc_id",
+                F.col("t.pos").cast("long").alias("pos"))
+    )
+
+
+def span_dup_pairs(postings: DataFrame, n: int = DEFAULT_N,
+                   min_matched: int = 3, max_df: int = 20) -> DataFrame:
+    """Document pairs sharing >= ``min_matched`` matched n-gram
+    positions, with island decomposition:
+
+    * ``matched_grams`` — matched (pa, pb) position pairs in total;
+    * ``n_islands``     — distinct maximal shared runs;
+    * ``longest_run_words`` — longest verbatim shared substring,
+      in words (longest island + n - 1).
+
+    The df gate and pair join shuffle digests only; the island window
+    is per (pair, diagonal), so partition sizes are bounded by the
+    shorter document's length regardless of corpus size.
+    """
+    kept = (
+        postings.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("g")
+    )
+    occ = postings.join(kept, "g")
+    a = occ.select("g", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"))
+    b = occ.select("g", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    pairs = a.join(b, "g").where(F.col("doc_a") < F.col("doc_b"))
+
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = (
+        pairs.select("doc_a", "doc_b",
+                     (F.col("pa") - F.col("pb")).alias("diag"), "pa")
+        .withColumn("island", F.col("pa") - F.row_number().over(win))
+    )
+    runs = (
+        islands.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.sum("run").alias("matched_grams"),
+             F.count(F.lit(1)).alias("n_islands"),
+             (F.max("run") + F.lit(n - 1)).alias("longest_run_words"))
+        .where(F.col("matched_grams") >= min_matched)
+    )

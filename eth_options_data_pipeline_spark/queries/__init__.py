@@ -28,6 +28,7 @@ from eth_options_data_pipeline_spark.queries import analytics10  # noqa: F401,E4
 from eth_options_data_pipeline_spark.queries import analytics11  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics12  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics13  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics14  # noqa: F401,E402
 
 
 # ---------------------------------------------------------------------------
@@ -92,18 +93,18 @@ _WINDOW_PRIORITY = [
     "cx01_corpus_pipeline",
     "dx45_bm25_topk",
     "dx46_hybrid_rrf",
-    # -- 3. §2-critical regression core (q02/q03/q05/q13/q15/q18 — the
-    #    simplest single-op rows, 3 rounds green — rotate to the CI sweep
-    #    to make room for the six newest faces) ---------------------------
+    "dx47_ngram_span_dups",
+    "dx48_gap_fill",
+    # -- 3. §2-critical regression core (q02/q03/q05/q13/q15/q18/q19 —
+    #    the simplest single-op rows, 3+ rounds green — rotate to the CI
+    #    sweep to make room for the newest faces) ------------------------
     "q01_pricing_summary",
-    "q04_left_join_coalesce",
     "q06_keep_last",
     "q07_lag_delta",
     "q08_expiry_ladder",
     "q09_friday_ladder",
     "q11_symbol_parse",
     "q14_agg_battery",
-    "q19_region_revenue",
     "q20_topk_per_group",
     "q21_options_pipeline",
 ]
