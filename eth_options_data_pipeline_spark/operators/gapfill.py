@@ -61,39 +61,23 @@ def daily_grid(events: DataFrame, key_col: str = "user_id",
     )
 
 
-def gap_fill_locf(events: DataFrame, key_col: str = "user_id",
-                  ts_col: str = "ts", value_col: str = "value",
-                  tiebreak_col: str = "event_id",
-                  sentinel: float = -1.0) -> DataFrame:
-    """Daily LOCF fill: (key, day, value_locf, observed). Days before a
-    key's first observation get ``sentinel`` (never a NULL double —
-    NULL doubles hash differently across engines)."""
-    obs = daily_last_observation(events, key_col, ts_col, value_col,
-                                 tiebreak_col)
-    grid = daily_grid(events, key_col, ts_col)
-    joined = grid.join(obs, ["key", "day"], "left")
-    run = (Window.partitionBy("key").orderBy("day")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return joined.select(
-        "key", "day",
-        F.round(F.coalesce(
-            F.last("obs_value", ignorenulls=True).over(run),
-            F.lit(sentinel)), 6).alias("value_locf"),
-        F.when(F.col("obs_value").isNotNull(), F.lit(1))
-         .otherwise(F.lit(0)).alias("observed"),
-    )
+def gap_fill(events: DataFrame, key_col: str = "user_id",
+             ts_col: str = "ts", value_col: str = "value",
+             tiebreak_col: str = "event_id",
+             sentinel: float = -1.0, decimals: int = 6) -> DataFrame:
+    """Both fill modes in one pass: (key, day, value_locf,
+    value_interp, observed).
 
+    * ``value_locf`` — last observation carried forward; days before a
+      key's first observation get ``sentinel`` (never a NULL double —
+      NULL doubles hash differently across engines);
+    * ``value_interp`` — linear interpolation between the bracketing
+      observations, LOCF past the last, ``sentinel`` before the first.
 
-def gap_fill_interpolate(events: DataFrame, key_col: str = "user_id",
-                         ts_col: str = "ts", value_col: str = "value",
-                         tiebreak_col: str = "event_id",
-                         sentinel: float = -1.0,
-                         decimals: int = 6) -> DataFrame:
-    """Daily linear interpolation between the previous and next
-    observed values; LOCF past the last observation, ``sentinel``
-    before the first. Two ignore-nulls windows (backward + forward)
-    carry the bracketing (day, value) pairs; the lerp is one rounded
-    arithmetic expression."""
+    The backward and forward ignore-nulls windows share one sort of
+    the same (key-partitioned) frame, so computing both modes costs no
+    extra shuffle over LOCF alone.
+    """
     obs = daily_last_observation(events, key_col, ts_col, value_col,
                                  tiebreak_col)
     grid = daily_grid(events, key_col, ts_col)
@@ -112,14 +96,28 @@ def gap_fill_interpolate(events: DataFrame, key_col: str = "user_id",
     here = F.datediff("day", F.lit("1970-01-01"))
     lerp = (prev_pt.v + (next_pt.v - prev_pt.v)
             * (here - prev_pt.d) / (next_pt.d - prev_pt.d))
-    value = (
+    interp = (
         F.when(F.col("obs_value").isNotNull(), F.col("obs_value"))
         .when(prev_pt.isNull(), F.lit(sentinel))
         .when(next_pt.isNull(), prev_pt.v)          # LOCF after last obs
         .otherwise(lerp)
     )
     return joined.select(
-        "key", "day", F.round(value, decimals).alias("value_interp"),
+        "key", "day",
+        F.round(F.coalesce(prev_pt.v, F.lit(sentinel)),
+                decimals).alias("value_locf"),
+        F.round(interp, decimals).alias("value_interp"),
         F.when(F.col("obs_value").isNotNull(), F.lit(1))
          .otherwise(F.lit(0)).alias("observed"),
     )
+
+
+def gap_fill_locf(events: DataFrame, **kwargs) -> DataFrame:
+    """Daily LOCF fill: (key, day, value_locf, observed)."""
+    return gap_fill(events, **kwargs).drop("value_interp")
+
+
+def gap_fill_interpolate(events: DataFrame, **kwargs) -> DataFrame:
+    """Daily linear-interpolation fill: (key, day, value_interp,
+    observed)."""
+    return gap_fill(events, **kwargs).drop("value_locf")

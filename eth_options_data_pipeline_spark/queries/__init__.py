@@ -95,6 +95,8 @@ _WINDOW_PRIORITY = [
     "dx46_hybrid_rrf",
     "dx47_ngram_span_dups",
     "dx48_gap_fill",
+    "dx49_hard_negatives",
+    "dx50_rolling_anomaly",
     # -- 3. §2-critical regression core (q02/q03/q05/q13/q15/q18/q19 —
     #    the simplest single-op rows, 3+ rounds green — rotate to the CI
     #    sweep to make room for the newest faces) ------------------------
@@ -104,8 +106,6 @@ _WINDOW_PRIORITY = [
     "q08_expiry_ladder",
     "q09_friday_ladder",
     "q11_symbol_parse",
-    "q14_agg_battery",
-    "q20_topk_per_group",
     "q21_options_pipeline",
 ]
 

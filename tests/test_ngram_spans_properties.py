@@ -1,0 +1,69 @@
+"""Property check: span_dup_pairs must agree with a brute-force
+Python reference (all-pairs gram comparison + run scan) on randomized
+small corpora."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from eth_options_data_pipeline_spark.operators.ngram_spans import (
+    ngram_postings, span_dup_pairs,
+)
+
+N = 3
+WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])  # tiny vocab -> collisions
+DOC = st.lists(WORD, min_size=0, max_size=14).map(" ".join)
+
+
+def _ref(texts: list[str], n: int, min_matched: int, max_df: int):
+    grams = defaultdict(list)  # gram -> [(doc, pos)]
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ") if text else []
+        for i in range(len(words) - n + 1):
+            grams[tuple(words[i:i + n])].append((doc_id, i + 1))
+    pair_hits = defaultdict(set)  # (a, b) -> {(pa, pb)}
+    for occ in grams.values():
+        docs = {d for d, _ in occ}
+        if not (2 <= len(docs) <= max_df):
+            continue
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    pair_hits[(da, db)].add((pa, pb))
+    out = {}
+    for pair, hits in pair_hits.items():
+        if len(hits) < min_matched:
+            continue
+        by_diag = defaultdict(list)
+        for pa, pb in hits:
+            by_diag[pa - pb].append(pa)
+        islands = []
+        for pas in by_diag.values():
+            pas.sort()
+            run = 1
+            for prev, cur in zip(pas, pas[1:]):
+                if cur == prev + 1:
+                    run += 1
+                else:
+                    islands.append(run)
+                    run = 1
+            islands.append(run)
+        out[pair] = (len(hits), len(islands), max(islands) + n - 1)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(DOC, min_size=2, max_size=6))
+def test_span_pairs_match_bruteforce(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.matched_grams, r.n_islands, r.longest_run_words)
+        for r in span_dup_pairs(ngram_postings(docs, n=N), n=N,
+                                min_matched=2, max_df=4).collect()
+    }
+    want = _ref(texts, N, min_matched=2, max_df=4)
+    assert got == want

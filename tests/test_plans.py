@@ -143,3 +143,25 @@ def test_rag_corpus_side_shuffle_free_until_topk(spark, sf_small):
     p = plan(REGISTRY["dx43_rag_retrieval"].fn(spark, sf_small))
     assert "WindowGroupLimit" in p
     assert "PythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_ngram_span_dedup_equi_joins_only(spark, sf_small):
+    """dx47's digest self-join must stay an equi-join (hash or
+    sort-merge — AQE's call); never a cartesian or nested-loop
+    product, and never Python."""
+    p = plan(REGISTRY["dx47_ngram_span_dups"].fn(spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_gap_fill_single_window_sort(spark, sf_small):
+    """dx48 computes LOCF (backward frame) and interpolation (forward
+    frame) over the same key-partitioned day ordering: exactly one
+    Window node, so adding the second fill mode costs no extra sort or
+    shuffle. No cartesian grid materialization — the calendar comes
+    from a broadcast bounds row + sequence explode."""
+    p = plan(REGISTRY["dx48_gap_fill"].fn(spark, sf_small))
+    windows = [ln for ln in p.splitlines() if ln.strip("+- *").startswith("Window ")]
+    assert len(windows) == 1, p
+    assert "CartesianProduct" not in p

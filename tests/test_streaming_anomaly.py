@@ -1,0 +1,92 @@
+"""Streaming rolling z == batch rolling z on the same rows once the
+watermark passes them, including rows that arrive out of event-time
+order across micro-batches (the case a naive per-batch scorer gets
+wrong)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators.anomaly import rolling_zscore
+from eth_options_data_pipeline_spark.streaming.anomaly_stream import (
+    streaming_rolling_zscore,
+)
+
+BASE = dt.datetime(2025, 11, 3, 9, 0)
+
+# (event_id, minute, value, batch): key A gets a flat baseline, a
+# LATE-arriving baseline row (id 7, minute 7, lands in batch 2 after
+# minute-8/9 rows were seen in batch 1), then a spike; key B stays flat
+ROWS = [
+    (0, 0, 10.0, 1), (1, 1, 10.2, 1), (2, 2, 9.9, 1), (3, 3, 10.1, 1),
+    (4, 4, 10.0, 1), (5, 5, 9.8, 1), (6, 6, 10.2, 1),
+    (8, 8, 10.0, 1), (9, 9, 10.1, 1),
+    (7, 7, 9.9, 2),                       # late row, inside watermark
+    (10, 10, 10.0, 2), (11, 11, 9.95, 2),
+    (12, 12, 30.0, 3),                    # spike
+    (99, 180, 10.0, 4), (98, 240, 10.0, 5),   # flush sentinels
+]
+
+
+def _write_batches(spark, directory):
+    for batch in sorted({b for *_, b in ROWS}):
+        pdf = pd.DataFrame(
+            [("A", i, BASE + dt.timedelta(minutes=m), v)
+             for i, m, v, b in ROWS if b == batch],
+            columns=["sym", "event_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append") \
+            .parquet(str(directory))
+
+
+def test_streaming_z_matches_batch(spark, tmp_path):
+    _write_batches(spark, tmp_path / "in")
+    stream = (
+        spark.readStream
+        .schema("sym string, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "in"))
+    )
+    out = streaming_rolling_zscore(
+        stream, key="sym", ts="ts", tiebreak="event_id", value="value",
+        lookback=20, min_periods=5, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("anom_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.event_id: r.z for r in spark.table("anom_out").collect()}
+
+    bdf = spark.createDataFrame(
+        pd.DataFrame([("A", i, BASE + dt.timedelta(minutes=m), v)
+                      for i, m, v, _ in ROWS],
+                     columns=["user_id", "event_id", "ts", "value"]))
+    want = {
+        r.event_id: r.z
+        for r in rolling_zscore(bdf, lookback=20, min_periods=5,
+                                decimals=9).collect()
+    }
+
+    # every row except the final sentinel must flush (98 holds the max
+    # event time, so the watermark never passes it — inherent to
+    # append-final semantics) and agree with the batch score; 99 only
+    # flushes via the event-time timeout in the trailing no-data batch
+    for eid, wz in want.items():
+        if eid == 98:
+            continue
+        assert eid in got, f"event {eid} never emitted"
+        gz = got[eid]
+        if wz is None:
+            assert gz is None, f"event {eid}: stream {gz}, batch None"
+        else:
+            assert gz is not None and round(gz, 9) == wz, \
+                f"event {eid}: stream {gz}, batch {wz}"
+
+    # the late row (id 7) was scored in event-time position: the spike's
+    # baseline includes it, and the spike is the clear outlier
+    assert got[12] == max(v for v in got.values() if v is not None)
+    assert got[12] > 2.5
