@@ -165,3 +165,43 @@ def test_gap_fill_single_window_sort(spark, sf_small):
     windows = [ln for ln in p.splitlines() if ln.strip("+- *").startswith("Window ")]
     assert len(windows) == 1, p
     assert "CartesianProduct" not in p
+
+
+def test_context_windows_single_window_node(spark, sf_small):
+    """dx52's context list and its length share one sliding frame:
+    exactly one Window node, no Python eval."""
+    p = plan(REGISTRY["dx52_context_windows"].fn(spark, sf_small))
+    windows = [ln for ln in p.splitlines()
+               if ln.strip("+- *").startswith("Window ")]
+    assert len(windows) == 1, p
+    assert "EvalPython" not in p
+
+
+def test_temperature_mix_weights_broadcast(spark, sf_small):
+    """dx51 derives per-source weights in-plan and joins them back via
+    BROADCAST — the fact side must not shuffle for the join, and the
+    row amplification is an in-row explode (Generate), not a join."""
+    p = plan(REGISTRY["dx51_temperature_mix"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Generate explode" in p
+
+
+def test_partitioned_join_gets_dynamic_partition_pruning(spark, sf_small,
+                                                         tmp_path):
+    """A fact table partitioned on the join key, joined to a
+    selectively-filtered dim, must plan a dynamic-partition-pruning
+    subquery on the fact scan — at 100 TB this is the difference
+    between scanning one partition and scanning the lake."""
+    from eth_options_data_pipeline_spark.sources import load_table
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_part")
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("2-HIGH", "warm")],
+        "o_orderpriority string, label string")
+    joined = (fact.join(dim.where("label = 'hot'"), "o_orderpriority")
+              .groupBy("label").count())
+    op = optimized(joined)
+    assert "dynamicpruning" in op, op
