@@ -191,3 +191,109 @@ def qx47_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", "source", "n_chars",
         F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+# -------------------------------------- approximate quantiles (qx48)
+#
+# The scale path for percentiles at 100 TB is a mergeable sketch
+# (Spark's percentile_approx — Greenwald-Khanna variant, rank error
+# <= N/accuracy); the exact percentile needs per-group value
+# buffering and exists here only to VERIFY the sketch. The face emits,
+# per requested quantile: the exact value (rounded — both engines
+# interpolate linearly) and a guarantee boolean computed by ranking
+# the sketch's answer against the real distribution, the qx28
+# technique (the oracle states the guarantee must hold; Spark proves
+# it numerically).
+
+_QX48_QS = [0.25, 0.5, 0.75, 0.95]
+_QX48_ACC = 1000  # rank error <= n/1000
+
+_QX48_SQL = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q,"
+    f" round(quantile_cont(l_extendedprice, {q}), 6) AS exact_q,"
+    f" TRUE AS bound_ok FROM lineitem"
+    for q in _QX48_QS
+)
+
+
+@query("qx48_approx_quantiles", sql=_QX48_SQL)
+def qx48_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx with its rank-error contract checked in-plan:
+    for each q, the count of values <= the sketch's answer must sit
+    within n/accuracy (+1 for ties) of q*n. One scan builds the
+    sketch AND the exact percentiles; one more ranks the sketch
+    answers (broadcast of a 4-row panel)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = F.lit(_QX48_QS)
+    agg = li.agg(
+        F.percentile_approx("l_extendedprice", qs, F.lit(_QX48_ACC))
+         .alias("approx"),
+        F.percentile("l_extendedprice", qs).alias("exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    panel = agg.select(
+        F.posexplode(F.arrays_zip("approx", "exact")).alias("i", "pair"),
+        "n",
+    ).select(
+        F.element_at(F.lit(_QX48_QS), F.col("i") + 1).alias("q"),
+        F.col("pair.approx").alias("approx_v"),
+        F.round(F.col("pair.exact"), 6).alias("exact_q"),
+        "n",
+    )
+    ranked = (
+        li.crossJoin(F.broadcast(panel))
+        .groupBy("q", "approx_v", "exact_q", "n")
+        .agg(F.sum(F.when(F.col("l_extendedprice") <= F.col("approx_v"), 1)
+                   .otherwise(0)).alias("rank_le"))
+    )
+    err = F.abs(F.col("rank_le") - F.col("q") * F.col("n"))
+    bound = F.col("n") / _QX48_ACC + 1
+    return ranked.select(
+        "q", "exact_q", (err <= bound).alias("bound_ok"))
+
+
+# ----------------------------------------- schema evolution (qx49)
+#
+# A 100 TB lake's schema changes under the pipeline: new columns
+# appear in new file generations while old files stay untouched.
+# The engine must read both generations in one scan with the union
+# schema (old files null-fill the new column) — Spark's mergeSchema
+# path. The oracle simulates the two generations relationally.
+
+_QX49_SQL = """
+    WITH u AS (
+      SELECT doc_id, lang, NULL AS source FROM documents
+      UNION ALL
+      SELECT doc_id, lang, source FROM documents
+    )
+    SELECT lang, coalesce(source, '<pre-evolution>') AS src,
+           count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM u GROUP BY 1, 2
+"""
+
+
+@query("qx49_schema_evolution", sql=_QX49_SQL)
+def qx49_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: generation 1 lacks the ``source``
+    column, generation 2 has it; a mergeSchema scan reads both with
+    the union schema and null-fills the old files. Aggregates over
+    the merged scan must equal the relational union — which is what
+    the oracle states. Scratch written once per session (qx46/qx47
+    pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"evolve_face_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)))
+    g1 = os.path.join(scratch, "g1")
+    g2 = os.path.join(scratch, "g2")
+    if not os.path.isdir(g1):
+        docs.select("doc_id", "lang").write.mode("overwrite").parquet(g1)
+    if not os.path.isdir(g2):
+        docs.select("doc_id", "lang", "source").write.mode(
+            "overwrite").parquet(g2)
+    merged = spark.read.option("mergeSchema", "true").parquet(g1, g2)
+    return merged.groupBy(
+        "lang", F.coalesce("source", F.lit("<pre-evolution>")).alias("src"),
+    ).agg(F.count(F.lit(1)).alias("cnt"),
+          F.sum("doc_id").alias("id_sum"))

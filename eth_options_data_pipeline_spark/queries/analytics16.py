@@ -1,0 +1,207 @@
+"""Round-5 corpus faces, part 3: distribution-drift monitoring (dx54).
+
+dx54 computes the Population Stability Index between a reference
+window and the current window of a numeric column — the standard
+"did my training-data distribution move?" gate a continuously-
+ingesting corpus pipeline runs before every retrain. Fixed bucket
+edges (deterministic, no quantile estimation inside the monitored
+path), zero-share smoothing at 1e-6, and per-bucket PSI terms so the
+alert can point at WHICH region of the distribution moved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+_PSI_CUT = "1996-01-01"
+_PSI_WIDTH = 60000
+_PSI_BUCKETS = 10
+_PSI_EPS = 1e-6
+
+_PSI_SQL = f"""
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / {_PSI_WIDTH}) AS BIGINT),
+                   {_PSI_BUCKETS - 1}) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '{_PSI_CUT}'
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM orders
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(sum(is_ref) AS BIGINT) AS nref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS ncur
+      FROM b GROUP BY bucket
+    ),
+    t AS (
+      SELECT CAST(sum(nref) AS BIGINT) AS tref,
+             CAST(sum(ncur) AS BIGINT) AS tcur
+      FROM c
+    )
+    SELECT bucket,
+           round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+           round((p - q) * ln(p / q), 6) AS psi_term
+    FROM (
+      SELECT bucket,
+             greatest(nref / CAST(tref AS DOUBLE), {_PSI_EPS}) AS p,
+             greatest(ncur / CAST(tcur AS DOUBLE), {_PSI_EPS}) AS q
+      FROM c, t
+    )
+"""
+
+
+@query("dx54_drift_psi", sql=_PSI_SQL)
+def dx54_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index, per fixed-width bucket, between the
+    pre-cutoff reference window and the post-cutoff current window of
+    o_totalprice. One scan, one 10-row groupBy, a broadcast of the
+    two totals — the whole monitor costs a single aggregation over
+    the delta at 100 TB. Shares are smoothed at 1e-6 before the log
+    so empty buckets alert instead of dividing by zero; the PSI term
+    is computed from UNROUNDED shares and rounded once, identically
+    on both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderdate")
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    b = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / _PSI_WIDTH),
+                F.lit(_PSI_BUCKETS - 1)).alias("bucket"),
+        F.when(F.col("o_orderdate") < cut, 1).otherwise(0).alias("is_ref"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("is_ref").alias("nref"),
+        F.sum(1 - F.col("is_ref")).alias("ncur"),
+    )
+    t = c.agg(F.sum("nref").alias("tref"), F.sum("ncur").alias("tcur"))
+    p = F.greatest(F.col("nref") / F.col("tref").cast("double"),
+                   F.lit(_PSI_EPS))
+    q = F.greatest(F.col("ncur") / F.col("tcur").cast("double"),
+                   F.lit(_PSI_EPS))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("bucket", p.alias("p"), q.alias("q"))
+        .select("bucket",
+                F.round("p", 6).alias("p_ref"),
+                F.round("q", 6).alias("p_cur"),
+                F.round((F.col("p") - F.col("q"))
+                        * F.log(F.col("p") / F.col("q")), 6)
+                 .alias("psi_term"))
+    )
+
+
+# --------------------------------------- training export pipeline (cx02)
+#
+# The second composition face (cx01 is curation): the EXPORT half of
+# a training-data pipeline, three oracle-proven operators chained as
+# one lazy plan:
+#
+#   1. train/val split          (operators/splits.split_column — the
+#      seeded 15-hex-digit md5 band; val is frozen BEFORE any
+#      oversampling so eval rows are never duplicated);
+#   2. temperature mixing       (operators/mixing.temperature_mix —
+#      n^0.5 weights derived from the TRAIN side's own histogram);
+#   3. deterministic shard + order (operators/export_shuffle.
+#      assign_shards over the copy-aware id, position = rank of the
+#      permutation key within the shard).
+#
+# The output is the export MANIFEST: every training copy's (shard,
+# position) plus the held-out rows — enough to replay the exact byte
+# order of an export at any scale. One exchange per stage boundary
+# that needs one (dedup-free here): the mix amplifies in-row, the
+# shard assignment is the single corpus-wide exchange.
+
+_CX02_SHARDS = 8
+_CX02_TRAIN = 0.9
+
+_CX02_SQL = f"""
+    WITH spl AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(('0x' || substr(md5('split-v1|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 < {_CX02_TRAIN}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ),
+    n AS (SELECT source, count(*) AS ns FROM spl
+          WHERE split = 'train' GROUP BY source),
+    z AS (SELECT sum(pow(ns, 0.5)) AS z, sum(ns) AS nt FROM n),
+    w AS (SELECT source, round(nt * pow(ns, 0.5) / z / ns, 9) AS wt
+          FROM n, z),
+    cop AS (
+      SELECT s.doc_id, s.source, w.wt,
+             CAST(floor(w.wt) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5(
+                      'tmix|' || s.source || '|' || CAST(s.doc_id AS VARCHAR)
+                    ), 1, 13)) AS BIGINT) / 4503599627370496.0
+                    < w.wt - floor(w.wt)
+                    THEN 1 ELSE 0 END AS cop
+      FROM spl s JOIN w USING (source) WHERE s.split = 'train'
+    ),
+    train AS (
+      SELECT doc_id, CAST(unnest(range(0, cop)) AS INT) AS mix_copy
+      FROM cop
+    ),
+    keyed AS (
+      SELECT doc_id, mix_copy,
+             md5('export-v1|' || CAST(doc_id AS VARCHAR) || '#'
+                 || CAST(mix_copy AS VARCHAR)) AS k
+      FROM train
+    ),
+    sharded AS (
+      SELECT doc_id, mix_copy, k,
+             CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT)
+                  % {_CX02_SHARDS} AS INT) AS shard
+      FROM keyed
+    )
+    SELECT 'train' AS split, doc_id, mix_copy, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k)
+                AS INT) AS pos
+    FROM sharded
+    UNION ALL
+    SELECT 'val' AS split, doc_id, 0 AS mix_copy, -1 AS shard, -1 AS pos
+    FROM spl WHERE split = 'val'
+"""
+
+
+@query("cx02_export_pipeline", sql=_CX02_SQL)
+def cx02_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export manifest: split → temperature-mix the train
+    side → deterministic shard + intra-shard order, as ONE lazy plan.
+    Every stage is an existing oracle-proven operator; the hash match
+    pins the inter-stage contracts (val frozen before oversampling,
+    weights from the train histogram only, copy-aware permutation
+    ids)."""
+    from pyspark.sql import Window
+    from eth_options_data_pipeline_spark.operators.export_shuffle import (
+        KEY_COL, SHARD_COL, assign_shards,
+    )
+    from eth_options_data_pipeline_spark.operators.mixing import (
+        temperature_mix,
+    )
+    from eth_options_data_pipeline_spark.operators.splits import split_column
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    spl = docs.withColumn(
+        "split", split_column(F.col("doc_id"),
+                              {"train": _CX02_TRAIN, "val": 1 - _CX02_TRAIN}))
+    train = spl.where(F.col("split") == "train")
+    mixed = temperature_mix(train, source_col="source", id_col="doc_id",
+                            alpha=0.5, seed="tmix")
+    eid = F.concat_ws("#", F.col("doc_id").cast("string"),
+                      F.col("mix_copy").cast("string"))
+    sharded = assign_shards(mixed.withColumn("_eid", eid), "_eid",
+                            "export-v1", _CX02_SHARDS)
+    w = Window.partitionBy(SHARD_COL).orderBy(KEY_COL)
+    out_train = sharded.select(
+        F.lit("train").alias("split"), "doc_id",
+        F.col("mix_copy").cast("int").alias("mix_copy"),
+        F.col(SHARD_COL).alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"))
+    out_val = spl.where(F.col("split") == "val").select(
+        F.lit("val").alias("split"), "doc_id",
+        F.lit(0).alias("mix_copy"), F.lit(-1).alias("shard"),
+        F.lit(-1).alias("pos"))
+    return out_train.unionByName(out_val)

@@ -205,3 +205,94 @@ def test_partitioned_join_gets_dynamic_partition_pruning(spark, sf_small,
               .groupBy("label").count())
     op = optimized(joined)
     assert "dynamicpruning" in op, op
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_small):
+    """Co-located joins: two tables bucketed on the join key join
+    WITHOUT a shuffle — at 100 TB this turns the nightly fact-fact
+    join from the dominant exchange into a local zipper. (Bucket scans
+    only kick in when the join would otherwise shuffle, so AQE's
+    broadcast promotion is disabled for the probe.)"""
+    from eth_options_data_pipeline_spark.sources import load_table
+    orders = load_table(spark, sf_small, "orders")
+    lineitem = load_table(spark, sf_small, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS _bj_orders")
+    spark.sql("DROP TABLE IF EXISTS _bj_lineitem")
+    try:
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable("_bj_orders"))
+        (lineitem.selectExpr("l_orderkey", "l_extendedprice")
+         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable("_bj_lineitem"))
+        with _conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            j = (spark.table("_bj_orders")
+                 .join(spark.table("_bj_lineitem"),
+                       F.col("o_orderkey") == F.col("l_orderkey"))
+                 .groupBy("o_orderpriority")
+                 .agg(F.sum("l_extendedprice")))
+            p = plan(j)
+        pre_join = p.split("HashAggregate")[-1]  # below the agg: join subtree
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in pre_join, p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _bj_orders")
+        spark.sql("DROP TABLE IF EXISTS _bj_lineitem")
+
+
+def test_runtime_bloom_filter_injected(spark, sf_small):
+    """Runtime bloom-filter pruning: a selective dim filter on a
+    shuffle join injects a bloom filter onto the fact scan side, so
+    most fact rows die before the exchange. Spark gates this on
+    multi-GB size estimates; the probe lowers the thresholds to show
+    the engine's plans are eligible (at real scale the defaults
+    fire)."""
+    # raw reads: load_table's small-input Repartition node would sit
+    # between scan and join and block the injection pattern-match
+    lineitem = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_small}/part.parquet")
+    with _conf(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }):
+        j = (lineitem.join(part.where(F.col("p_size") == 1),
+                           F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("p_type").count())
+        op = optimized(j)
+    assert "bloom_filter" in op.lower() or "BloomFilter" in op, op
+
+
+import contextlib
+
+from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _conf(spark, kv: dict):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    for k, v in kv.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_export_pipeline_stays_jvm_and_bounded(spark, sf_small):
+    """cx02: split + mix + shard as one plan — weights join is a
+    BROADCAST, amplification is an in-row explode, and the only
+    corpus-wide exchanges are the shard hash and the per-shard
+    position window. Never Python, never a sort-merge join, never a
+    global (partition-less) window over corpus rows."""
+    p = plan(REGISTRY["cx02_export_pipeline"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+    assert "Generate explode" in p
+    for ln in p.splitlines():
+        if "Window" in ln and "windowspecdefinition()" in ln:
+            raise AssertionError(f"global window over corpus rows:\n{ln}")
