@@ -205,3 +205,46 @@ def cx02_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("mix_copy"), F.lit(-1).alias("shard"),
         F.lit(-1).alias("pos"))
     return out_train.unionByName(out_val)
+
+
+# --------------------------------------- BPE pair statistics (dx55)
+#
+# Vocabulary induction: the merge-selection statistic of BPE training
+# (operators/bpe.py). Counts ride the word-frequency table — the
+# Sennrich scale trick — so the corpus is scanned once and every
+# later round is bounded by |vocab|, not corpus tokens.
+
+_BPE_K = 20
+
+_BPE_SQL = f"""
+    WITH words AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+      SELECT w, count(*) AS freq FROM words
+      WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+            FROM vocab WHERE length(w) >= 2)
+    ),
+    agg AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM pairs GROUP BY pair
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
+             AS rank, pair, cnt
+    FROM agg ORDER BY rank LIMIT {_BPE_K}
+"""
+
+
+@query("dx55_bpe_pairs", sql=_BPE_SQL)
+def dx55_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: adjacent character pairs weighted
+    by word frequency, counted on the distinct-word table (one corpus
+    scan + two bounded aggregations + TakeOrdered)."""
+    from eth_options_data_pipeline_spark.operators.bpe import pair_statistics
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return pair_statistics(docs, "text", k=_BPE_K)

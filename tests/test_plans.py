@@ -296,3 +296,30 @@ def test_export_pipeline_stays_jvm_and_bounded(spark, sf_small):
     for ln in p.splitlines():
         if "Window" in ln and "windowspecdefinition()" in ln:
             raise AssertionError(f"global window over corpus rows:\n{ln}")
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_small):
+    """Skew posture: when one join key dominates, AQE must split the
+    oversized shuffle partition (skew=true in the final adaptive
+    plan) instead of letting one task carry the key. Thresholds are
+    lowered so sf0.001 exhibits what a 100 TB hot key would; the
+    engine's own salting operator (operators/skew.py, q30) covers the
+    pre-AQE fallback."""
+    df = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id"))
+         .alias("k"),
+        F.col("id").alias("v"))
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    with _conf(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }):
+        j = df.join(dim, "k")
+        j.collect()  # AQE decisions appear only in the FINAL plan
+        p = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in p and "AQEShuffleRead skewed" in p, p

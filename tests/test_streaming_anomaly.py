@@ -90,3 +90,68 @@ def test_streaming_z_matches_batch(spark, tmp_path):
     # baseline includes it, and the spike is the clear outlier
     assert got[12] == max(v for v in got.values() if v is not None)
     assert got[12] > 2.5
+
+
+def test_streaming_z_survives_restart(spark, tmp_path):
+    """Stop the query after the early batches and restart from the
+    checkpoint: per-key state (history + pending buffer) must recover
+    so the combined output across both runs equals the single-run
+    score — the replay/recovery contract of a production monitor."""
+    indir, ckpt = tmp_path / "in", str(tmp_path / "ckpt")
+    schema = "sym string, event_id long, ts timestamp, value double"
+
+    outdir = str(tmp_path / "out")
+
+    def start():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery, and recovery is exactly what this test pins
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(indir)))
+        out = streaming_rolling_zscore(
+            stream, key="sym", ts="ts", tiebreak="event_id",
+            value="value", lookback=20, min_periods=5,
+            watermark="10 minutes")
+        return (out.writeStream.format("parquet")
+                .option("path", outdir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    # run 1: only the first two batches exist
+    for batch in (1, 2):
+        pdf = pd.DataFrame(
+            [("A", i, BASE + dt.timedelta(minutes=m), v)
+             for i, m, v, b in ROWS if b == batch],
+            columns=["sym", "event_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append") \
+            .parquet(str(indir))
+    q = start(); q.awaitTermination(120)
+    got = {r.event_id: r.z for r in spark.read.parquet(outdir).collect()}
+
+    # run 2: the rest arrives, new query restarts from the checkpoint
+    for batch in (3, 4, 5):
+        pdf = pd.DataFrame(
+            [("A", i, BASE + dt.timedelta(minutes=m), v)
+             for i, m, v, b in ROWS if b == batch],
+            columns=["sym", "event_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append") \
+            .parquet(str(indir))
+    q = start(); q.awaitTermination(120)
+    got = {r.event_id: r.z for r in spark.read.parquet(outdir).collect()}
+
+    bdf = spark.createDataFrame(
+        pd.DataFrame([("A", i, BASE + dt.timedelta(minutes=m), v)
+                      for i, m, v, _ in ROWS],
+                     columns=["user_id", "event_id", "ts", "value"]))
+    want = {r.event_id: r.z
+            for r in rolling_zscore(bdf, lookback=20, min_periods=5,
+                                    decimals=9).collect()}
+    for eid, wz in want.items():
+        if eid == 98:      # max event time: watermark never passes it
+            continue
+        assert eid in got, f"event {eid} never emitted after restart"
+        gz = got[eid]
+        if wz is None:
+            assert gz is None
+        else:
+            assert gz is not None and round(gz, 9) == wz, (eid, gz, wz)

@@ -61,6 +61,13 @@ HEADLINERS = {
                             "never cross the exchange twice",
     "dx50_rolling_anomaly": "trailing z-score from integer-cents frame sums: one key "
                             "shuffle, one ordered frame, exact in any accumulation order",
+    "cx02_export_pipeline": "split + temperature-mix + shard as ONE plan: broadcast "
+                            "weights, in-row explode amplification, a single corpus-wide "
+                            "shard exchange + per-shard position window",
+    "dx54_drift_psi": "PSI drift monitor: one scan, one 10-row groupBy, broadcast totals "
+                      "— the whole monitor is a single aggregation pass",
+    "dx55_bpe_pairs": "BPE pair statistics on the word-frequency table (Sennrich trick): "
+                      "corpus scanned once, pair ranking bounded by the symbol alphabet",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
