@@ -77,3 +77,14 @@ def test_context_pairs_exact(spark):
     assert got[2] == ("e0 | e1", 2, "e2")
     assert got[3] == ("e1 | e2", 2, "e3")      # bounded at k=2
     assert got[9] == ("", 0, "solo")           # other key untouched
+
+
+def test_temperature_mix_alpha_one_is_identity(spark, sf_small):
+    """alpha=1 keeps natural proportions: w_s == 1.0 exactly for every
+    source, so the mix is the input, one copy each."""
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "source")
+    out = temperature_mix(docs, "source", "doc_id", alpha=1.0)
+    assert out.where(F.col("mix_weight") != 1.0).count() == 0
+    assert out.where(F.col("mix_copy") != 0).count() == 0
+    assert out.count() == docs.count()

@@ -155,3 +155,75 @@ def test_streaming_z_survives_restart(spark, tmp_path):
             assert gz is None
         else:
             assert gz is not None and round(gz, 9) == wz, (eid, gz, wz)
+
+
+def test_streaming_z_random_arrival_orders(spark, tmp_path):
+    """Seeded fuzz: 40 events across two keys arrive in a shuffled
+    order over 4 micro-batches; every row the watermark passes must
+    score exactly like the batch kernel regardless of arrival order."""
+    import random
+    rng = random.Random(20260814)
+    events = []
+    for key, base_val in (("A", 10.0), ("B", 50.0)):
+        for i in range(20):
+            events.append(
+                (key, len(events), BASE + dt.timedelta(minutes=i * 3),
+                 base_val + rng.uniform(-1, 1) + (25 if i == 15 else 0)))
+    # arrival disorder must stay INSIDE the 15-minute watermark: rows
+    # later than the allowed lateness are (correctly) dropped by the
+    # engine before they reach the state function. So: contiguous
+    # event-time blocks per batch, shuffled within each block, plus one
+    # genuinely-late straggler pushed from each block's tail into the
+    # next batch (within the delay).
+    ordered = sorted(events, key=lambda e: (e[2], e[1]))
+    blocks = [ordered[i * 10:(i + 1) * 10] for i in range(4)]
+    for b in blocks:
+        rng.shuffle(b)
+    batches = []
+    carry = []
+    for b in blocks:
+        b = carry + b
+        late = max(b, key=lambda e: e[2])       # tail row -> next batch
+        b.remove(late)
+        carry = [late]
+        batches.append(b)
+    batches.append(carry)
+    # one final far-future row per key so the watermark passes the rest
+    flush_t = BASE + dt.timedelta(hours=6)
+    sentinels = [("A", 98, flush_t, 10.0), ("B", 99, flush_t, 50.0)]
+    batches[-1] += sentinels
+
+    indir = str(tmp_path / "in")
+    for batch in batches:
+        pdf = pd.DataFrame(batch,
+                           columns=["sym", "event_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append") \
+            .parquet(indir)
+    stream = (spark.readStream
+              .schema("sym string, event_id long, ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1).parquet(indir))
+    out = streaming_rolling_zscore(
+        stream, key="sym", ts="ts", tiebreak="event_id", value="value",
+        lookback=10, min_periods=4, watermark="15 minutes")
+    q = (out.writeStream.format("memory").queryName("anom_fuzz")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.event_id: r.z for r in spark.table("anom_fuzz").collect()}
+
+    bdf = spark.createDataFrame(
+        pd.DataFrame(events + sentinels,
+                     columns=["user_id", "event_id", "ts", "value"]))
+    want = {r.event_id: r.z
+            for r in rolling_zscore(bdf, lookback=10, min_periods=4,
+                                    decimals=9).collect()}
+    for eid, wz in want.items():
+        if eid in (98, 99):   # max event times never flush
+            continue
+        assert eid in got, f"event {eid} never emitted"
+        gz = got[eid]
+        if wz is None:
+            assert gz is None, (eid, gz)
+        else:
+            assert gz is not None and round(gz, 9) == wz, (eid, gz, wz)
