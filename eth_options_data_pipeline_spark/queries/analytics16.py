@@ -11,6 +11,9 @@ alert can point at WHICH region of the distribution moved.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -248,3 +251,50 @@ def dx55_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eth_options_data_pipeline_spark.operators.bpe import pair_statistics
     docs = load_table(spark, sf_dir, "documents").select("text")
     return pair_statistics(docs, "text", k=_BPE_K)
+
+
+# ------------------------------ streaming MV maintenance (sx07)
+#
+# Batch face of streaming/agg_maintain.py: orders arrive as three
+# micro-batches; each lands its exact-integer partial state in its
+# own batch_id partition (idempotent replay); the face serves the
+# maintained aggregate. The oracle recomputes from scratch in one
+# pass — the hash match extends the dx53 maintenance invariant
+# across micro-batch landings and the parquet state roundtrip.
+
+def _sx07_sql() -> str:
+    from eth_options_data_pipeline_spark.queries.analytics15 import _INCR_SQL
+    return _INCR_SQL
+
+
+@query("sx07_agg_maintain_stream", sql=_sx07_sql())
+def sx07_agg_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance, served: three order
+    micro-batches stream through foreachBatch partial-state landings
+    (availableNow + checkpoint), then the maintained aggregate is
+    finalized from the state table. Eager at construction like
+    qx46/qx47; the scratch (arrivals + state + checkpoint) is
+    per-session and the stream runs once."""
+    from eth_options_data_pipeline_spark.streaming.agg_maintain import (
+        StreamingAggMaintenance,
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"aggmaint_face_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)))
+    arrivals = os.path.join(scratch, "in")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    maint = StreamingAggMaintenance(state, ["o_orderpriority"],
+                                    "o_totalprice")
+    if not os.path.isdir(state):
+        for i in range(3):
+            (orders.where(F.col("o_orderkey") % 3 == i).coalesce(1)
+             .write.mode("append").parquet(arrivals))
+        stream = (spark.readStream.schema(orders.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(arrivals))
+        q = maint.start(stream, ckpt)
+        q.awaitTermination(300)
+    return maint.current(spark)
