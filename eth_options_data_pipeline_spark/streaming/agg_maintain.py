@@ -61,9 +61,22 @@ class StreamingAggMaintenance:
                 .trigger(availableNow=True)
                 .start())
 
+    def _recover_torn_compaction(self) -> None:
+        """If a compaction crashed between removing the old tree and
+        installing the new one, the fully-written replacement still
+        sits at ``<state>_compacted`` — finish the swap. (Compaction
+        only removes the old tree AFTER the replacement is fully
+        written, so exactly one of the two directories is ever
+        load-bearing.)"""
+        staged = self.state_dir + "_compacted"
+        if not os.path.isdir(self.state_dir) and os.path.isdir(staged):
+            import shutil
+            shutil.move(staged, self.state_dir)
+
     def current(self, spark: SparkSession) -> DataFrame:
         """The maintained aggregate, finalized from all landed
         partial-state partitions."""
+        self._recover_torn_compaction()
         if not (os.path.isdir(self.state_dir) and any(
                 not n.startswith(("_", "."))
                 for n in os.listdir(self.state_dir))):
@@ -73,16 +86,20 @@ class StreamingAggMaintenance:
 
     def compact(self, spark: SparkSession, into_batch_id: int = -1) -> None:
         """Fold every landed partition into one base partition so the
-        per-read merge factor stays O(1) on an old stream. Safe to run
-        between triggers; rerunnable (the merged base replaces all
-        prior partitions)."""
+        per-read merge factor stays O(1) on an old stream. Run between
+        triggers (a maintenance window, like any table-format
+        OPTIMIZE); rerunnable, and a crash at ANY point leaves a
+        recoverable state: the replacement is fully written before the
+        old tree is touched, and both current() and a rerun finish a
+        torn swap via _recover_torn_compaction."""
+        import shutil
+        self._recover_torn_compaction()
+        staged = self.state_dir + "_compacted"
+        if os.path.isdir(staged):          # torn BEFORE the old tree
+            shutil.rmtree(staged)          # was removed: restage fresh
         state = spark.read.parquet(self.state_dir).drop("batch_id")
         merged = merge_states(self.keys, state).withColumn(
             "batch_id", F.lit(into_batch_id))
-        merged.write.mode("overwrite").partitionBy("batch_id").parquet(
-            self.state_dir + "_compacted")
-        # atomic-enough swap for a maintenance window; readers of the
-        # old tree are unaffected until the rename
-        import shutil
+        merged.write.mode("overwrite").partitionBy("batch_id").parquet(staged)
         shutil.rmtree(self.state_dir)
-        shutil.move(self.state_dir + "_compacted", self.state_dir)
+        shutil.move(staged, self.state_dir)

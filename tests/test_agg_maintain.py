@@ -54,3 +54,39 @@ def test_maintained_equals_recompute_replay_and_compact(
     parts = {p.split("batch_id=")[1].split("/")[0]
              for p in glob.glob(str(tmp_path / "state" / "batch_id=*"))}
     assert parts == {"-1"}
+
+
+def test_compaction_torn_swap_recovers(spark, sf_small, tmp_path):
+    """Kill compaction at each crash point and verify the state is
+    recoverable: (a) staged tree written but old tree not yet removed
+    -> rerun restages; (b) old tree removed but staged tree not yet
+    moved in -> current() finishes the swap."""
+    import shutil
+
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    state = str(tmp_path / "state")
+    maint = StreamingAggMaintenance(
+        state, ["o_orderpriority"], "o_totalprice")
+    for i in range(3):
+        maint._process_batch(
+            orders.where(F.col("o_orderkey") % 3 == i), i)
+    want = _rows(maint.current(spark))
+
+    # crash point (a): staged exists, old tree intact
+    staged_src = spark.read.parquet(state).drop("batch_id")
+    from eth_options_data_pipeline_spark.operators.incremental_agg import (
+        merge_states,
+    )
+    (merge_states(["o_orderpriority"], staged_src)
+     .withColumn("batch_id", F.lit(-1))
+     .write.mode("overwrite").partitionBy("batch_id")
+     .parquet(state + "_compacted"))
+    assert _rows(maint.current(spark)) == want     # old tree still serves
+    maint.compact(spark)                           # rerun converges
+    assert _rows(maint.current(spark)) == want
+
+    # crash point (b): old tree gone, staged not yet moved
+    shutil.move(state, state + "_compacted_tmp")
+    shutil.move(state + "_compacted_tmp", state + "_compacted")
+    assert _rows(maint.current(spark)) == want     # swap auto-finished
