@@ -298,3 +298,59 @@ def sx07_agg_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = maint.start(stream, ckpt)
         q.awaitTermination(300)
     return maint.current(spark)
+
+
+# ------------------------------------ streaming CDC apply (sx08)
+#
+# Batch face of streaming/cdc_apply.py: the qx46 merge scenario run
+# THROUGH a change stream — base table written once, the update slice
+# arrives as three micro-batches, each MERGEd on arrival; the face
+# aggregates the read-back. The oracle is qx46's relational merge
+# statement, so the hash match proves per-batch streaming application
+# equals the one-shot relational MERGE.
+
+def _sx08_sql() -> str:
+    from eth_options_data_pipeline_spark.queries.analytics8 import _MERGE_SQL
+    return _MERGE_SQL
+
+
+@query("sx08_cdc_apply_stream", sql=_sx08_sql())
+def sx08_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upserts: change records (doubled-price order slices)
+    stream in three micro-batches through foreachBatch MERGE into the
+    partitioned base table; the served aggregate must equal the
+    one-shot relational merge. Eager at construction (qx46/qx47/sx07
+    pattern), per-session scratch, stream runs once."""
+    from eth_options_data_pipeline_spark.streaming.cdc_apply import (
+        StreamingCdcApply,
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_face_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)))
+    table = os.path.join(scratch, "table")
+    arrivals = os.path.join(scratch, "changes")
+    ckpt = os.path.join(scratch, "ckpt")
+    done = os.path.join(scratch, "_done")
+    if not os.path.isdir(done):
+        base = orders.where(F.col("o_orderkey") % 3 != 0)
+        base.write.mode("overwrite").partitionBy(
+            "o_orderpriority").parquet(table)
+        updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        for i in range(3):
+            (updates.where(F.col("o_orderkey") % 3 == i).coalesce(1)
+             .write.mode("append").parquet(arrivals))
+        changes = (spark.readStream.schema(updates.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(arrivals))
+        q = StreamingCdcApply(table, ("o_orderkey",),
+                              "o_orderpriority").start(changes, ckpt)
+        q.awaitTermination(300)
+        os.makedirs(done, exist_ok=True)
+    back = spark.read.parquet(table)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
