@@ -323,3 +323,15 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_small):
         j.collect()  # AQE decisions appear only in the FINAL plan
         p = j._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in p and "AQEShuffleRead skewed" in p, p
+
+
+def test_no_cartesian_product_anywhere(spark, sf_small):
+    """Registry-wide tripwire: no face may plan an unbounded
+    CartesianProduct. (BroadcastNestedLoopJoin appears only as the
+    broadcast-scalar / bounded-panel cross join — 1-row totals,
+    constant anchor panels — which is the intended shape; a true
+    cartesian between two large sides would surface here as
+    CartesianProduct.)"""
+    for name, spec in REGISTRY.items():
+        p = plan(spec.fn(spark, sf_small))
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian"
