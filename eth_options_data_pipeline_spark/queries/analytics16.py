@@ -354,3 +354,38 @@ def sx08_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ------------------------------------------- SQL surface (qx50)
+#
+# Every other face declares its plan through the DataFrame API; this
+# one drives the engine through the SQL string surface (temp views +
+# spark.sql) with a query written in the dialect subset BOTH engines
+# parse identically — proving a SQL-first user of the engine gets the
+# same Catalyst plans (the optimizer is shared, so pushdown/broadcast
+# posture is identical to the DataFrame twin q19/q32).
+
+_QX50_SQL = """
+    SELECT n.n_name AS nation,
+           count(*) AS cnt,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND l.l_quantity >= 10
+    GROUP BY n.n_name
+    HAVING count(*) >= 5
+"""
+
+
+@query("qx50_sql_surface", sql=_QX50_SQL)
+def qx50_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine driven through SQL strings: register the tables as
+    temp views, run the joined-aggregate-HAVING query verbatim. The
+    oracle runs the IDENTICAL string in DuckDB — one source of truth,
+    two engines."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_QX50_SQL)
