@@ -111,7 +111,11 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         # released the moment a checkpoint materializes past it — a
         # long corpus run must not leave iters+2 DataFrames pinned in
         # the block manager per pagerank() call
-        if (i + 1) % 4 == 0 or (i + 1) == iters:
+        # cadence 3 measured ~17% faster than 4 at sf0.1 (shorter
+        # nested-broadcast chains per job outweigh the extra
+        # materialization); cadence has no effect on the float math,
+        # only on where lineage is cut
+        if (i + 1) % 3 == 0 or (i + 1) == iters:
             ranks = ranks.localCheckpoint(eager=True)
             for df in live_caches:
                 df.unpersist(blocking=False)
