@@ -44,13 +44,14 @@ from eth_options_data_pipeline_spark.queries import analytics16  # noqa: F401,E4
 #
 #   1. the 29 faces never driver-checked through round 4 (dx14..dx40,
 #      qx46, sx03) — these must earn a CORRECTNESS row;
-#   2. faces added in round 5 (dx41, sx04, sx05, dx42);
-#   3. a 17-query §2-critical regression core (q01..q21 minus the four
-#      simplest single-op rows) so the reference-parity operators keep a
-#      driver-checked row every round.
+#   2. the earlier round-5 faces (dx41..dx50, sx04..sx06, cx01);
+#   3. a 7-query §2-critical regression core so the reference-parity
+#      operators keep a driver-checked row every round.
 #
-# That is exactly 50 names.  Everything else follows in registration order
-# and stays covered by the full-registry oracle sweep in
+# That is exactly 50 names.  Everything else — including the newest
+# round-5 faces (dx51..dx55, qx47..qx50, cx02, sx07, sx08), which are
+# first in line for the round-6 rotation — follows in registration
+# order and stays covered by the full-registry oracle sweep in
 # tests/test_corpus_oracle.py (same check, run in CI).
 # ---------------------------------------------------------------------------
 _WINDOW_PRIORITY = [
