@@ -389,3 +389,129 @@ def qx50_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_QX50_SQL)
+
+
+# ---------------------------------------- quality ensemble (cx03)
+#
+# The third composition face: the quality DECISION a curation
+# pipeline actually ships is never one signal — it's an ensemble of
+# the model score (dx41's frozen classifier, here UN-gated), the LM
+# perplexity (dx35's Stupid Backoff bigram, squashed through a
+# logistic), and cheap heuristics (token floor + stopword-ratio
+# band). Each component is rounded to 6 decimals BEFORE the weighted
+# vote, so the ensemble arithmetic sees identical doubles on both
+# engines and the keep/drop decision is engine-independent.
+
+_ENS_STOPS = ("the", "a", "of", "and", "to", "in", "is", "on",
+              "for", "it")
+_ENS_TAU = 8.0      # perplexity logistic midpoint (log2 ppl)
+_ENS_W = (0.5, 0.3, 0.2)
+
+
+def _cx03_sql() -> str:
+    from eth_options_data_pipeline_spark.queries.analytics11 import _PPL_SQL
+    from eth_options_data_pipeline_spark.queries.analytics12 import (
+        _CLF_BIAS, _CLF_VALUES,
+    )
+    stops = ", ".join(f"'{s}'" for s in _ENS_STOPS)
+    return f"""
+    WITH w(token, wt) AS (VALUES {_CLF_VALUES}),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    z AS (
+      SELECT t.doc_id, sum(w.wt) AS z
+      FROM toks t JOIN w ON w.token = t.token GROUP BY 1
+    ),
+    cls AS (
+      SELECT d.doc_id,
+             round(1.0 / (1.0 + exp(-({_CLF_BIAS!r} + coalesce(z.z, 0.0)))), 6)
+               AS p_cls
+      FROM documents d LEFT JOIN z ON z.doc_id = d.doc_id
+    ),
+    ppl AS (SELECT * FROM ({_PPL_SQL}) q),
+    heur AS (
+      SELECT doc_id,
+             CAST(CASE WHEN n_words >= 20
+                            AND stop_ratio BETWEEN 0.05 AND 0.8
+                       THEN 1.0 ELSE 0.0 END AS DOUBLE) AS heur_ok
+      FROM (
+        SELECT doc_id, len(ws) AS n_words,
+               len(list_filter(ws, x -> x IN ({stops})))
+                 / CAST(len(ws) AS DOUBLE) AS stop_ratio
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents)
+      )
+    )
+    SELECT c.doc_id, c.p_cls,
+           round(1.0 / (1.0 + exp(round(p.log_ppl, 6) - {_ENS_TAU!r})), 6)
+             AS p_ppl,
+           h.heur_ok,
+           round({_ENS_W[0]!r} * c.p_cls
+                 + {_ENS_W[1]!r} * round(1.0 / (1.0 + exp(round(p.log_ppl, 6)
+                                                          - {_ENS_TAU!r})), 6)
+                 + {_ENS_W[2]!r} * h.heur_ok, 6) AS ensemble,
+           round({_ENS_W[0]!r} * c.p_cls
+                 + {_ENS_W[1]!r} * round(1.0 / (1.0 + exp(round(p.log_ppl, 6)
+                                                          - {_ENS_TAU!r})), 6)
+                 + {_ENS_W[2]!r} * h.heur_ok, 6) >= 0.5 AS keep
+    FROM cls c JOIN ppl p ON p.doc_id = c.doc_id
+    JOIN heur h ON h.doc_id = c.doc_id
+    """
+
+
+@query("cx03_quality_ensemble", sql=_cx03_sql())
+def cx03_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality gate: frozen-classifier probability (un-gated
+    dx41 scorer), logistic-squashed bigram perplexity (dx35 scorer),
+    and a heuristic token-floor/stopword band, combined 0.5/0.3/0.2
+    with every component rounded before the vote. Two doc_id joins
+    over per-doc score tables; each component keeps its own proven
+    scale shape (broadcast weights; LM joined on natural keys)."""
+    from eth_options_data_pipeline_spark.operators.classifier_filter import (
+        score_frozen_linear,
+    )
+    from eth_options_data_pipeline_spark.operators.lm_quality import (
+        score_perplexity, train_bigram_lm,
+    )
+    from eth_options_data_pipeline_spark.queries.analytics12 import (
+        _CLF_BIAS, _CLF_WEIGHTS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cls = score_frozen_linear(docs, _CLF_WEIGHTS, _CLF_BIAS).select(
+        "doc_id", F.round("quality_prob", 6).alias("p_cls"))
+    bigrams, unigrams, total = train_bigram_lm(
+        docs.where(F.col("doc_id") % 3 != 0))
+    ppl = score_perplexity(docs, bigrams, unigrams, total).select(
+        "doc_id", F.round("log_ppl", 6).alias("log_ppl"))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # chained ==/| predicate (Column.isin miscompiles inside
+    # higher-order-function lambdas — see verify-skill gotchas)
+    stop_ratio = (F.size(F.filter(ws, lambda x: _stop_pred(x)))
+                  / F.size(ws).cast("double"))
+    heur = docs.select(
+        "doc_id",
+        F.when((F.size(ws) >= 20)
+               & stop_ratio.between(0.05, 0.8), 1.0)
+         .otherwise(0.0).alias("heur_ok"))
+    p_ppl = F.round(1.0 / (1.0 + F.exp(F.col("log_ppl") - F.lit(_ENS_TAU))), 6)
+    joined = (cls.join(ppl, "doc_id").join(heur, "doc_id")
+              .withColumn("p_ppl", p_ppl))
+    ens = F.round(F.lit(_ENS_W[0]) * F.col("p_cls")
+                  + F.lit(_ENS_W[1]) * F.col("p_ppl")
+                  + F.lit(_ENS_W[2]) * F.col("heur_ok"), 6)
+    return joined.select(
+        "doc_id", "p_cls", "p_ppl", "heur_ok",
+        ens.alias("ensemble"), (ens >= 0.5).alias("keep"))
+
+
+def _stop_pred(x):
+    cond = None
+    for s in _ENS_STOPS:
+        c = (x == s)
+        cond = c if cond is None else (cond | c)
+    return cond
