@@ -1,12 +1,20 @@
-"""Round-5 corpus faces, part 3: distribution-drift monitoring (dx54).
+"""Round-5 corpus faces, part 3.
 
-dx54 computes the Population Stability Index between a reference
-window and the current window of a numeric column — the standard
-"did my training-data distribution move?" gate a continuously-
-ingesting corpus pipeline runs before every retrain. Fixed bucket
-edges (deterministic, no quantile estimation inside the monitored
-path), zero-share smoothing at 1e-6, and per-bucket PSI terms so the
-alert can point at WHICH region of the distribution moved.
+* dx54 — Population Stability Index between a reference and a current
+  window: the "did my training-data distribution move?" gate, with
+  fixed bucket edges, 1e-6 smoothing, per-bucket terms.
+* cx02 — training-export manifest: split → temperature-mix →
+  deterministic shard+order as one plan.
+* dx55 — BPE merge-selection pair statistics on the word-frequency
+  table (the Sennrich scale trick).
+* sx07 — streaming materialized-view maintenance served from
+  partial-state landings (streaming/agg_maintain.py).
+* sx08 — streaming CDC apply: foreachBatch MERGE equals the one-shot
+  relational merge (streaming/cdc_apply.py).
+* qx50 — the SQL-string surface: one query string runs verbatim on
+  both engines.
+* cx03 — quality-ensemble gate: classifier + perplexity + heuristics
+  with an engine-independent weighted vote.
 """
 
 from __future__ import annotations
