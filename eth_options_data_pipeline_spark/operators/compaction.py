@@ -15,6 +15,16 @@ and the rewrite is one distributed read→repartition→write sized so
 each output partition carries ~``target_bytes`` of input. Nothing
 row-level ever touches the driver.
 
+Two strategies live here. ``plan_compaction`` is the MOVE-based
+planner: it assigns existing files to contiguous target-sized output
+groups (for a compactor that concatenates/moves files without
+decoding rows — the cheap path when row-group layout is already
+fine). ``compact`` is the REWRITE path: one read→repartition→write
+sized by total bytes; round-robin repartitioning mixes rows from all
+input files, so output sizes approximate target_bytes to the extent
+average row size does — for strict byte packing, group by the
+planner's assignment instead.
+
 Losslessness is the operator's contract: the rewrite must be
 content-identical to the input — which is exactly what the
 qx47 face's oracle checks (post-compaction read-back vs the original

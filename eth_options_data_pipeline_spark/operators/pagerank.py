@@ -47,8 +47,12 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     # the edge list is consumed once per round plus twice for setup —
     # cache it (MEMORY_AND_DISK, released on return) so a derived edge
     # list (e.g. a distinct over a fact table) is computed once, not
-    # iters+2 times
-    edges = edges.cache()
+    # iters+2 times. If the CALLER already persisted it, leave their
+    # cache alone (cache() returns the same DataFrame, so an
+    # unconditional unpersist here would evict the caller's blocks).
+    owns_edges_cache = not edges.is_cached
+    if owns_edges_cache:
+        edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -56,7 +60,8 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     )
     n = nodes.count()
     if n == 0:
-        edges.unpersist(blocking=False)
+        if owns_edges_cache:
+            edges.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
         return nodes.withColumn("rank", F.lit(0.0))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -120,6 +125,8 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
             for df in live_caches:
                 df.unpersist(blocking=False)
             live_caches.clear()
-    for df in (edges, nodes, ew, dang_nodes):
+    for df in (nodes, ew, dang_nodes):
         df.unpersist(blocking=False)
+    if owns_edges_cache:
+        edges.unpersist(blocking=False)
     return ranks

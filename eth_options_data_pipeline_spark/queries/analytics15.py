@@ -244,12 +244,19 @@ def qx48_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.crossJoin(F.broadcast(panel))
         .groupBy("q", "approx_v", "exact_q", "n")
         .agg(F.sum(F.when(F.col("l_extendedprice") <= F.col("approx_v"), 1)
-                   .otherwise(0)).alias("rank_le"))
+                   .otherwise(0)).alias("rank_le"),
+             F.sum(F.when(F.col("l_extendedprice") < F.col("approx_v"), 1)
+                   .otherwise(0)).alias("rank_lt"))
     )
-    err = F.abs(F.col("rank_le") - F.col("q") * F.col("n"))
-    bound = F.col("n") / _QX48_ACC + 1
-    return ranked.select(
-        "q", "exact_q", (err <= bound).alias("bound_ok"))
+    # two-sided: the sketch's answer occupies the rank interval
+    # (rank_lt, rank_le]; the GK contract holds iff that interval
+    # intersects [q*n - eps*n, q*n + eps*n]. A one-sided rank_le
+    # check would spuriously fail on a wide tie bucket at the answer.
+    eps = F.col("n") / _QX48_ACC + 1
+    target = F.col("q") * F.col("n")
+    bound_ok = ((F.col("rank_le") >= target - eps)
+                & (F.col("rank_lt") <= target + eps))
+    return ranked.select("q", "exact_q", bound_ok.alias("bound_ok"))
 
 
 # ----------------------------------------- schema evolution (qx49)

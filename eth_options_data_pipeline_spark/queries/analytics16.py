@@ -297,14 +297,20 @@ def sx07_agg_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(scratch, "ckpt")
     maint = StreamingAggMaintenance(state, ["o_orderpriority"],
                                     "o_totalprice")
-    if not os.path.isdir(state):
+    # arrivals and stream guarded SEPARATELY: a crash between the
+    # arrivals write and the first landing must not re-append the
+    # same slices on the next invocation (the checkpoint makes the
+    # stream itself resumable)
+    if not os.path.isdir(arrivals):
         for i in range(3):
             (orders.where(F.col("o_orderkey") % 3 == i).coalesce(1)
              .write.mode("append").parquet(arrivals))
+    if not os.path.isdir(state):
         stream = (spark.readStream.schema(orders.schema)
                   .option("maxFilesPerTrigger", 1).parquet(arrivals))
         q = maint.start(stream, ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError("sx07 maintenance stream did not finish")
     return maint.current(spark)
 
 
@@ -342,20 +348,25 @@ def sx08_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals = os.path.join(scratch, "changes")
     ckpt = os.path.join(scratch, "ckpt")
     done = os.path.join(scratch, "_done")
-    if not os.path.isdir(done):
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+    # base/arrivals/stream each guarded on their own artifact so a
+    # crash between steps resumes instead of re-appending arrivals
+    # (base overwrite is idempotent; the stream is checkpointed)
+    if not os.path.isdir(arrivals):
         base = orders.where(F.col("o_orderkey") % 3 != 0)
         base.write.mode("overwrite").partitionBy(
             "o_orderpriority").parquet(table)
-        updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
-            "o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
         for i in range(3):
             (updates.where(F.col("o_orderkey") % 3 == i).coalesce(1)
              .write.mode("append").parquet(arrivals))
+    if not os.path.isdir(done):
         changes = (spark.readStream.schema(updates.schema)
                    .option("maxFilesPerTrigger", 1).parquet(arrivals))
         q = StreamingCdcApply(table, ("o_orderkey",),
                               "o_orderpriority").start(changes, ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError("sx08 CDC stream did not finish")
         os.makedirs(done, exist_ok=True)
     back = spark.read.parquet(table)
     return back.groupBy("o_orderpriority").agg(

@@ -85,21 +85,34 @@ class StreamingAggMaintenance:
         return finalize(merge_states(self.keys, state), self.keys)
 
     def compact(self, spark: SparkSession, into_batch_id: int = -1) -> None:
-        """Fold every landed partition into one base partition so the
-        per-read merge factor stays O(1) on an old stream. Run between
-        triggers (a maintenance window, like any table-format
-        OPTIMIZE); rerunnable, and a crash at ANY point leaves a
-        recoverable state: the replacement is fully written before the
-        old tree is touched, and both current() and a rerun finish a
-        torn swap via _recover_torn_compaction."""
+        """Fold landed partitions into one base partition so the
+        per-read merge factor stays O(1) on an old stream — EXCEPT the
+        highest batch_id, which keeps its own partition. Structured
+        Streaming replays at most the newest not-yet-committed
+        micro-batch after a crash, and that replay dynamic-overwrites
+        its own batch_id partition; folding it into the base would
+        leave its old contribution inside the base AND land the replay
+        beside it, double-counting. Earlier batch_ids are committed
+        and can never replay, so folding them is safe.
+
+        Run between triggers (a maintenance window, like any
+        table-format OPTIMIZE); rerunnable, and a crash at ANY point
+        leaves a recoverable state: the replacement is fully written
+        before the old tree is touched, and both current() and a rerun
+        finish a torn swap via _recover_torn_compaction."""
         import shutil
         self._recover_torn_compaction()
         staged = self.state_dir + "_compacted"
         if os.path.isdir(staged):          # torn BEFORE the old tree
             shutil.rmtree(staged)          # was removed: restage fresh
-        state = spark.read.parquet(self.state_dir).drop("batch_id")
-        merged = merge_states(self.keys, state).withColumn(
-            "batch_id", F.lit(into_batch_id))
-        merged.write.mode("overwrite").partitionBy("batch_id").parquet(staged)
+        state = spark.read.parquet(self.state_dir)
+        max_bid = state.agg(F.max("batch_id")).first()[0]
+        folded = merge_states(
+            self.keys,
+            state.where(F.col("batch_id") != max_bid).drop("batch_id"),
+        ).withColumn("batch_id", F.lit(into_batch_id))
+        keep = state.where(F.col("batch_id") == max_bid)
+        folded.unionByName(keep).write.mode("overwrite").partitionBy(
+            "batch_id").parquet(staged)
         shutil.rmtree(self.state_dir)
         shutil.move(staged, self.state_dir)

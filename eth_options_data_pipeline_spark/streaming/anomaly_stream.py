@@ -29,7 +29,7 @@ replayed stream emits bit-identical scores to the batch operator
 from __future__ import annotations
 
 from collections.abc import Iterator
-from math import sqrt
+from math import floor, sqrt
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -85,9 +85,13 @@ def streaming_rolling_zscore(events: DataFrame, key: str, ts: str,
             for t, tb, v in zip(ms, pdf["tb"], pdf["val"]):
                 pts_.append(int(t))
                 ptb.append(int(tb))
-                # value*100 is never an exact .5 in binary for 2-dec
-                # inputs, so round() agrees with the batch HALF_UP
-                pc.append(int(round(float(v) * 100)))
+                # HALF_UP (away from zero), matching the batch
+                # kernel's F.round exactly — Python's round() is
+                # half-EVEN and diverges on exact half-cents like
+                # 0.125*100
+                cents = float(v) * 100
+                pc.append(int(floor(abs(cents) + 0.5))
+                          * (1 if cents >= 0 else -1))
 
         wm = state.getCurrentWatermarkMs()
         out_t, out_tb, out_z, pend = [], [], [], []

@@ -47,13 +47,23 @@ def test_maintained_equals_recompute_replay_and_compact(
     maint._process_batch(orders.where(F.col("o_orderkey") % 3 == 1), 1)
     assert _rows(maint.current(spark)) == want
 
-    # compaction folds all partitions into one; the aggregate is
-    # bit-identical and the read-side merge factor drops to 1
+    # compaction folds committed partitions into the base but keeps
+    # the NEWEST batch partition separate (the only one Structured
+    # Streaming can replay); the aggregate is bit-identical
     maint.compact(spark)
     assert _rows(maint.current(spark)) == want
     parts = {p.split("batch_id=")[1].split("/")[0]
              for p in glob.glob(str(tmp_path / "state" / "batch_id=*"))}
-    assert parts == {"-1"}
+    assert parts == {"-1", "2"}
+
+    # the newest batch replayed AFTER compaction still lands
+    # idempotently (overwrites its own partition, not the base)
+    maint._process_batch(orders.where(F.col("o_orderkey") % 3 == 2), 2)
+    assert _rows(maint.current(spark)) == want
+
+    # a second compaction is a no-op on the served values
+    maint.compact(spark)
+    assert _rows(maint.current(spark)) == want
 
 
 def test_compaction_torn_swap_recovers(spark, sf_small, tmp_path):
