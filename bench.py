@@ -24,6 +24,23 @@ from eth_options_data_pipeline_spark.queries import REGISTRY  # noqa: E402
 from eth_options_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+# Faces whose DataFrame CONSTRUCTION performs bounded eager side work
+# (scratch sink writes, micro-batch stream replays, per-batch state
+# checkpoints) before the timed noop write even starts. Their bench
+# numbers measure that I/O churn plus the query — fine at face scale
+# (3 bounded batches each), but round-over-round deltas on them are
+# sink/scheduler noise, not plan regressions, so they carry an explicit
+# tag in BENCH_DETAIL.json for anyone diffing rounds.
+CONSTRUCTION_HEAVY = {
+    "qx46_merge_upsert",       # copy-on-write MERGE into scratch table
+    "qx47_compact_roundtrip",  # compaction rewrite + roundtrip read
+    "sx05_topk_stream",        # 3 micro-batch replays + per-batch ckpt
+    "sx06_stream_dedup",       # 3 micro-batch replays into scratch
+    "sx07_agg_maintain_stream",  # availableNow stream + state landings
+    "sx08_cdc_apply_stream",   # availableNow stream + per-batch MERGE
+}
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -74,6 +91,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": {name: round(min(ts), 4) for name, ts in runs.items()},
+        "construction_heavy": sorted(CONSTRUCTION_HEAVY & set(timings)),
         "sf": sf_from_dir(sf_dir),
         "config": {
             "master": spark.sparkContext.master,

@@ -6,18 +6,15 @@ content-quality scores (repetition, quality heuristics) with a
 graph-structural one.
 
 Spark-first shape: ranks and out-degrees are (node, value) tables;
-one iteration = join ranks to the edge list on src (shuffle on node
-id), emit contributions dst <- rank/out_deg, groupBy dst (second
-shuffle, map-side combinable), apply damping. Dangling nodes (no
-out-links) redistribute their mass uniformly — computed as one tiny
-aggregate per round, folded into the damping constant, which keeps
-the total mass at exactly 1 so ranks stay comparable across graphs.
+one iteration = join ranks to the edge list on src, emit
+contributions dst <- rank/out_deg, groupBy dst (map-side combinable),
+apply damping. Dangling nodes (no out-links) redistribute their mass
+uniformly — computed as one tiny aggregate per round, folded into the
+damping constant, which keeps the total mass at exactly 1 so ranks
+stay comparable across graphs.
 
-Iterative hygiene, as in components.py: localCheckpoint per round
-truncates the growing lineage; the edge list and degree table are
-computed once and cached. Fixed iteration count (no convergence job)
-— PageRank's use here is a ranking prior, and the ordering stabilizes
-long before the values do.
+Fixed iteration count (no convergence job) — PageRank's use here is a
+ranking prior, and the ordering stabilizes long before the values do.
 """
 
 from __future__ import annotations
@@ -27,36 +24,62 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
-             broadcast_nodes_max: int = 2_000_000) -> DataFrame:
+             broadcast_nodes_max: int = 2_000_000,
+             checkpoint_every: int = 3) -> DataFrame:
     """(node, rank) for every node in the (src, dst) edge list.
 
     Ranks sum to 1.0 (dangling mass redistributed uniformly).
 
-    Join strategy is picked from the EXACT node count (already needed
-    for the 1/n prior): when the rank table fits comfortably in one
-    executor (<= broadcast_nodes_max nodes), every iteration
-    broadcast-joins ranks into the cached edge scan — the edge list,
-    which dominates storage by orders of magnitude on real graphs,
-    is NEVER re-shuffled, and the only exchange per round is the
-    map-side-combined contribution aggregate (bounded by node count).
-    Past the threshold (billion-node web graphs, where ranks can't
-    broadcast) it falls back to hash-partitioned joins on the node id
-    — the same runtime-statistics-driven choice AQE makes for one
-    join, applied across the whole iteration.
+    Materialization strategy is picked from the ITERATION count —
+    measured at sf0.1 (21k nodes, 591k edges, 3 rounds) the choice is
+    worth 2.5-3x:
+
+      * SHORT runs (iters <= checkpoint_every) stay LAZY: no
+        checkpoints, no edge-scale caches. The entire run is ONE query
+        at the caller's first action, so AQE plans every join from
+        runtime stats (broadcasting the node-bounded sides exactly
+        when they fit) and ReusedExchange computes each round's
+        shuffles once. Only node-count-bounded state is cached — the
+        node list, the degree table, and each round's ranks (the rank
+        table feeds two consumers per round; caching stops the lineage
+        fork). These caches stay registered with the returned plan
+        deliberately: Spark's CacheManager dedupes them by
+        canonicalized plan (repeat invocations of the same query reuse
+        the same blocks rather than accumulating), the storage is
+        MEMORY_AND_DISK and LRU-evictable under pressure, and the
+        footprint is O(iters x n) rank rows — the same order as the
+        result itself. An eager materialize-then-release here measured
+        3.6x slower end-to-end (the checkpoint barrier splits the run
+        into separate jobs and kills cross-round exchange reuse), so
+        the bounded pin is the deliberate trade.
+      * LONG runs cut lineage with an eager localCheckpoint every
+        checkpoint_every rounds AND on the final round (optimizer time
+        goes superlinear past a handful of self-joins). Because every
+        checkpoint rematerializes from the loop invariants, the edge
+        list, the degree-weighted edge list, and the dangling-node set
+        are cached too, join strategy is pinned from the exact node
+        count (broadcast ranks when <= broadcast_nodes_max so the
+        edge-scale side is NEVER re-shuffled; hash-partitioned joins
+        past it — billion-node graphs where ranks can't broadcast),
+        and every cache is unpersisted before return: long runs are
+        fully leak-free.
     """
-    # the edge list is consumed once per round plus twice for setup —
-    # cache it (MEMORY_AND_DISK, released on return) so a derived edge
-    # list (e.g. a distinct over a fact table) is computed once, not
-    # iters+2 times. If the CALLER already persisted it, leave their
-    # cache alone (cache() returns the same DataFrame, so an
-    # unconditional unpersist here would evict the caller's blocks).
-    owns_edges_cache = not edges.is_cached
+    long_run = iters > checkpoint_every
+    # Long runs: the edge list is consumed by every checkpoint
+    # materialization — cache it (released on return) so a derived
+    # edge list (e.g. a distinct over a fact table) is computed once
+    # per checkpoint segment, not once per consumer. If the CALLER
+    # already persisted it, leave their cache alone (cache() returns
+    # the same DataFrame, so an unconditional unpersist here would
+    # evict the caller's blocks). Short runs rely on ReusedExchange
+    # within their single query instead — no edge-scale blocks pinned.
+    owns_edges_cache = long_run and not edges.is_cached
     if owns_edges_cache:
         edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct().cache()
+        .distinct().cache()          # node-count-bounded
     )
     n = nodes.count()
     if n == 0:
@@ -64,28 +87,89 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
             edges.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # degree-weighted edges and the dangling-node set are loop
-    # invariants: join them ONCE instead of re-joining ranks to deg
-    # every round
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("out_deg")).cache()   # node-count-bounded
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if long_run:
+        ranks = _iterate_checkpointed(
+            edges, nodes, deg, ranks, n, iters, damping,
+            small=n <= broadcast_nodes_max,
+            checkpoint_every=checkpoint_every)
+        for df in (nodes, deg):
+            df.unpersist(blocking=False)
+        if owns_edges_cache:
+            edges.unpersist(blocking=False)
+        return ranks
+    return _iterate_lazy(edges, nodes, deg, ranks, n, iters, damping)
+
+
+def _rank_update(nodes: DataFrame, contribs: DataFrame,
+                 dangling: DataFrame, n: int, damping: float,
+                 hint_broadcast: bool) -> DataFrame:
+    """One damped update from the round's contribution aggregate and
+    1-row dangling-mass scalar — same float op order as the scalar
+    form: (1-d)/n + (d * dang) / n + d * in_mass."""
+    base = (F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("_dang") / F.lit(float(n)))
+    c = F.broadcast(contribs) if hint_broadcast else contribs
+    return (
+        nodes.join(c, nodes["node"] == contribs["dst"], "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            (base + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)))
+            .alias("rank"))
+    )
+
+
+def _iterate_lazy(edges: DataFrame, nodes: DataFrame, deg: DataFrame,
+                  ranks: DataFrame, n: int, iters: int,
+                  damping: float) -> DataFrame:
+    """Short-run loop: one lazy query, AQE-planned joins, per-round
+    ranks cached (node-count-bounded) so the two consumers share one
+    evaluation. Dangling mass falls out of the SAME ranks-to-degree
+    left join that feeds the contributions — no separate dangling-node
+    artifact to maintain."""
+    for _ in range(iters):
+        ranks = ranks.cache()          # node-count-bounded, deduped
+        linked = ranks.join(deg, ranks["node"] == deg["src"], "left")
+        # mass sitting on dangling nodes this round — a 1-row lazy
+        # aggregate riding the plan via broadcast cross join, so an
+        # iteration costs ZERO driver actions
+        dangling = (
+            linked.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        contribs = (
+            linked.where(F.col("out_deg").isNotNull())
+            .select("src", (F.col("rank") / F.col("out_deg")).alias("w"))
+            .join(edges, "src")
+            .groupBy("dst").agg(F.sum("w").alias("in_mass"))
+        )
+        ranks = _rank_update(nodes, contribs, dangling, n, damping,
+                             hint_broadcast=False)
+    return ranks
+
+
+def _iterate_checkpointed(edges: DataFrame, nodes: DataFrame,
+                          deg: DataFrame, ranks: DataFrame, n: int,
+                          iters: int, damping: float, small: bool,
+                          checkpoint_every: int) -> DataFrame:
+    """Long-run loop: degree-weighted edges and the dangling-node set
+    are joined ONCE as cached loop invariants, join strategy is pinned
+    from the node count, and lineage is cut every checkpoint_every
+    rounds. Every cache (including each round's ranks) is released the
+    moment a checkpoint materializes past it, and the final round
+    always checkpoints — nothing stays pinned after return."""
     ew = edges.join(deg, "src").cache()
     dang_nodes = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti").cache()
-
-    small = n <= broadcast_nodes_max
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     live_caches: list[DataFrame] = []
     for i in range(iters):
-        # each round's ranks feed TWO consumers (the dangling aggregate
-        # and the contribution join); cache so the lineage evaluates
-        # once per round instead of forking exponentially
         ranks = ranks.cache()
         live_caches.append(ranks)
         r_b = F.broadcast(ranks) if small else ranks
-        # mass sitting on dangling nodes this round — kept as a 1-row
-        # lazy aggregate riding the plan via broadcast cross join, so
-        # an iteration costs ZERO driver actions (a .first() here
-        # would force the whole lineage once per round)
         dangling = (
             ranks.join(F.broadcast(dang_nodes) if small else dang_nodes,
                        "node", "left_semi")
@@ -96,37 +180,13 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("w"))
             .groupBy("dst").agg(F.sum("w").alias("in_mass"))
         )
-        # same float op order as the scalar form:
-        # (1-d)/n + (d * dang) / n + d * in_mass
-        base = (F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.col("_dang") / F.lit(float(n)))
-        ranks = (
-            nodes.join(F.broadcast(contribs) if small else contribs,
-                       nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (base
-                 + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)))
-                .alias("rank"))
-        )
-        # truncate lineage periodically (plan depth grows per round and
-        # optimizer time goes superlinear past a handful of self-joins)
-        # and ALWAYS on the last round, so every per-round cache can be
-        # released the moment a checkpoint materializes past it — a
-        # long corpus run must not leave iters+2 DataFrames pinned in
-        # the block manager per pagerank() call
-        # cadence 3 measured ~17% faster than 4 at sf0.1 (shorter
-        # nested-broadcast chains per job outweigh the extra
-        # materialization); cadence has no effect on the float math,
-        # only on where lineage is cut
-        if (i + 1) % 3 == 0 or (i + 1) == iters:
+        ranks = _rank_update(nodes, contribs, dangling, n, damping,
+                             hint_broadcast=small)
+        if (i + 1) % checkpoint_every == 0 or (i + 1) == iters:
             ranks = ranks.localCheckpoint(eager=True)
             for df in live_caches:
                 df.unpersist(blocking=False)
             live_caches.clear()
-    for df in (nodes, ew, dang_nodes):
+    for df in (ew, dang_nodes):
         df.unpersist(blocking=False)
-    if owns_edges_cache:
-        edges.unpersist(blocking=False)
     return ranks

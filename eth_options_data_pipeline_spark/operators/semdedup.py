@@ -28,26 +28,53 @@ groupBy(id) max over pair rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators import clustering
 from eth_options_data_pipeline_spark.operators.vectors import cosine
 
 
-def semdedup(emb: DataFrame, k: int, threshold: float = 0.95,
+def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding",
              max_iters: int = 5, method: str = "expr",
-             round_to: int | None = None) -> DataFrame:
+             round_to: int | None = None,
+             target_cluster_size: int = 64,
+             cluster_cap: int | None = None) -> DataFrame:
     """Returns (id, cluster, centroid_sim, keep) for every input row.
 
     ``keep`` is false iff the row loses to a same-cluster neighbor
     with cosine >= threshold and a smaller (centroid_sim, id) key.
     ``round_to`` rounds the Lloyd means (see clustering.kmeans) for
     engine-reproducible clustering.
+
+    ``k=None`` derives the paper's rule k = ceil(n / target_cluster_
+    size) (Abbas et al. run 50k clusters for 100M docs ~ 2k docs per
+    cluster) from an exact count — one count job, and k-means already
+    collects k centroids to the driver, so the scale posture is
+    unchanged.
+
+    ``cluster_cap`` makes the bounded-quadratic claim a HARD bound,
+    not a statistical one: k-means gives no worst-case cluster size
+    (a degenerate embedding distribution can put everything in one
+    cluster), so clusters larger than the cap are deterministically
+    split into ceil(size/cap) sub-groups (row_number within cluster,
+    ordered by id) and the pair join runs per sub-group — every join
+    group is <= cluster_cap rows, so per-group pair work is <=
+    cap*(cap-1)/2 regardless of the data. Same trade as
+    LSH_BUCKET_CAP in the MinHash path: pairs straddling sub-groups
+    are missed (bounded recall loss on pathological clusters) in
+    exchange for a plan that cannot go quadratic. The row_number
+    window is a per-cluster external sort — O(c log c), disk-backed,
+    the cheap price for capping the c^2 it prevents.
     """
     vecs = emb.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias(vec_col))
+    if k is None:
+        n = vecs.count()
+        k = max(1, math.ceil(n / target_cluster_size))
     assigned, cents = clustering.kmeans(
         vecs, k, id_col, vec_col, max_iters=max_iters, method=method,
         round_to=round_to)
@@ -64,19 +91,28 @@ def semdedup(emb: DataFrame, k: int, threshold: float = 0.95,
         vecs.join(assigned, id_col)
         .select(id_col, vec_col, "cluster",
                 sim_expr.alias("centroid_sim"))
-        .cache()   # reused by both sides of the pair join + the output
     )
+    if cluster_cap is not None:
+        grp_w = Window.partitionBy("cluster").orderBy(id_col)
+        docs = docs.withColumn(
+            "_grp",
+            F.floor((F.row_number().over(grp_w) - 1) / cluster_cap)
+            .cast("int"))
+    else:
+        docs = docs.withColumn("_grp", F.lit(0))
+    docs = docs.cache()   # reused by both pair-join sides + the output
 
-    a = docs.select(F.col(id_col).alias("_a"), F.col("cluster"),
+    join_keys = ["cluster", "_grp"]
+    a = docs.select(F.col(id_col).alias("_a"), *join_keys,
                     F.col(vec_col).alias("_va"),
                     F.col("centroid_sim").alias("_sa"))
-    b = docs.select(F.col(id_col).alias("_b"), F.col("cluster"),
+    b = docs.select(F.col(id_col).alias("_b"), *join_keys,
                     F.col(vec_col).alias("_vb"),
                     F.col("centroid_sim").alias("_sb"))
     # loser of a duplicate pair = the larger (centroid_sim, id) key;
     # emit one row per losing doc, distinct before the anti-join
     losers = (
-        a.join(b, "cluster")
+        a.join(b, join_keys)
         .where(F.struct(F.col("_sa"), F.col("_a"))
                < F.struct(F.col("_sb"), F.col("_b")))
         .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))

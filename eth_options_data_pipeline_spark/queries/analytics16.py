@@ -28,6 +28,21 @@ from pyspark.sql import functions as F
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
 
+def _stage_slices(write_slices, target: str) -> None:
+    """Write multi-slice scratch input ATOMICALLY: land every slice in
+    ``<target>_staging`` then os.rename the finished tree into place.
+    The target directory therefore either doesn't exist or holds ALL
+    slices — a crash mid-loop leaves only a staging tree that the next
+    invocation discards and rebuilds, never a partial tree that a
+    ``isdir(target)`` guard would mistake for complete."""
+    import shutil
+    staging = target + "_staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    write_slices(staging)
+    os.rename(staging, target)
+
+
 _PSI_CUT = "1996-01-01"
 _PSI_WIDTH = 60000
 _PSI_BUCKETS = 10
@@ -295,22 +310,27 @@ def sx07_agg_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals = os.path.join(scratch, "in")
     state = os.path.join(scratch, "state")
     ckpt = os.path.join(scratch, "ckpt")
+    done = os.path.join(scratch, "_done")
     maint = StreamingAggMaintenance(state, ["o_orderpriority"],
                                     "o_totalprice")
-    # arrivals and stream guarded SEPARATELY: a crash between the
-    # arrivals write and the first landing must not re-append the
-    # same slices on the next invocation (the checkpoint makes the
-    # stream itself resumable)
+    # arrivals and stream guarded SEPARATELY: the arrivals tree is
+    # staged and renamed into place (so it exists only when complete),
+    # and the stream is gated on a _done marker written only after
+    # awaitTermination — a crash mid-stream resumes from the
+    # checkpoint instead of serving a partial state table
     if not os.path.isdir(arrivals):
-        for i in range(3):
-            (orders.where(F.col("o_orderkey") % 3 == i).coalesce(1)
-             .write.mode("append").parquet(arrivals))
-    if not os.path.isdir(state):
+        def _write(staging: str) -> None:
+            for i in range(3):
+                (orders.where(F.col("o_orderkey") % 3 == i).coalesce(1)
+                 .write.mode("append").parquet(staging))
+        _stage_slices(_write, arrivals)
+    if not os.path.isdir(done):
         stream = (spark.readStream.schema(orders.schema)
                   .option("maxFilesPerTrigger", 1).parquet(arrivals))
         q = maint.start(stream, ckpt)
         if not q.awaitTermination(300):
             raise TimeoutError("sx07 maintenance stream did not finish")
+        os.makedirs(done, exist_ok=True)
     return maint.current(spark)
 
 
@@ -350,16 +370,21 @@ def sx08_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = os.path.join(scratch, "_done")
     updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
         "o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
-    # base/arrivals/stream each guarded on their own artifact so a
-    # crash between steps resumes instead of re-appending arrivals
-    # (base overwrite is idempotent; the stream is checkpointed)
+    # The arrivals tree is staged and renamed into place so it exists
+    # only when complete; the base-table overwrite happens BEFORE the
+    # rename, so `isdir(arrivals)` implies base AND all change slices
+    # are fully written. The stream can only have started after the
+    # rename, so re-running this block never clobbers applied merges.
     if not os.path.isdir(arrivals):
         base = orders.where(F.col("o_orderkey") % 3 != 0)
         base.write.mode("overwrite").partitionBy(
             "o_orderpriority").parquet(table)
-        for i in range(3):
-            (updates.where(F.col("o_orderkey") % 3 == i).coalesce(1)
-             .write.mode("append").parquet(arrivals))
+
+        def _write(staging: str) -> None:
+            for i in range(3):
+                (updates.where(F.col("o_orderkey") % 3 == i).coalesce(1)
+                 .write.mode("append").parquet(staging))
+        _stage_slices(_write, arrivals)
     if not os.path.isdir(done):
         changes = (spark.readStream.schema(updates.schema)
                    .option("maxFilesPerTrigger", 1).parquet(arrivals))

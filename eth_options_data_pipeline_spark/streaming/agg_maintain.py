@@ -62,16 +62,35 @@ class StreamingAggMaintenance:
                 .start())
 
     def _recover_torn_compaction(self) -> None:
-        """If a compaction crashed between removing the old tree and
-        installing the new one, the fully-written replacement still
-        sits at ``<state>_compacted`` — finish the swap. (Compaction
-        only removes the old tree AFTER the replacement is fully
-        written, so exactly one of the two directories is ever
-        load-bearing.)"""
+        """Finish a compaction swap torn by a crash.  The swap is three
+        steps — rename(state → state_old), rename(staged → state),
+        rmtree(state_old) — each either atomic (rename) or harmlessly
+        re-runnable (rmtree of a tombstone), so recovery only has to
+        look at which directories exist:
+
+          * state missing, staged present  → crash between the two
+            renames: install the fully-written staged tree;
+          * state missing, only _old left  → staged was lost before the
+            first rename could have happened (defensive; the write-
+            before-rename ordering makes this unreachable): restore
+            the _old tree, which is still the complete pre-compaction
+            state;
+          * state present AND _old present → crash during/before the
+            final tombstone delete: state is complete, _old is a
+            (possibly partially-deleted) tombstone — remove it.
+
+        The live tree is never deleted in place (no rmtree on
+        state_dir), so a partially-deleted live tree cannot occur."""
+        import shutil
         staged = self.state_dir + "_compacted"
-        if not os.path.isdir(self.state_dir) and os.path.isdir(staged):
-            import shutil
-            shutil.move(staged, self.state_dir)
+        old = self.state_dir + "_old"
+        if not os.path.isdir(self.state_dir):
+            if os.path.isdir(staged):
+                shutil.move(staged, self.state_dir)
+            elif os.path.isdir(old):
+                os.rename(old, self.state_dir)
+        if os.path.isdir(self.state_dir) and os.path.isdir(old):
+            shutil.rmtree(old)
 
     def current(self, spark: SparkSession) -> DataFrame:
         """The maintained aggregate, finalized from all landed
@@ -98,13 +117,14 @@ class StreamingAggMaintenance:
         Run between triggers (a maintenance window, like any
         table-format OPTIMIZE); rerunnable, and a crash at ANY point
         leaves a recoverable state: the replacement is fully written
-        before the old tree is touched, and both current() and a rerun
-        finish a torn swap via _recover_torn_compaction."""
+        before the live tree is touched, the live tree is only ever
+        RENAMED (atomic), never deleted in place, and both current()
+        and a rerun finish a torn swap via _recover_torn_compaction."""
         import shutil
         self._recover_torn_compaction()
         staged = self.state_dir + "_compacted"
-        if os.path.isdir(staged):          # torn BEFORE the old tree
-            shutil.rmtree(staged)          # was removed: restage fresh
+        if os.path.isdir(staged):          # torn BEFORE the swap began:
+            shutil.rmtree(staged)          # state_dir is complete — restage
         state = spark.read.parquet(self.state_dir)
         max_bid = state.agg(F.max("batch_id")).first()[0]
         folded = merge_states(
@@ -114,5 +134,11 @@ class StreamingAggMaintenance:
         keep = state.where(F.col("batch_id") == max_bid)
         folded.unionByName(keep).write.mode("overwrite").partitionBy(
             "batch_id").parquet(staged)
-        shutil.rmtree(self.state_dir)
+        # Atomic-ish three-step swap (see _recover_torn_compaction for
+        # the crash matrix): the complete staged tree exists before the
+        # live tree is renamed aside, so every intermediate state keeps
+        # at least one complete copy on disk.
+        old = self.state_dir + "_old"
+        os.rename(self.state_dir, old)
         shutil.move(staged, self.state_dir)
+        shutil.rmtree(old)

@@ -100,3 +100,27 @@ def test_compaction_torn_swap_recovers(spark, sf_small, tmp_path):
     shutil.move(state, state + "_compacted_tmp")
     shutil.move(state + "_compacted_tmp", state + "_compacted")
     assert _rows(maint.current(spark)) == want     # swap auto-finished
+
+    # crash point (c): live tree renamed aside AND staged present
+    # (crash between compact()'s two renames) — recovery must install
+    # the staged tree, then clear the _old tombstone
+    shutil.copytree(state, state + "_compacted")
+    shutil.move(state, state + "_old")
+    assert _rows(maint.current(spark)) == want
+    assert not (tmp_path / "state_old").exists()
+    assert not (tmp_path / "state_compacted").exists()
+
+    # crash point (d): swap complete but the tombstone delete was torn
+    # mid-rmtree — a PARTIAL _old tree beside a complete live tree must
+    # be discarded, never served or merged
+    shutil.copytree(state, state + "_old")
+    for f in list((tmp_path / "state_old").rglob("*.parquet"))[:1]:
+        f.unlink()                                  # simulate partial delete
+    assert _rows(maint.current(spark)) == want
+    assert not (tmp_path / "state_old").exists()
+
+    # crash point (e): defensive — only the _old tree survives
+    # (staged lost before the swap; unreachable by construction but
+    # recovery restores the complete pre-compaction copy)
+    shutil.move(state, state + "_old")
+    assert _rows(maint.current(spark)) == want

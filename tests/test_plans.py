@@ -306,6 +306,25 @@ def test_export_pipeline_stays_jvm_and_bounded(spark, sf_small):
         f"global window over corpus rows:\n{global_window_lines(p)}"
 
 
+def test_quality_ensemble_plan_posture(spark, sf_small):
+    """cx03: the three-component vote must keep each component's
+    proven shape — the classifier weight join and the per-doc score
+    joins BROADCAST, the only sort-merge join the bigram-model join
+    (the model is deliberately never broadcast: a web-scale bigram
+    table exceeds executor memory), zero Python, no cartesian, no
+    global window, and the documents scan count pinned (each scan is
+    a full corpus pass at 100 TB — a regression that forks another
+    consumer of the raw docs shows up here as scan count 8+)."""
+    p = plan(REGISTRY["cx03_quality_ensemble"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert p.count("SortMergeJoin") <= 1, p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert global_window_lines(p) == []
+    n_scans = sum(1 for ln in p.splitlines() if "FileScan parquet" in ln)
+    assert n_scans <= 7, f"documents scan count grew: {n_scans}"
+
+
 def test_aqe_splits_skewed_join_partitions(spark, sf_small):
     """Skew posture: when one join key dominates, AQE must split the
     oversized shuffle partition (skew=true in the final adaptive

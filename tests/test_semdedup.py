@@ -71,3 +71,59 @@ def test_semdedup_on_real_embeddings(spark, sf_small):
     rows = out.collect()
     assert len(rows) == emb.count()
     assert all(r["keep"] is not None for r in rows)
+
+
+def test_semdedup_derives_k_from_target_cluster_size(spark):
+    """k=None applies the paper's rule k = ceil(n / target_cluster_
+    size): with 24 docs and target 10, 3 clusters must appear in the
+    assignment domain (k-means may leave a cluster empty, so assert
+    the ceiling bound, and that every row is assigned)."""
+    rows = make_docs()                      # 24 rows
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, k=None, target_cluster_size=10, max_iters=2)
+    got = out.collect()
+    assert len(got) == len(rows)
+    assert {r["cluster"] for r in got} <= set(range(3))  # ceil(24/10)=3
+
+
+def test_semdedup_cluster_cap_bounds_pair_join_groups(spark):
+    """The bounded-quadratic claim, pinned on a SKEWED fixture: one
+    degenerate blob holds ~90% of the rows, so k-means puts it in one
+    cluster and the uncapped pair join would be O(blob^2). With
+    cluster_cap, every pair-join group is <= cap rows — asserted by
+    replicating the deterministic row_number split — and the planted
+    in-group duplicates are still pruned."""
+    rng = random.Random(7)
+    rows = []
+    base = [5.0] * DIM
+    for i in range(180):                    # the skew blob: near-dups
+        rows.append((i, [b * (1 + rng.uniform(-1e-5, 1e-5)) for b in base]))
+    for i in range(180, 200):               # a small far-away cluster
+        rows.append((i, [-b + rng.uniform(-1, 1) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = 32
+    out = semdedup(df, k=2, threshold=0.999, max_iters=2,
+                   cluster_cap=cap).collect()
+    assert len(out) == len(rows)
+
+    # replicate the split rule: per cluster ordered by id, groups of
+    # <= cap — every group the pair join sees is hard-bounded
+    from collections import Counter, defaultdict
+    by_cluster = defaultdict(list)
+    for r in sorted(out, key=lambda r: r["vec_id"]):
+        by_cluster[r["cluster"]].append(r["vec_id"])
+    group_of = {}                           # vec_id -> (cluster, grp)
+    group_sizes = Counter()
+    for cluster, ids in by_cluster.items():
+        for pos, vid in enumerate(ids):
+            group_of[vid] = (cluster, pos // cap)
+            group_sizes[(cluster, pos // cap)] += 1
+    assert max(group_sizes.values()) <= cap
+    # the blob landed in ONE cluster (the skew actually happened) ...
+    assert max(len(v) for v in by_cluster.values()) >= 150
+    # ... and in-group near-duplicates were still pruned: all blob
+    # rows in a group are mutual duplicates, so EXACTLY one blob row
+    # survives per group that contains blob rows
+    blob_groups = {group_of[i] for i in range(180)}
+    kept_blob = sum(1 for r in out if r["vec_id"] < 180 and r["keep"])
+    assert kept_blob == len(blob_groups)
