@@ -27,3 +27,36 @@ def test_every_query_has_oracle_sql():
     sqls = q.oracle_sql()
     missing = [n for n in q.REGISTRY if n not in sqls]
     assert missing == [], f"faces without oracle SQL: {missing}"
+
+
+def test_window_satisfies_freshness_policy():
+    """No face may go more than MAX_STALENESS (=2) rounds without a
+    driver CORRECTNESS row.  ``policy_violations`` computes, for every
+    registered face, the staleness it will have AFTER the upcoming
+    driver round runs the current window (0 if in-window); any face
+    that would exceed the limit must be rotated in.  This makes each
+    round's rotation computed from the CORRECTNESS_r*.json history,
+    not hand-curated (VERDICT r06 items 1 and 7)."""
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    registry = list(q.REGISTRY)
+    violations = wp.policy_violations(registry, q._WINDOW_PRIORITY)
+    assert violations == [], (
+        "faces exceeding max driver-row staleness "
+        f"{wp.MAX_STALENESS}: {violations}\n"
+        + wp.format_age_table(registry, q._WINDOW_PRIORITY)
+    )
+
+
+def test_every_face_has_some_driver_row_or_is_in_window():
+    """Union of all CORRECTNESS rounds + the current window must cover
+    the whole registry — a new face must enter the window the round it
+    is registered (never-checked faces have age = next_round)."""
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    last = wp.last_driver_round()
+    uncovered = [
+        n for n in q.REGISTRY
+        if last.get(n, 0) == 0 and n not in q._WINDOW_PRIORITY
+    ]
+    assert uncovered == [], f"faces with no driver row and not in window: {uncovered}"

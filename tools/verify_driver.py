@@ -39,7 +39,29 @@ def rows_key(cols, rows):
     return sorted(tuple(repr(norm(r[i])) for i in order) for r in rows)
 
 
+def print_age_table():
+    """Per-face driver-row age from CORRECTNESS_r*.json, so each
+    round's window rotation is computed rather than hand-curated
+    (VERDICT r06 item 7).  Run with ``--ages`` to print only this."""
+    from eth_options_data_pipeline_spark import queries as q
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    registry = list(q.REGISTRY)
+    window = q._WINDOW_PRIORITY
+    print(wp.format_age_table(registry, window))
+    violations = wp.policy_violations(registry, window)
+    if violations:
+        print(f"\nPOLICY VIOLATIONS (staleness > {wp.MAX_STALENESS}):")
+        for name, lr, stale in violations:
+            print(f" - {name}: last driver row r{lr}, would reach age {stale}")
+    else:
+        print(f"\npolicy ok: max post-window staleness <= {wp.MAX_STALENESS}")
+    return violations
+
+
 def main():
+    if "--ages" in sys.argv:
+        sys.exit(1 if print_age_table() else 0)
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
