@@ -212,7 +212,8 @@ def sx05_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ SemDeDup face
 
-_SD_K = 8
+_SD_TARGET = 64     # paper rule: k = ceil(n / target_cluster_size)
+_SD_CAP = 48        # hard per-join-group bound (splits avg-62 clusters)
 _SD_THRESH = 0.25
 
 
@@ -228,7 +229,9 @@ _SEM_SQL = f"""
       SELECT vec_id, e,
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS cluster
-      FROM emb QUALIFY cluster < {_SD_K}
+      FROM emb
+      QUALIFY cluster < (SELECT CAST(ceil(count(*) / {_SD_TARGET}.0) AS BIGINT)
+                         FROM emb)
     ),
     a1 AS (
       SELECT vec_id, e, cluster FROM (
@@ -263,9 +266,16 @@ _SEM_SQL = f"""
       SELECT a.vec_id, a.e, a.cluster, {vx.cosine_sql('a.e', 'r.c')} AS sim
       FROM a2 a JOIN refined r ON r.cluster = a.cluster
     ),
+    grp AS (
+      SELECT *,
+             CAST(floor((row_number() OVER (PARTITION BY cluster
+                                            ORDER BY vec_id) - 1)
+                        / {_SD_CAP}) AS INT) AS _grp
+      FROM sims
+    ),
     losers AS (
       SELECT DISTINCT b.vec_id
-      FROM sims a JOIN sims b ON a.cluster = b.cluster
+      FROM grp a JOIN grp b ON a.cluster = b.cluster AND a._grp = b._grp
       WHERE (a.sim, a.vec_id) < (b.sim, b.vec_id)
         AND {vx.cosine_sql('a.e', 'b.e')} >= {_SD_THRESH}
     )
@@ -283,14 +293,18 @@ def dx42_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order-sensitive float op reproducible), per-doc
     cosine to its own centroid, within-cluster prune keeping the doc
     FARTHEST from the centroid per duplicate group
-    (operators/semdedup.py over operators/clustering.py). The only
-    quadratic work is the within-cluster self-join, bounded by k; the
-    oracle replays the identical seed order, assignment folds, and
-    (sim, id) loser rule."""
+    (operators/semdedup.py over operators/clustering.py). k follows
+    the paper rule k = ceil(n / target_cluster_size) (``k=None``), and
+    ``cluster_cap`` makes the within-cluster quadratic step a HARD
+    bound — clusters above the cap are split deterministically by
+    row_number(vec_id) and the pair join runs per sub-group. The
+    oracle replays the identical seed order, assignment folds, derived
+    k, sub-group split, and (sim, id) loser rule."""
     from eth_options_data_pipeline_spark.operators.semdedup import semdedup
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = semdedup(emb, k=_SD_K, threshold=_SD_THRESH, max_iters=1,
+    out = semdedup(emb, k=None, target_cluster_size=_SD_TARGET,
+                   cluster_cap=_SD_CAP, threshold=_SD_THRESH, max_iters=1,
                    method="expr", round_to=9)
     return out.select("vec_id", "cluster",
                       F.round("centroid_sim", 6).alias("centroid_sim"), "keep")
