@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
              broadcast_nodes_max: int = 2_000_000,
-             checkpoint_every: int = 3) -> DataFrame:
+             checkpoint_every: int = 3,
+             pin_caches: bool = True) -> DataFrame:
     """(node, rank) for every node in the (src, dst) edge list.
 
     Ranks sum to 1.0 (dangling mass redistributed uniformly).
@@ -42,16 +43,25 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         shuffles once. Only node-count-bounded state is cached — the
         node list, the degree table, and each round's ranks (the rank
         table feeds two consumers per round; caching stops the lineage
-        fork). These caches stay registered with the returned plan
-        deliberately: Spark's CacheManager dedupes them by
-        canonicalized plan (repeat invocations of the same query reuse
-        the same blocks rather than accumulating), the storage is
-        MEMORY_AND_DISK and LRU-evictable under pressure, and the
-        footprint is O(iters x n) rank rows — the same order as the
-        result itself. An eager materialize-then-release here measured
-        3.6x slower end-to-end (the checkpoint barrier splits the run
-        into separate jobs and kills cross-round exchange reuse), so
-        the bounded pin is the deliberate trade.
+        fork). These caches stay registered with the returned plan,
+        and the lifetime trade is this: CacheManager dedupe by
+        canonicalized plan only helps REPEAT invocations over the SAME
+        edge-list plan — calling short-run pagerank over many distinct
+        graphs accumulates a distinct O(iters x n) set of pinned
+        blocks per graph, and once a MEMORY_AND_DISK block spills to
+        disk it is NOT reclaimed by memory pressure (eviction only
+        moves memory blocks to disk), so the disk footprint lives
+        until the blocks are unpersisted or the app exits. Callers on
+        that pattern should pass ``pin_caches=False``, which skips
+        every .cache() on the short path and returns a fully unpinned
+        plan — the lineage fork then recomputes each round's ranks
+        for its two consumers (bounded: at most 2**iters duplicated
+        subtrees with iters <= checkpoint_every, and ReusedExchange
+        still collapses identical shuffles within the one query). An
+        eager materialize-then-release here measured 3.6x slower
+        end-to-end (the checkpoint barrier splits the run into
+        separate jobs and kills cross-round exchange reuse), so the
+        bounded pin stays the default.
       * LONG runs cut lineage with an eager localCheckpoint every
         checkpoint_every rounds AND on the final round (optimizer time
         goes superlinear past a handful of self-joins). Because every
@@ -61,10 +71,27 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         count (broadcast ranks when <= broadcast_nodes_max so the
         edge-scale side is NEVER re-shuffled; hash-partitioned joins
         past it — billion-node graphs where ranks can't broadcast),
-        and every cache is unpersisted before return: long runs are
-        fully leak-free.
+        every cache is unpersisted before return, and each
+        localCheckpoint's persisted RDD is explicitly released the
+        moment the next checkpoint supersedes it: after return the
+        ONLY block-manager state left is the returned result's own
+        final checkpoint (one node-count-bounded RDD — it IS the
+        result; tests tripwire this exact invariant).
     """
     long_run = iters > checkpoint_every
+    if not long_run and not pin_caches:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        n = nodes.count()
+        if n == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        return _iterate_lazy(edges, nodes, deg, ranks, n, iters, damping,
+                             pin_caches=False)
     # Long runs: the edge list is consumed by every checkpoint
     # materialization — cache it (released on return) so a derived
     # edge list (e.g. a distinct over a fact table) is computed once
@@ -125,14 +152,16 @@ def _rank_update(nodes: DataFrame, contribs: DataFrame,
 
 def _iterate_lazy(edges: DataFrame, nodes: DataFrame, deg: DataFrame,
                   ranks: DataFrame, n: int, iters: int,
-                  damping: float) -> DataFrame:
+                  damping: float, pin_caches: bool = True) -> DataFrame:
     """Short-run loop: one lazy query, AQE-planned joins, per-round
     ranks cached (node-count-bounded) so the two consumers share one
-    evaluation. Dangling mass falls out of the SAME ranks-to-degree
-    left join that feeds the contributions — no separate dangling-node
-    artifact to maintain."""
+    evaluation (skipped under pin_caches=False — the fork then
+    recomputes, bounded by the short iteration count). Dangling mass
+    falls out of the SAME ranks-to-degree left join that feeds the
+    contributions — no separate dangling-node artifact to maintain."""
     for _ in range(iters):
-        ranks = ranks.cache()          # node-count-bounded, deduped
+        if pin_caches:
+            ranks = ranks.cache()      # node-count-bounded, deduped
         linked = ranks.join(deg, ranks["node"] == deg["src"], "left")
         # mass sitting on dangling nodes this round — a 1-row lazy
         # aggregate riding the plan via broadcast cross join, so an
@@ -152,6 +181,12 @@ def _iterate_lazy(edges: DataFrame, nodes: DataFrame, deg: DataFrame,
     return ranks
 
 
+def _persistent_rdd_handles(df: DataFrame) -> dict[int, object]:
+    """id -> JavaRDD for every RDD currently persisted in the app."""
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    return {int(e.getKey()): e.getValue() for e in jmap.entrySet().toArray()}
+
+
 def _iterate_checkpointed(edges: DataFrame, nodes: DataFrame,
                           deg: DataFrame, ranks: DataFrame, n: int,
                           iters: int, damping: float, small: bool,
@@ -160,12 +195,18 @@ def _iterate_checkpointed(edges: DataFrame, nodes: DataFrame,
     are joined ONCE as cached loop invariants, join strategy is pinned
     from the node count, and lineage is cut every checkpoint_every
     rounds. Every cache (including each round's ranks) is released the
-    moment a checkpoint materializes past it, and the final round
-    always checkpoints — nothing stays pinned after return."""
+    moment a checkpoint materializes past it, and — because
+    localCheckpoint itself persists an RDD that nothing else would
+    free until JVM GC + ContextCleaner get around to it — each
+    checkpoint explicitly unpersists the PREVIOUS checkpoint's RDD
+    once the new one has materialized from it. The final round always
+    checkpoints, so after return the only persisted state is that one
+    result RDD (node-count-bounded); nothing intermediate survives."""
     ew = edges.join(deg, "src").cache()
     dang_nodes = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti").cache()
     live_caches: list[DataFrame] = []
+    prev_ckpt: dict[int, object] = {}
     for i in range(iters):
         ranks = ranks.cache()
         live_caches.append(ranks)
@@ -183,10 +224,23 @@ def _iterate_checkpointed(edges: DataFrame, nodes: DataFrame,
         ranks = _rank_update(nodes, contribs, dangling, n, damping,
                              hint_broadcast=small)
         if (i + 1) % checkpoint_every == 0 or (i + 1) == iters:
+            before = set(_persistent_rdd_handles(ranks))
             ranks = ranks.localCheckpoint(eager=True)
             for df in live_caches:
                 df.unpersist(blocking=False)
             live_caches.clear()
+            # The new checkpoint has materialized, so the previous
+            # checkpoint's persisted RDD is now unreachable from any
+            # live plan — free it instead of waiting for the JVM's
+            # ContextCleaner. (DataFrame.unpersist can't reach it:
+            # df.rdd is a derived wrapper, not the checkpointed RDD.)
+            for rid, jrdd in prev_ckpt.items():
+                if rid not in before:
+                    continue           # already freed elsewhere
+                jrdd.unpersist(False)
+            after = _persistent_rdd_handles(ranks)
+            prev_ckpt = {rid: h for rid, h in after.items()
+                         if rid not in before}
     for df in (ew, dang_nodes):
         df.unpersist(blocking=False)
     return ranks

@@ -51,3 +51,104 @@ def test_mass_conserved_and_ordering_sane(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, 3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Lazy (short-run) path pins — VERDICT r06 item 3. The iters <= 3 path
+# is what dx28 exercises; these fence its two load-bearing properties
+# (replica-exact values, no eager checkpoint barrier) and the cache
+# lifetime contract on both paths.
+# ---------------------------------------------------------------------------
+
+LAZY_ITERS = 2      # <= checkpoint_every -> _iterate_lazy
+
+
+def _persistent_ids(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(e.getKey()): e.getValue() for e in jmap.entrySet().toArray()}
+
+
+def _run_in_job_group(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        out = fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+@pytest.mark.parametrize("pin", [True, False])
+def test_lazy_path_matches_replica(spark, pin):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, LAZY_ITERS, D, pin_caches=pin).collect()}
+    want = ref_pagerank(EDGES, LAZY_ITERS, D)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-12)
+
+
+def test_lazy_path_is_one_query_no_checkpoint_barrier(spark):
+    """A short run must stay ONE lazy query: construction may only run
+    the node-count job(s) (<=5 jobs under AQE and cache warm-up —
+    measured: lazy construction runs 2-4 jobs, a checkpointed run at
+    the same size runs >100 because every eager checkpoint is its own
+    job cascade), and the
+    returned plan must contain no localCheckpoint scar (LogicalRDD /
+    ExistingRDD scan), which is exactly what made r05's eager variant
+    3.6x slower (operators/pagerank.py docstring).
+
+    The edge list comes from a VALUES LocalRelation, not
+    createDataFrame (whose parallelized local data is ITSELF a
+    LogicalRDD scan) — so any LogicalRDD in the lazy plan can only be
+    a checkpoint scar."""
+    base = set(_persistent_ids(spark))
+    values = ", ".join(f"({s}, {d})" for s, d in EDGES)
+    df = spark.sql(
+        f"SELECT CAST(src AS LONG) src, CAST(dst AS LONG) dst "
+        f"FROM (VALUES {values}) AS t(src, dst)")
+    result, n_jobs = _run_in_job_group(
+        spark, "pr-lazy-construct", lambda: pagerank(df, LAZY_ITERS, D))
+    assert n_jobs <= 5, f"short-run construction ran {n_jobs} jobs"
+    plan = result._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" not in plan and "ExistingRDD" not in plan, plan
+    # and the checkpointed path DOES leave the scar — the assertion
+    # above would catch a silent strategy flip either way
+    long = pagerank(df, 12, D)
+    long_plan = long._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in long_plan or "ExistingRDD" in long_plan
+    # release only what THIS test pinned (the long run's final
+    # checkpoint + any lazy-path caches), not the session's other state
+    for rid, h in _persistent_ids(spark).items():
+        if rid not in base:
+            h.unpersist(False)
+
+
+def test_lazy_pin_caches_false_leaves_no_persistent_state(spark):
+    base = set(_persistent_ids(spark))
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    out = pagerank(df, LAZY_ITERS, D, pin_caches=False)
+    out.collect()
+    leaked = set(_persistent_ids(spark)) - base
+    assert leaked == set(), f"pin_caches=False pinned RDDs {leaked}"
+
+
+def test_long_run_leaves_only_the_result_checkpoint(spark):
+    """Tripwire for the long-path cache boundary: after return +
+    collect, the ONLY new persisted RDD is the returned result's own
+    final localCheckpoint (it IS the result — freeing it would destroy
+    the DataFrame). Intermediate caches AND superseded checkpoint RDDs
+    (12 iters / checkpoint_every=3 -> 3 superseded) must all be gone."""
+    base = set(_persistent_ids(spark))
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    out = pagerank(df, 12, D)
+    out.collect()
+    new = {rid: h for rid, h in _persistent_ids(spark).items()
+           if rid not in base}
+    assert len(new) == 1, (
+        f"long run left {len(new)} persisted RDDs (want exactly the "
+        f"final checkpoint): {sorted(new)}")
+    for h in new.values():            # release the result; restore baseline
+        h.unpersist(False)
+    assert set(_persistent_ids(spark)) - base == set()
