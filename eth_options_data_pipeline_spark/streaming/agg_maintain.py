@@ -47,6 +47,13 @@ class StreamingAggMaintenance:
         self.value_col = value_col
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # A restarted stream may land a batch BEFORE anything reads the
+        # state: finish any torn compaction swap first, or this write
+        # would recreate state_dir holding only the new batch and make
+        # recovery mistake the _old/_compacted sibling (the last
+        # complete pre-crash copy) for a deletable tombstone — silently
+        # losing all history.
+        self._recover_torn_compaction()
         delta = partial_state(batch_df, self.keys, self.value_col)
         (delta.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite")
@@ -86,7 +93,13 @@ class StreamingAggMaintenance:
         old = self.state_dir + "_old"
         if not os.path.isdir(self.state_dir):
             if os.path.isdir(staged):
-                shutil.move(staged, self.state_dir)
+                # os.rename, NOT shutil.move: move silently degrades to
+                # a non-atomic copytree across filesystems, and a crash
+                # mid-copy would leave a partial state_dir that this
+                # very routine then treats as complete. rename fails
+                # loudly with EXDEV instead — siblings are always
+                # created next to state_dir, so same-fs is the invariant.
+                os.rename(staged, self.state_dir)
             elif os.path.isdir(old):
                 os.rename(old, self.state_dir)
         if os.path.isdir(self.state_dir) and os.path.isdir(old):
@@ -140,5 +153,5 @@ class StreamingAggMaintenance:
         # at least one complete copy on disk.
         old = self.state_dir + "_old"
         os.rename(self.state_dir, old)
-        shutil.move(staged, self.state_dir)
+        os.rename(staged, self.state_dir)   # same-fs atomic (EXDEV if not)
         shutil.rmtree(old)

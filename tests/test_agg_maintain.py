@@ -124,3 +124,35 @@ def test_compaction_torn_swap_recovers(spark, sf_small, tmp_path):
     # recovery restores the complete pre-compaction copy)
     shutil.move(state, state + "_old")
     assert _rows(maint.current(spark)) == want
+
+
+def test_restarted_stream_lands_batch_into_torn_swap(spark, sf_small, tmp_path):
+    """ADVICE r06: after a crash between compact()'s two renames, a
+    restarted stream lands its batch BEFORE anything calls current().
+    _process_batch must finish the torn swap first — otherwise the
+    parquet write recreates state_dir holding only the new batch, and
+    recovery then rmtrees the _old/_compacted sibling (the last
+    complete copy), silently losing all history."""
+    import shutil
+
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    state = str(tmp_path / "state")
+    maint = StreamingAggMaintenance(state, ["o_orderpriority"], "o_totalprice")
+    maint._process_batch(orders.where(F.col("o_orderkey") % 3 == 0), 0)
+    maint._process_batch(orders.where(F.col("o_orderkey") % 3 == 1), 1)
+    maint.compact(spark)
+
+    # crash between rename(state -> _old) and rename(_compacted -> state)
+    shutil.copytree(state, state + "_compacted")
+    shutil.move(state, state + "_old")
+
+    # the restarted stream's first act is landing a new batch
+    maint._process_batch(orders.where(F.col("o_orderkey") % 3 == 2), 2)
+
+    want = _rows(finalize(
+        partial_state(orders, ["o_orderpriority"], "o_totalprice"),
+        ["o_orderpriority"]))
+    assert _rows(maint.current(spark)) == want
+    assert not (tmp_path / "state_old").exists()
+    assert not (tmp_path / "state_compacted").exists()

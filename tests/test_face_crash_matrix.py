@@ -1,0 +1,173 @@
+"""Face-level chaos tests for the sx07/sx08 scratch-staging guards
+(queries/analytics16.py `_stage_slices` + `_done` gating) — VERDICT
+r06 item 5. The compaction swap has its own crash matrix in
+test_agg_maintain.py; these drive the FACES through the same crash
+points, because the faces are what the driver actually invokes:
+
+  (a) crash mid-staging      -> staging tree present, target absent;
+                                the next invocation discards and
+                                rebuilds, never serves a partial tree;
+  (b) crash between sx08's base overwrite and the arrivals rename
+                             -> rerun redoes the base overwrite
+                                idempotently before streaming;
+  (c) crash mid-stream       -> checkpoint has committed a prefix of
+                                the micro-batches; the rerun resumes
+                                from the checkpoint and converges;
+  (d) crash between stream completion and the `_done` marker
+                             -> rerun replays an already-applied
+                                stream (no new files), stays exact.
+
+Each scenario runs against its own symlinked sf_dir basename so the
+per-application scratch directories are isolated from the real corpus
+sweep's sx07/sx08 runs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators.incremental_agg import (
+    finalize, partial_state,
+)
+from eth_options_data_pipeline_spark.queries import analytics16
+from eth_options_data_pipeline_spark.sources import load_table
+from eth_options_data_pipeline_spark.streaming.agg_maintain import (
+    StreamingAggMaintenance,
+)
+from eth_options_data_pipeline_spark.streaming.cdc_apply import StreamingCdcApply
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _linked_sf(tmp_path, sf_small, name):
+    link = tmp_path / name
+    os.symlink(sf_small, link)
+    return str(link)
+
+
+def _scratch(spark, prefix, sf_dir):
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _sx07_want(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    return _rows(finalize(
+        partial_state(orders, ["o_orderpriority"], "o_totalprice"),
+        ["o_orderpriority"]))
+
+
+def _sx08_want(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+    base = orders.where(F.col("o_orderkey") % 3 != 0)
+    merged = base.join(updates.select("o_orderkey"), "o_orderkey",
+                       "left_anti").unionByName(updates)
+    return _rows(merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+def test_sx07_partial_staging_discarded_and_rebuilt(spark, sf_small, tmp_path):
+    sf = _linked_sf(tmp_path, sf_small, "sx07stagecrash")
+    scratch = _scratch(spark, "aggmaint_face", sf)
+    staging = os.path.join(scratch, "in_staging")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-junk.parquet"), "w") as f:
+        f.write("torn half-written slice")           # crash point (a)
+    got = _rows(analytics16.sx07_agg_maintain_stream(spark, sf))
+    assert got == _sx07_want(spark, sf)
+    assert not os.path.isdir(staging)
+
+
+def test_sx07_mid_stream_crash_resumes_from_checkpoint(
+        spark, sf_small, tmp_path, monkeypatch):
+    sf = _linked_sf(tmp_path, sf_small, "sx07streamcrash")
+    real = StreamingAggMaintenance._process_batch
+
+    def crashing(self, batch_df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected crash at batch 1")
+        real(self, batch_df, batch_id)
+
+    monkeypatch.setattr(StreamingAggMaintenance, "_process_batch", crashing)
+    with pytest.raises(Exception):                   # crash point (c)
+        analytics16.sx07_agg_maintain_stream(spark, sf)
+    monkeypatch.setattr(StreamingAggMaintenance, "_process_batch", real)
+    # no _done marker was written; the rerun resumes the stream from
+    # the checkpoint (batch 0 committed, 1..2 replayed) and serves exact
+    got = _rows(analytics16.sx07_agg_maintain_stream(spark, sf))
+    assert got == _sx07_want(spark, sf)
+
+
+def test_sx07_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
+    sf = _linked_sf(tmp_path, sf_small, "sx07donecrash")
+    want = _sx07_want(spark, sf)
+    assert _rows(analytics16.sx07_agg_maintain_stream(spark, sf)) == want
+    shutil.rmtree(os.path.join(_scratch(spark, "aggmaint_face", sf), "_done"))
+    assert _rows(analytics16.sx07_agg_maintain_stream(spark, sf)) == want
+
+
+def test_sx08_crash_between_base_write_and_rename(
+        spark, sf_small, tmp_path, monkeypatch):
+    sf = _linked_sf(tmp_path, sf_small, "sx08basecrash")
+
+    def staging_crash(write_slices, target):
+        staging = target + "_staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        write_slices(staging)
+        raise RuntimeError("injected crash before arrivals rename")
+
+    monkeypatch.setattr(analytics16, "_stage_slices", staging_crash)
+    with pytest.raises(RuntimeError):                # crash point (b)
+        analytics16.sx08_cdc_apply_stream(spark, sf)
+    scratch = _scratch(spark, "cdc_face", sf)
+    assert os.path.isdir(os.path.join(scratch, "table"))       # base landed
+    assert not os.path.isdir(os.path.join(scratch, "changes"))  # no rename
+    monkeypatch.undo()
+    # rerun redoes the base overwrite idempotently, restages, streams
+    got = _rows(analytics16.sx08_cdc_apply_stream(spark, sf))
+    assert got == _sx08_want(spark, sf)
+
+
+def test_sx08_mid_stream_crash_replays_merge_convergently(
+        spark, sf_small, tmp_path, monkeypatch):
+    sf = _linked_sf(tmp_path, sf_small, "sx08streamcrash")
+    real = StreamingCdcApply._process_batch
+    seen = []
+
+    def crashing(self, batch_df, batch_id):
+        real(self, batch_df, batch_id)               # merge APPLIED ...
+        if batch_id == 1 and not seen:
+            seen.append(batch_id)
+            raise RuntimeError("injected crash after batch-1 merge")
+
+    monkeypatch.setattr(StreamingCdcApply, "_process_batch", crashing)
+    with pytest.raises(Exception):                   # crash point (c),
+        analytics16.sx08_cdc_apply_stream(spark, sf)  # post-apply pre-commit
+    monkeypatch.setattr(StreamingCdcApply, "_process_batch", real)
+    # batch 1 was applied but never committed -> the rerun REPLAYS it;
+    # merge_upsert converges (same-key updates rewrite the same rows)
+    got = _rows(analytics16.sx08_cdc_apply_stream(spark, sf))
+    assert got == _sx08_want(spark, sf)
+
+
+def test_sx08_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
+    sf = _linked_sf(tmp_path, sf_small, "sx08donecrash")
+    want = _sx08_want(spark, sf)
+    assert _rows(analytics16.sx08_cdc_apply_stream(spark, sf)) == want
+    shutil.rmtree(os.path.join(_scratch(spark, "cdc_face", sf), "_done"))
+    assert _rows(analytics16.sx08_cdc_apply_stream(spark, sf)) == want
