@@ -53,6 +53,42 @@ def partition_candidates(df: DataFrame, col: str,
         summarize, schema=df.select(col).schema)
 
 
+def partition_candidates_by(df: DataFrame, col: str, group_col: str,
+                            capacity: int) -> DataFrame:
+    """Per-(partition, group) top-``capacity`` items — the batched
+    variant of ``partition_candidates`` for replaying several
+    deterministic slices of one scan in a single Arrow pass.
+
+    Because a narrow ``where(group == g)`` preserves partition
+    contents, the rows of partition p for group g here are EXACTLY the
+    rows partition p would hold after that filter — so per group this
+    emits the same candidate set as ``partition_candidates(
+    df.where(group == g), col, capacity)``, while scanning the input
+    once instead of once per group (pinned by
+    test_heavy_hitters.py::test_grouped_candidates_match_per_slice)."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            sizes = pdf.groupby([group_col, col], sort=False).size()
+            for gv, c in sizes.items():
+                counts[gv] = counts.get(gv, 0) + int(c)
+        if counts:
+            by_g: dict = {}
+            for (g, v), c in counts.items():
+                by_g.setdefault(g, []).append((v, c))
+            rows_g: list = []
+            rows_v: list = []
+            for g, items in by_g.items():
+                for v, _ in sorted(items, key=lambda kv: -kv[1])[:capacity]:
+                    rows_g.append(g)
+                    rows_v.append(v)
+            yield pd.DataFrame({group_col: rows_g, col: rows_v})
+
+    out_schema = df.select(group_col, col).schema
+    return df.select(group_col, col).mapInPandas(summarize, schema=out_schema)
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int = 20,
                   capacity: int = 1000) -> tuple[DataFrame, "F.Column"]:
     """(top-k DataFrame ``(col, cnt)``, guarantee threshold column).

@@ -79,18 +79,22 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
         vecs, k, id_col, vec_col, max_iters=max_iters, method=method,
         round_to=round_to)
 
-    # cosine to own centroid, decided per-row against the literal
-    # centroid bank (k branches, JVM-side)
-    sim_expr = None
-    for i, c in enumerate(cents):
-        cl = F.array(*[F.lit(float(v)) for v in c])
-        branch = cosine(F.col(vec_col), cl)
-        sim_expr = (F.when(F.col("cluster") == i, branch) if sim_expr is None
-                    else sim_expr.when(F.col("cluster") == i, branch))
+    # cosine to own centroid via a broadcast join against the k-row
+    # centroid table — ONE cosine fold per row regardless of k. (The
+    # previous k-branch literal when-chain paid k*dim interpreted HOF
+    # ops per row AND a k*dim-sized expression tree to compile; at the
+    # paper-rule k it regressed 2x+ the moment k grew past ~10. The
+    # join keeps the identical float op order — same cosine over the
+    # same rounded centroid values, exactly the shape the DuckDB
+    # oracle uses.)
+    cent_df = emb.sparkSession.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cluster int, _cent array<double>")
     docs = (
         vecs.join(assigned, id_col)
+        .join(F.broadcast(cent_df), "cluster")
         .select(id_col, vec_col, "cluster",
-                sim_expr.alias("centroid_sim"))
+                cosine(F.col(vec_col), F.col("_cent")).alias("centroid_sim"))
     )
     if cluster_cap is not None:
         grp_w = Window.partitionBy("cluster").orderBy(id_col)

@@ -177,25 +177,39 @@ def sx05_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     never have been evicted before tracking, so its count is exact;
     the oracle hard-codes the same arithmetic, making a
     capacity-undersized run a visible hash break instead of silent
-    divergence (the dx36 lesson)."""
-    from eth_options_data_pipeline_spark.streaming.topk_stream import (
-        tracked_batch_counts,
+    divergence (the dx36 lesson).
+
+    The replay loop looks sequential (batch i+1's tracked set depends
+    on batch i's counted keys) but is not: counted keys are the batch
+    intersected with the tracked set, and candidates come FROM their
+    batch, so the tracked set before batch i is exactly the union of
+    candidates from batches < i. That identity (pinned by
+    test_heavy_hitters.py) collapses r05's three per-batch
+    localCheckpoint barriers into ONE: a single Arrow pass computes
+    per-(partition, batch) candidates for all three replays
+    (partition_candidates_by), that tiny table (<= 3 x capacity x
+    partitions rows) is the only checkpoint, and the three tracked-set
+    semi-joins + delta groupBys + merge stay one lazy AQE-planned
+    query — the same barrier-removal move that took dx28 from 5.5s to
+    2.8s."""
+    from eth_options_data_pipeline_spark.operators.heavy_hitters import (
+        partition_candidates_by,
     )
 
     ev = t(spark, sf_dir, "events")
-    tracked = spark.createDataFrame([], "user_id bigint")
+    bat = ev.select("user_id", (F.col("event_id") % 3).alias("_b"))
+    cands = partition_candidates_by(
+        bat, "user_id", "_b", _TK_CAP).localCheckpoint()
     deltas = []
     for i in range(3):
-        batch = ev.where(F.col("event_id") % 3 == i)
-        # localCheckpoint = the face's stand-in for the streaming
-        # sink's per-batch parquet state write: each delta
-        # materializes exactly once (it feeds both the running tracked
-        # set and the final merge; left lazy, batch 1's mapInPandas
-        # pass would re-run inside every later batch's plan)
-        counts = tracked_batch_counts(
-            batch, "user_id", _TK_CAP, tracked).localCheckpoint()
+        tracked = (cands.where(F.col("_b") <= i)
+                   .select("user_id").distinct())
+        counts = (
+            bat.where(F.col("_b") == i)
+            .join(F.broadcast(tracked), "user_id", "left_semi")
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        )
         deltas.append(counts)
-        tracked = tracked.unionByName(counts.select("user_id")).distinct()
     merged = (
         deltas[0].unionByName(deltas[1]).unionByName(deltas[2])
         .groupBy("user_id").agg(F.sum("cnt").alias("cnt"))
@@ -212,8 +226,14 @@ def sx05_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ SemDeDup face
 
-_SD_TARGET = 64     # paper rule: k = ceil(n / target_cluster_size)
-_SD_CAP = 48        # hard per-join-group bound (splits avg-62 clusters)
+_SD_TARGET = 200    # paper rule: k = ceil(n / target_cluster_size) —
+                    # the paper runs ~2k docs/cluster; 200 keeps k
+                    # moderate at face scale (3 at sf0.01, 10 at
+                    # sf0.1), which matters because the expr
+                    # assignment kernel pays n*k*dim interpreted ops
+_SD_CAP = 48        # hard per-join-group bound; avg clusters are
+                    # ~170-200 docs at every face scale, so the
+                    # row_number sub-split FIRES under the driver hash
 _SD_THRESH = 0.25
 
 

@@ -60,3 +60,51 @@ def test_guarantee_above_threshold(spark):
     # and the candidate set is small — the point of the summary pass
     n_parts = toks.rdd.getNumPartitions()
     assert len(cands) <= capacity * n_parts
+
+
+def test_grouped_candidates_match_per_slice(spark):
+    """partition_candidates_by == per-group filter + partition_
+    candidates on identical partition contents — the identity that
+    lets the sx05 face replay three micro-batches off ONE Arrow pass.
+    Counts are made unique per (group, value) so the capacity cut has
+    no ties and both kernels truncate identically; single partition so
+    the partition contents are pinned."""
+    from eth_options_data_pipeline_spark.operators.heavy_hitters import (
+        partition_candidates_by,
+    )
+    rows = [(g, v)
+            for g in range(3)
+            for v in range(10)
+            for _ in range(v + 1 + 10 * ((v + g) % 2))]
+    df = spark.createDataFrame(rows, "g int, w bigint").coalesce(1)
+    cap = 4
+    got = sorted(tuple(r) for r in
+                 partition_candidates_by(df, "w", "g", cap).collect())
+    want = []
+    for g in range(3):
+        sliced = partition_candidates(df.where(F.col("g") == g), "w", cap)
+        want += [(g, r.w) for r in sliced.collect()]
+    assert got == sorted(want)
+    # and the per-group output is genuinely truncated by capacity
+    assert len(got) == 3 * cap
+
+
+def test_tracked_set_equals_candidate_union(spark):
+    """The sx05 collapse argument itself: replaying batches through
+    tracked_batch_counts (counted keys feed the next tracked set)
+    tracks EXACTLY the union of per-batch candidate sets."""
+    from eth_options_data_pipeline_spark.streaming.topk_stream import (
+        tracked_batch_counts,
+    )
+    toks = _token_stream(spark).withColumn(
+        "b", (F.crc32(F.col("w")) % 3).cast("int"))
+    cap = 7
+    tracked = spark.createDataFrame([], "w string")
+    cand_union: set = set()
+    for i in range(3):
+        batch = toks.where(F.col("b") == i).select("w")
+        counts = tracked_batch_counts(batch, "w", cap, tracked)
+        tracked = tracked.unionByName(counts.select("w")).distinct()
+        cand_union |= {r.w for r in
+                       partition_candidates(batch, "w", cap).collect()}
+        assert {r.w for r in tracked.collect()} == cand_union
