@@ -61,6 +61,21 @@ from eth_options_data_pipeline_spark.queries import analytics16  # noqa: F401,E4
 # sf0.001 full-registry sweep and the sf0.01 driver-scale sweep in
 # tests/test_corpus_oracle.py.
 # ---------------------------------------------------------------------------
+# §2-critical single-operator faces covering the reference-parity core
+# (main.py/deltaweekly.py semantics). ALWAYS in the driver window, and
+# ALWAYS in the default sf0.01 driver-scale sweep (tests/
+# test_corpus_oracle.py) so they keep driver-scale coverage between
+# driver rounds too.
+REGRESSION_CORE = [
+    "q01_pricing_summary",
+    "q06_keep_last",
+    "q07_lag_delta",
+    "q08_expiry_ladder",
+    "q09_friday_ladder",
+    "q11_symbol_parse",
+    "q21_options_pipeline",
+]
+
 _WINDOW_PRIORITY = [
     # -- 1. stalest faces (last driver row r04) ---------------------------
     "q02_band_filter_project",

@@ -306,9 +306,9 @@ _SPLIT_H = ("CAST(('0x' || substr(md5('split-v1|' || CAST("
             " / 1152921504606846976.0")
 
 _LSPLIT_SQL = f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
-    sig AS (SELECT doc_id, sh, {_MH_SQL} FROM sh),
-    bands AS (SELECT doc_id, unnest([{_BANDS_SQL}]) AS band_key FROM sig),
+    WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, {_SH} AS sh FROM documents),
+    sig AS MATERIALIZED (SELECT doc_id, sh, {_MH_SQL} FROM sh),
+    bands AS MATERIALIZED (SELECT doc_id, unnest([{_BANDS_SQL}]) AS band_key FROM sig),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -321,7 +321,9 @@ _LSPLIT_SQL = f"""
               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
             >= 0.5
     ),
-    bi AS (
+    bi AS MATERIALIZED (
+      -- MATERIALIZED: keeps the recursive closure below from
+      -- re-running the minhash+jaccard pipeline every iteration
       SELECT doc_a AS s, doc_b AS d FROM edges
       UNION SELECT doc_b, doc_a FROM edges
     ),

@@ -108,17 +108,26 @@ def test_export_shuffle_single_exchange(spark, sf_small):
     assert "Exchange rangepartitioning" not in p
 
 
-def test_no_python_in_hot_paths(spark, sf_small):
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_small):
+    """One physical-plan compile per face, shared by every
+    registry-wide sweep below — compiling all 106 faces costs ~25s,
+    so each additional sweep over this dict is free (suite-budget
+    move, VERDICT r06 item 4)."""
+    return {name: plan(spec.fn(spark, sf_small))
+            for name, spec in REGISTRY.items()}
+
+
+def test_no_python_in_hot_paths(all_plans):
     """Every corpus query except the explicitly-Pandas multimodal one
     must be pure JVM expression code — no Python row/batch eval
     operators anywhere in the physical plan."""
     # exemptions: multimodal (Arrow decode path is the point) and the
     # heavy-hitters summary pass (deliberate bounded mapInPandas) —
     # sx05 reuses that same summary kernel per micro-batch
-    for name, spec in REGISTRY.items():
+    for name, p in all_plans.items():
         if name.startswith("mm") or name in ("dx36_heavy_hitters", "dx38_sequence_packing", "dx39_cdc_chunks", "sx05_topk_stream"):
             continue
-        p = plan(spec.fn(spark, sf_small))
         assert "EvalPython" not in p and "MapInPandas" not in p, f"{name} drops to Python"
 
 
@@ -352,13 +361,12 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_small):
     assert "skew=true" in p and "AQEShuffleRead skewed" in p, p
 
 
-def test_no_cartesian_product_anywhere(spark, sf_small):
+def test_no_cartesian_product_anywhere(all_plans):
     """Registry-wide tripwire: no face may plan an unbounded
     CartesianProduct. (BroadcastNestedLoopJoin appears only as the
     broadcast-scalar / bounded-panel cross join — 1-row totals,
     constant anchor panels — which is the intended shape; a true
     cartesian between two large sides would surface here as
     CartesianProduct.)"""
-    for name, spec in REGISTRY.items():
-        p = plan(spec.fn(spark, sf_small))
+    for name, p in all_plans.items():
         assert "CartesianProduct" not in p, f"{name} plans a cartesian"

@@ -29,6 +29,14 @@ def test_every_query_has_oracle_sql():
     assert missing == [], f"faces without oracle SQL: {missing}"
 
 
+def test_regression_core_always_in_window():
+    """The §2 reference-parity core must hold a driver row EVERY
+    round (and the default sf0.01 sweep keys off REGRESSION_CORE, so
+    a drop here would silently shrink driver-scale coverage too)."""
+    assert set(q.REGRESSION_CORE) <= set(q._WINDOW_PRIORITY)
+    assert set(q.REGRESSION_CORE) <= set(q.REGISTRY)
+
+
 def test_window_satisfies_freshness_policy():
     """No face may go more than MAX_STALENESS (=2) rounds without a
     driver CORRECTNESS row.  ``policy_violations`` computes, for every
