@@ -227,7 +227,11 @@ def dx49_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text")
     emb = docs.select("doc_id", "source",
                       _hash_embed(F.col("text")).alias("e"))
-    corpus = emb.where(vx.dot(F.col("e"), F.col("e")) > 0)
+    # cached: the anchor-panel subtree (TakeOrdered 5) and the scoring
+    # scan BOTH consume the embedded corpus, and the per-word md5 HOF
+    # embed is the expensive half of this face — same move as dx10's
+    # shingle cache
+    corpus = emb.where(vx.dot(F.col("e"), F.col("e")) > 0).cache()
     anchors = (
         corpus.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(_NEG_NA)

@@ -370,3 +370,19 @@ def test_no_cartesian_product_anywhere(all_plans):
     CartesianProduct.)"""
     for name, p in all_plans.items():
         assert "CartesianProduct" not in p, f"{name} plans a cartesian"
+
+
+def test_sx05_construction_is_single_barrier(spark, sf_small):
+    """The sx05 batch face replays three micro-batches off ONE
+    localCheckpoint (the grouped candidate table) — r05's version paid
+    one checkpoint per batch (~3x the construction jobs). The AQE job
+    cascade for the single checkpoint measures 3 jobs; a per-batch
+    barrier regression lands at 9+."""
+    sc = spark.sparkContext
+    sc.setJobGroup("sx05-construct", "sx05-construct")
+    try:
+        REGISTRY["sx05_topk_stream"].fn(spark, sf_small)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    n = len(sc.statusTracker().getJobIdsForGroup("sx05-construct"))
+    assert n <= 4, f"sx05 construction ran {n} jobs (single-barrier regression?)"
