@@ -46,7 +46,18 @@ def partition_candidates(df: DataFrame, col: str,
             for v, c in pdf[col].value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
         if counts:
-            top = sorted(counts.items(), key=lambda kv: -kv[1])[:capacity]
+            # canonical (count desc, value asc) tie-break: insertion
+            # order depends on Arrow batch boundaries, so a stable
+            # count-only sort would truncate DIFFERENT items at the
+            # capacity cut across otherwise-identical inputs — and
+            # would diverge from partition_candidates_by, whose
+            # insertion order differs. The value tie-break makes both
+            # kernels a pure function of the partition's multiset.
+            # (inlined, not a module-level helper: the closure is
+            # cloudpickled by value, and a module-global reference
+            # would require the repo on every worker's sys.path)
+            top = sorted(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[:capacity]
             yield pd.DataFrame({col: [v for v, _ in top]})
 
     return df.select(col).mapInPandas(
@@ -80,7 +91,12 @@ def partition_candidates_by(df: DataFrame, col: str, group_col: str,
             rows_g: list = []
             rows_v: list = []
             for g, items in by_g.items():
-                for v, _ in sorted(items, key=lambda kv: -kv[1])[:capacity]:
+                # same canonical (count desc, value asc) cut as
+                # partition_candidates — the per-slice identity only
+                # holds if BOTH kernels break capacity-boundary ties
+                # the same way (insertion order differs between them)
+                for v, _ in sorted(items,
+                                   key=lambda kv: (-kv[1], kv[0]))[:capacity]:
                     rows_g.append(g)
                     rows_v.append(v)
             yield pd.DataFrame({group_col: rows_g, col: rows_v})

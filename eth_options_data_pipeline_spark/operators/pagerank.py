@@ -79,19 +79,10 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         result; tests tripwire this exact invariant).
     """
     long_run = iters > checkpoint_every
-    if not long_run and not pin_caches:
-        nodes = (
-            edges.select(F.col("src").alias("node"))
-            .unionByName(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        n = nodes.count()
-        if n == 0:
-            return nodes.withColumn("rank", F.lit(0.0))
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-        return _iterate_lazy(edges, nodes, deg, ranks, n, iters, damping,
-                             pin_caches=False)
+    # Long runs manage and release their own caches, so pin_caches
+    # only governs the short path; ONE construction serves both paths
+    # (conditional caching, not duplicated plans).
+    pin = pin_caches or long_run
     # Long runs: the edge list is consumed by every checkpoint
     # materialization — cache it (released on return) so a derived
     # edge list (e.g. a distinct over a fact table) is computed once
@@ -106,16 +97,21 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct().cache()          # node-count-bounded
+        .distinct()
     )
+    if pin:
+        nodes = nodes.cache()        # node-count-bounded
     n = nodes.count()
     if n == 0:
         if owns_edges_cache:
             edges.unpersist(blocking=False)
-        nodes.unpersist(blocking=False)
+        if pin:
+            nodes.unpersist(blocking=False)
         return nodes.withColumn("rank", F.lit(0.0))
     deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("out_deg")).cache()   # node-count-bounded
+        F.count(F.lit(1)).alias("out_deg"))
+    if pin:
+        deg = deg.cache()            # node-count-bounded
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     if long_run:
@@ -128,7 +124,8 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         if owns_edges_cache:
             edges.unpersist(blocking=False)
         return ranks
-    return _iterate_lazy(edges, nodes, deg, ranks, n, iters, damping)
+    return _iterate_lazy(edges, nodes, deg, ranks, n, iters, damping,
+                         pin_caches=pin_caches)
 
 
 def _rank_update(nodes: DataFrame, contribs: DataFrame,
@@ -206,7 +203,7 @@ def _iterate_checkpointed(edges: DataFrame, nodes: DataFrame,
     dang_nodes = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti").cache()
     live_caches: list[DataFrame] = []
-    prev_ckpt: dict[int, object] = {}
+    prev_ckpt_id: int | None = None
     for i in range(iters):
         ranks = ranks.cache()
         live_caches.append(ranks)
@@ -224,7 +221,6 @@ def _iterate_checkpointed(edges: DataFrame, nodes: DataFrame,
         ranks = _rank_update(nodes, contribs, dangling, n, damping,
                              hint_broadcast=small)
         if (i + 1) % checkpoint_every == 0 or (i + 1) == iters:
-            before = set(_persistent_rdd_handles(ranks))
             ranks = ranks.localCheckpoint(eager=True)
             for df in live_caches:
                 df.unpersist(blocking=False)
@@ -232,15 +228,20 @@ def _iterate_checkpointed(edges: DataFrame, nodes: DataFrame,
             # The new checkpoint has materialized, so the previous
             # checkpoint's persisted RDD is now unreachable from any
             # live plan — free it instead of waiting for the JVM's
-            # ContextCleaner. (DataFrame.unpersist can't reach it:
-            # df.rdd is a derived wrapper, not the checkpointed RDD.)
-            for rid, jrdd in prev_ckpt.items():
-                if rid not in before:
-                    continue           # already freed elsewhere
-                jrdd.unpersist(False)
-            after = _persistent_rdd_handles(ranks)
-            prev_ckpt = {rid: h for rid, h in after.items()
-                         if rid not in before}
+            # ContextCleaner. The checkpoint RDD is identified by ID
+            # (a checkpointed Dataset's analyzed plan IS the LogicalRDD
+            # holding it): DataFrame.unpersist can't reach it (df.rdd
+            # is a derived wrapper), and a persistent-set diff can't
+            # either — the loop-invariant caches (ew/deg/dang_nodes)
+            # first REGISTER during the first checkpoint's job, and a
+            # diff would sweep them into the kill set, silently
+            # un-caching the invariants for every later round.
+            new_id = int(ranks._jdf.queryExecution().analyzed().rdd().id())
+            handles = _persistent_rdd_handles(ranks)
+            if (prev_ckpt_id is not None and prev_ckpt_id != new_id
+                    and prev_ckpt_id in handles):
+                handles[prev_ckpt_id].unpersist(False)
+            prev_ckpt_id = new_id
     for df in (ew, dang_nodes):
         df.unpersist(blocking=False)
     return ranks

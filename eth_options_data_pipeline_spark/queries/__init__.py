@@ -92,13 +92,7 @@ _WINDOW_PRIORITY = [
     "q18_scrub_nonfinite",
     "q19_region_revenue",
     # -- 2. §2-critical regression core (reference parity, every round) ---
-    "q01_pricing_summary",
-    "q06_keep_last",
-    "q07_lag_delta",
-    "q08_expiry_ladder",
-    "q09_friday_ladder",
-    "q11_symbol_parse",
-    "q21_options_pipeline",
+    *REGRESSION_CORE,
     # -- 3. round-6 first-row faces, kept for a confirmation row ----------
     "dx51_temperature_mix",
     "dx52_context_windows",

@@ -68,8 +68,12 @@ def age_table(
     upcoming driver round runs the given window: 0 if the face is in
     the window, else ``next_round - last_round``.  Sorted stalest-first.
     """
-    last = last_driver_round(repo_root)
-    next_round = max(correctness_rounds(repo_root), default=0) + 1
+    rounds = correctness_rounds(repo_root)   # one history parse per call
+    last: dict[str, int] = {}
+    for rnd, names in rounds.items():
+        for name in names:
+            last[name] = max(last.get(name, 0), rnd)
+    next_round = max(rounds, default=0) + 1
     in_window = set(window_names)
     rows = []
     for name in registry_names:

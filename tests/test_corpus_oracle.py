@@ -31,16 +31,21 @@ def test_oracle_parity(spark, sf_small, con, name):
     assert result["ok"], f"{name}: {result}"
 
 
-def test_all_queries_return_rows_or_valid_empty(spark, sf_small):
-    # Only faces WITHOUT oracle SQL need a separate executes-at-all
-    # check — every oracle-backed face already ran to completion in
-    # test_oracle_parity above, so re-executing all 106 here doubled
-    # the suite's face-execution cost for zero extra coverage.
-    unchecked = [n for n, spec in REGISTRY.items() if spec.sql is None]
-    for name in unchecked:
-        df = REGISTRY[name].fn(spark, sf_small)
-        assert df.columns, f"{name} returned no columns"
-        df.limit(1).collect()  # plan executes
+# Only faces WITHOUT oracle SQL need a separate executes-at-all check —
+# every oracle-backed face already ran to completion in
+# test_oracle_parity above, so re-executing all 106 doubled the suite's
+# face-execution cost for zero extra coverage. Parametrized (not a
+# loop) so that the currently-empty set shows up as zero collected
+# tests rather than a green test that checked nothing; it self-
+# activates the moment a rows-only face is registered.
+ROWS_ONLY_QUERIES = sorted(n for n, spec in REGISTRY.items() if spec.sql is None)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_faces_execute(spark, sf_small, name):
+    df = REGISTRY[name].fn(spark, sf_small)
+    assert df.columns, f"{name} returned no columns"
+    df.limit(1).collect()  # plan executes
 
 
 # Driver-scale sweep: same comparison at sf0.01, the scale the driver's

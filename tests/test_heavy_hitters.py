@@ -108,3 +108,26 @@ def test_tracked_set_equals_candidate_union(spark):
         cand_union |= {r.w for r in
                        partition_candidates(batch, "w", cap).collect()}
         assert {r.w for r in tracked.collect()} == cand_union
+
+
+def test_candidate_kernels_agree_under_boundary_ties(spark):
+    """Capacity-cut ties are where the two kernels' INSERTION orders
+    differ (per-Arrow-batch value_counts vs first-appearance groupby),
+    so without the canonical (count desc, value asc) tie-break the
+    per-slice identity silently breaks exactly at the boundary. All
+    values tied -> the cut is decided purely by the tie-break."""
+    from eth_options_data_pipeline_spark.operators.heavy_hitters import (
+        partition_candidates_by,
+    )
+    rows = [(g, v) for g in range(2) for v in range(12) for _ in range(3)]
+    df = spark.createDataFrame(rows, "g int, w bigint").coalesce(1)
+    cap = 5
+    got = sorted(tuple(r) for r in
+                 partition_candidates_by(df, "w", "g", cap).collect())
+    want = []
+    for g in range(2):
+        sliced = partition_candidates(df.where(F.col("g") == g), "w", cap)
+        want += [(g, r.w) for r in sliced.collect()]
+    assert got == sorted(want)
+    # fully tied -> the canonical cut keeps the lowest values
+    assert got == [(g, v) for g in range(2) for v in range(cap)]

@@ -134,6 +134,47 @@ def test_lazy_pin_caches_false_leaves_no_persistent_state(spark):
     assert leaked == set(), f"pin_caches=False pinned RDDs {leaked}"
 
 
+def test_long_run_frees_exactly_the_superseded_checkpoints(spark, monkeypatch):
+    """The explicit checkpoint-RDD release must kill ONLY superseded
+    checkpoint RDDs — never the loop-invariant caches (ew/deg/
+    dang_nodes), whose RDDs first REGISTER during the first
+    checkpoint's job. (The original diff-based sweep swept them into
+    the kill set at checkpoint 1 and silently un-cached the loop
+    invariants for the rest of the run — caught in review by
+    instrumenting getPersistentRDDs around each checkpoint.) 12 iters
+    at checkpoint_every=3 = 4 checkpoints -> exactly 3 explicit
+    unpersists, one per superseded checkpoint."""
+    from eth_options_data_pipeline_spark.operators import pagerank as pr
+
+    base = set(_persistent_ids(spark))
+    killed = []
+    real = pr._persistent_rdd_handles
+
+    class _Spy:
+        def __init__(self, rid, h):
+            self._rid, self._h = rid, h
+
+        def unpersist(self, blocking):
+            killed.append(self._rid)
+            self._h.unpersist(blocking)
+
+    monkeypatch.setattr(
+        pr, "_persistent_rdd_handles",
+        lambda df: {rid: _Spy(rid, h) for rid, h in real(df).items()})
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, ITERS, D).collect()}
+    want = ref_pagerank(EDGES, ITERS, D)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-9)
+    assert len(killed) == 3, (
+        f"expected exactly the 3 superseded checkpoint RDDs freed, "
+        f"got {killed}")
+    assert len(set(killed)) == 3
+    for rid, h in real(df).items():      # cleanup: release the result ckpt
+        if rid not in base:
+            h.unpersist(False)
+
+
 def test_long_run_leaves_only_the_result_checkpoint(spark):
     """Tripwire for the long-path cache boundary: after return +
     collect, the ONLY new persisted RDD is the returned result's own
