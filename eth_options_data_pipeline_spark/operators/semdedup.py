@@ -42,7 +42,8 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
              max_iters: int = 5, method: str = "expr",
              round_to: int | None = None,
              target_cluster_size: int = 64,
-             cluster_cap: int | None = None) -> DataFrame:
+             cluster_cap: int | None = None,
+             pin_caches: bool = True) -> DataFrame:
     """Returns (id, cluster, centroid_sim, keep) for every input row.
 
     ``keep`` is false iff the row loses to a same-cluster neighbor
@@ -69,9 +70,25 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
     exchange for a plan that cannot go quadratic. The row_number
     window is a per-cluster external sort — O(c log c), disk-backed,
     the cheap price for capping the c^2 it prevents.
+
+    ``pin_caches`` follows the pagerank.py contract: the two caches
+    below (the projected vectors feeding the k-means loop, and the
+    per-doc centroid-sim table feeding both pair-join sides) stay
+    registered with the returned lazy plan, so repeated calls over
+    DISTINCT corpora accumulate pinned blocks for app lifetime (the
+    CacheManager dedupes only identical plans, and spilled
+    MEMORY_AND_DISK blocks are not reclaimed by memory pressure).
+    Callers on that pattern pass ``pin_caches=False`` for a fully
+    unpinned plan — the k-means iterations and both join sides then
+    re-scan the source instead.
     """
+    # cached: consumed by the k derivation count, the k-means loop
+    # (seeds scan + one assignment-join + update per iteration), and
+    # the output join — n x dim doubles, the same order as the result
     vecs = emb.select(F.col(id_col),
                       F.col(vec_col).cast("array<double>").alias(vec_col))
+    if pin_caches:
+        vecs = vecs.cache()
     if k is None:
         n = vecs.count()
         k = max(1, math.ceil(n / target_cluster_size))
@@ -104,7 +121,8 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
             .cast("int"))
     else:
         docs = docs.withColumn("_grp", F.lit(0))
-    docs = docs.cache()   # reused by both pair-join sides + the output
+    if pin_caches:
+        docs = docs.cache()   # reused by both pair-join sides + the output
 
     join_keys = ["cluster", "_grp"]
     a = docs.select(F.col(id_col).alias("_a"), *join_keys,

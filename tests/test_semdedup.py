@@ -86,6 +86,27 @@ def test_semdedup_derives_k_from_target_cluster_size(spark):
     assert {r["cluster"] for r in got} <= set(range(3))  # ceil(24/10)=3
 
 
+def test_semdedup_pin_caches_false_matches_and_leaves_no_state(spark):
+    """pin_caches=False must return the identical keep-set AND leave
+    zero RDDs registered with the block manager after the action —
+    the same lifetime contract pagerank's lazy path pins
+    (test_pagerank.py::test_lazy_pin_caches_false_leaves_no_persistent
+    _state): callers sweeping many distinct corpora rely on it."""
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(e.getKey()) for e in jmap.entrySet().toArray()}
+
+    rows = make_docs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = persistent_ids()
+    out = semdedup(df, K, threshold=THRESHOLD, max_iters=5,
+                   pin_caches=False)
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert got == ref_semdedup(rows, K, THRESHOLD)
+    leaked = persistent_ids() - base
+    assert leaked == set(), f"pin_caches=False pinned RDDs {leaked}"
+
+
 def test_semdedup_cluster_cap_bounds_pair_join_groups(spark):
     """The bounded-quadratic claim, pinned on a SKEWED fixture: one
     degenerate blob holds ~90% of the rows, so k-means puts it in one
