@@ -34,6 +34,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: repr() is the shortest string that
+    round-trips to the same double, and the D suffix keeps the parser
+    from reading it as DECIMAL."""
+    return repr(float(v)) + "D"
+
+
 def _sq_l2(vec: Column, cent: list[float]) -> Column:
     """Squared L2 distance to a literal centroid, one fold."""
     c = F.array(*[F.lit(float(v)) for v in cent])
@@ -49,13 +56,25 @@ def assign_centroids(df: DataFrame, centroids: list[list[float]],
     cluster index. No shuffle: centroids ride into the tasks as
     literals (expr) or a closure-captured ndarray (numpy)."""
     if method == "expr":
-        cands = F.array(*[
-            F.struct(_sq_l2(F.col(vec_col), c).alias("d"),
-                     F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ])
-        return df.select(F.col(id_col),
-                         F.array_min(cands)["i"].alias("cluster"))
+        # ONE parsed expression instead of k Py4J-built fold subtrees:
+        # the k x dim centroid bank is a nested array literal and the
+        # squared-L2 fold appears once inside the transform lambda, so
+        # driver construction is a single expr() parse (the k-subtree
+        # Column composition paid ~2 Py4J round trips per literal —
+        # 0.5 s at k*dim = 640 — and made the analyzer walk k copies
+        # of the fold on every downstream action). Float-op order is
+        # IDENTICAL: per centroid the same zip_with/(x-y)*(x-y) fold
+        # accumulated left-to-right from 0.0, argmin via array_min
+        # over (d, i) structs with ties to the lowest index.
+        bank = ", ".join(
+            "array(" + ", ".join(_dlit(v) for v in c) + ")"
+            for c in centroids)
+        cluster = F.expr(
+            f"array_min(transform(array({bank}), (c, i) -> named_struct("
+            f"'d', aggregate(zip_with(`{vec_col}`, c, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x), "
+            f"'i', i))).i")
+        return df.select(F.col(id_col), cluster.alias("cluster"))
     if method == "numpy":
         import numpy as np
         import pandas as pd
@@ -129,11 +148,11 @@ def kmeans(df: DataFrame, k: int, id_col: str = "vec_id",
     """
     vecs = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias(vec_col))
-    first = vecs.select(F.size(vec_col)).first()
-    if first is None:
-        return assign_centroids(vecs, [[0.0]], id_col, vec_col), []
-    dim = first[0]
+    # dim comes from the seed rows — no separate first() job
     cents = _seed_centroids(vecs, k, id_col, vec_col)
+    if not cents:
+        return assign_centroids(vecs, [[0.0]], id_col, vec_col), []
+    dim = len(cents[0])
     for _ in range(max_iters):
         assigned = assign_centroids(vecs, cents, id_col, vec_col, method)
         nxt = _update_centroids(vecs, assigned, k, dim, cents,

@@ -133,7 +133,7 @@ def vx03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    b = emb.withColumn("bucket", vx.lsh_bucket(F.col("e"), _PLANES))
+    b = emb.withColumn("bucket", vx.lsh_bucket("e", _PLANES))
     a = b.alias("a")
     c = b.alias("c")
     cos = vx.cosine(F.col("a.e"), F.col("c.e"))

@@ -156,7 +156,7 @@ def vx01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    b = emb.withColumn("bucket", vx.lsh_bucket(F.col("e"), _PLANES))
+    b = emb.withColumn("bucket", vx.lsh_bucket("e", _PLANES))
 
     # brute-force face: query vec_id=0 against everything
     qvec = emb.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
@@ -261,7 +261,7 @@ def vx05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    b = emb.withColumn("bucket", vx.lsh_bucket(F.col("e"), _PLANES))
+    b = emb.withColumn("bucket", vx.lsh_bucket("e", _PLANES))
     qfull = b.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
     q = (
