@@ -74,13 +74,18 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def train_bigram_lm(docs: DataFrame, text_col: str = "text"
-                    ) -> tuple[DataFrame, DataFrame, int]:
-    """Count tables for Stupid Backoff: (bigrams, unigrams, total).
+                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count tables for Stupid Backoff: (bigrams, unigrams, totals).
 
     ``bigrams`` is (w1, w2, c_bg, c_w1) with the conditional's
     denominator already joined in; ``unigrams`` is (w2, c_uni);
-    ``total`` is the corpus token count N (the only driver-side
-    scalar — one long, not a table).
+    ``totals`` is a LAZY 1-row (n_total) table holding the corpus
+    token count N. Nothing here runs a job — training used to pay an
+    eager count() (a full tokenize pass of the corpus at construction
+    time); N is now derived from the unigram table inside the same
+    query, so the scoring plan reuses the unigram aggregation's
+    exchange for it and the corpus is tokenized exactly twice
+    (unigrams + bigrams), not three times.
     """
     ws = F.concat(F.array(F.lit(BOS)), _words(F.col(text_col)))
     tokens = docs.select(F.explode(ws).alias("w"))
@@ -97,20 +102,33 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text"
         bigrams.groupBy("w1").agg(F.sum("c_bg").alias("c_w1")))
     bigrams = bigrams.join(w1_counts, "w1")
 
-    total = tokens.where(F.col("w") != BOS).count()
-    return bigrams, unigrams.withColumnRenamed("w", "w2"), int(total)
+    totals = unigrams.agg(
+        F.coalesce(F.sum(F.when(F.col("w") != BOS, F.col("c_uni"))),
+                   F.lit(0).cast("long")).alias("n_total"))
+    return bigrams, unigrams.withColumnRenamed("w", "w2"), totals
 
 
 def score_perplexity(docs: DataFrame, bigrams: DataFrame,
-                     unigrams: DataFrame, total: int,
+                     unigrams: DataFrame, total: int | DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",
                      alpha: float = ALPHA,
                      oov_floor: float = OOV_FLOOR) -> DataFrame:
     """(id_col, n_tokens, log_ppl) — average negative log2 probability
     per token under Stupid Backoff; lower = more fluent. Documents
     with no tokens are dropped (nothing to score).
+
+    ``total`` is either the lazy 1-row (n_total) table
+    train_bigram_lm returns (joined in as a broadcast — keeps the
+    whole score a single query) or a plain int for callers that
+    already hold the scalar. Identical arithmetic either way: the
+    unigram back-off divides the same double.
     """
     db = _doc_bigrams(docs, id_col, text_col)
+    if isinstance(total, DataFrame):
+        db = db.crossJoin(F.broadcast(total))
+        n_total = F.col("n_total").cast("double")
+    else:
+        n_total = F.lit(float(total))
     scored = (
         db
         .join(bigrams, ["w1", "w2"], "left")
@@ -120,7 +138,7 @@ def score_perplexity(docs: DataFrame, bigrams: DataFrame,
             F.when(F.col("c_bg").isNotNull(),
                    F.col("c_bg") / F.col("c_w1"))
             .when(F.col("c_uni").isNotNull(),
-                  F.lit(alpha) * F.col("c_uni") / F.lit(float(total)))
+                  F.lit(alpha) * F.col("c_uni") / n_total)
             .otherwise(F.lit(oov_floor)))
     )
     return (
@@ -132,7 +150,7 @@ def score_perplexity(docs: DataFrame, bigrams: DataFrame,
 
 
 def perplexity_gate(docs: DataFrame, bigrams: DataFrame,
-                    unigrams: DataFrame, total: int,
+                    unigrams: DataFrame, total: int | DataFrame,
                     keep_fraction: float = 0.5,
                     id_col: str = "doc_id", text_col: str = "text"
                     ) -> DataFrame:

@@ -68,7 +68,9 @@ def test_scores_match_replica_including_heldout(spark, corpus):
     bigrams, unigrams, total = train_bigram_lm(train)
     uni, bg, w1, rep_total = _replica_counts(
         [t for i, t in texts.items() if i < 300])
-    assert total == rep_total
+    # totals is a LAZY 1-row table now — collect it for the replica
+    # check, but the int path below stays covered too
+    assert total.first()["n_total"] == rep_total
 
     # a crafted doc guarantees the OOV-floor branch runs (the synthetic
     # corpus shares its vocabulary, so held-out docs alone never miss)
@@ -85,6 +87,12 @@ def test_scores_match_replica_including_heldout(spark, corpus):
         n, ppl = _replica_score(text, uni, bg, w1, rep_total)
         assert got[doc_id][0] == n
         assert got[doc_id][1] == pytest.approx(ppl, rel=1e-12)
+
+    # the int fast path divides by the same double -> bit-identical
+    got_int = {r.doc_id: (r.n_tokens, r.log_ppl)
+               for r in score_perplexity(scored_in, bigrams, unigrams,
+                                         rep_total).collect()}
+    assert got_int == got
 
 
 def test_training_counts_match_replica(spark, corpus):

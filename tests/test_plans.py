@@ -323,7 +323,11 @@ def test_quality_ensemble_plan_posture(spark, sf_small):
     table exceeds executor memory), zero Python, no cartesian, no
     global window, and the documents scan count pinned (each scan is
     a full corpus pass at 100 TB — a regression that forks another
-    consumer of the raw docs shows up here as scan count 8+)."""
+    consumer of the raw docs shows up here as scan count 9+). The pin
+    is 8: seven score-path scans plus the LM's lazy token-count
+    subquery, which used to be an EAGER count() pass at construction
+    time (invisible to this plan but the same corpus pass) and now
+    rides inside the one query."""
     p = plan(REGISTRY["cx03_quality_ensemble"].fn(spark, sf_small))
     assert "BroadcastHashJoin" in p
     assert p.count("SortMergeJoin") <= 1, p
@@ -331,7 +335,7 @@ def test_quality_ensemble_plan_posture(spark, sf_small):
     assert "CartesianProduct" not in p
     assert global_window_lines(p) == []
     n_scans = sum(1 for ln in p.splitlines() if "FileScan parquet" in ln)
-    assert n_scans <= 7, f"documents scan count grew: {n_scans}"
+    assert n_scans <= 8, f"documents scan count grew: {n_scans}"
 
 
 def test_aqe_splits_skewed_join_partitions(spark, sf_small):
