@@ -47,9 +47,11 @@ from eth_options_data_pipeline_spark.queries import analytics16  # noqa: F401,E4
 #   1. the 13 faces stalest in the registry (last driver row r04 —
 #      q02..q19 single-operator tier, staleness 3 if skipped again);
 #   2. the 7-query §2-critical regression core (every round);
-#   3. the 13 round-6 first-row faces, kept one more round per VERDICT
-#      r06 item 1 ("keep ... the newest faces") for a second
-#      confirmation row;
+#   3. 11 of the 13 round-6 first-row faces, kept one more round per
+#      VERDICT r06 item 1 ("keep ... the newest faces") for a second
+#      confirmation row, plus the two NEW round-7 faces (mm02/mm03 —
+#      never-checked faces must enter the window immediately; they
+#      displaced qx49/qx50, the two simplest r06-green rows);
 #   4. 17 of the 43 r05-tier faces, prioritizing the ones this round's
 #      changes touch (dx42 cluster_cap, dx28 lazy path, sx05 shave) and
 #      the multi-operator / streaming / LLM-pipeline faces.
@@ -101,8 +103,11 @@ _WINDOW_PRIORITY = [
     "dx55_bpe_pairs",
     "qx47_compact_roundtrip",
     "qx48_approx_quantiles",
-    "qx49_schema_evolution",
-    "qx50_sql_surface",
+    # (qx49_schema_evolution / qx50_sql_surface, both r06-green, ceded
+    # their confirmation slots to the two new round-7 faces below —
+    # new faces must enter the window the round they are registered)
+    "mm02_frame_sample",
+    "mm03_image_resize",
     "cx02_export_pipeline",
     "cx03_quality_ensemble",
     "sx07_agg_maintain_stream",

@@ -338,3 +338,60 @@ def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     output schema, per-partition batching."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_assets(docs))
+
+
+@query(
+    "mm02_frame_sample",
+    sql="""
+    SELECT doc_id AS asset_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(k * 256 AS BIGINT) AS frame_offset,
+           md5(substr(text, CAST(k * 256 + 1 AS INT), 256)) AS frame_checksum
+    FROM documents,
+         unnest(range(least((length(text) + 255) // 256, 8))) AS t(k)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py
+    sample_frames): the 1-row-in -> N-rows-out mapInPandas contract a
+    real keyframe extractor needs — binary payload through Arrow,
+    fan-out output batches, per-frame offset + checksum, modality
+    filter pushed BEFORE the Python stage. The 'frame' is a
+    deterministic 256-byte slice (the decode stub documented in
+    decode_asset); the oracle replays the identical slicing
+    relationally. At 100 TB the payload crosses the Arrow boundary
+    once and only video rows ever reach Python."""
+    from eth_options_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_assets(docs), stride=256, max_frames=8)
+
+
+@query(
+    "mm03_image_resize",
+    sql="""
+    SELECT doc_id AS asset_id,
+           least(16 + ord(substr(text, 1, 1)), 128) AS width,
+           least(16 + ord(substr(text, 2, 1)), 128) AS height,
+           md5(substr(text, 1, 2048)) AS thumb_md5
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def mm03_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.py resize_assets):
+    the binary-in AND binary-out mapInPandas contract — the
+    deterministic fake decode derives (width, height) from the first
+    two payload bytes and 'thumbnails' a byte-budgeted prefix
+    (max_dim**2/8 bytes); a real PIL resizer replaces only the loop
+    body. The face digests the thumbnail JVM-side so the oracle
+    compares strings, not blobs. Only image-modality rows cross into
+    Python."""
+    from eth_options_data_pipeline_spark.operators.multimodal import resize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs).where(F.col("modality") == "image")
+    rz = resize_assets(assets, max_dim=128)
+    return rz.select("asset_id", "width", "height",
+                     F.md5(F.col("thumbnail")).alias("thumb_md5"))
