@@ -3,7 +3,7 @@ sf0.001 (the driver runs the same comparison at sf0.01), plus a
 driver-scale sf0.01 sweep over the faces at the freshness-policy
 staleness limit and the §2 regression core (see _driver_scale_names —
 roughly +2-3 min of wall time over the sf0.001-only suite; set
-RUN_SF001_SWEEP=1 for the full 106-face sf0.01 sweep, ~+5 min)."""
+RUN_SF001_SWEEP=1 for the full registry sf0.01 sweep, ~+5 min)."""
 
 from __future__ import annotations
 
@@ -33,7 +33,7 @@ def test_oracle_parity(spark, sf_small, con, name):
 
 # Only faces WITHOUT oracle SQL need a separate executes-at-all check —
 # every oracle-backed face already ran to completion in
-# test_oracle_parity above, so re-executing all 106 doubled the suite's
+# test_oracle_parity above, so re-executing the whole registry doubled the suite's
 # face-execution cost for zero extra coverage. Parametrized (not a
 # loop) so that the currently-empty set shows up as zero collected
 # tests rather than a green test that checked nothing; it self-
