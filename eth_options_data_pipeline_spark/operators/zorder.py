@@ -47,7 +47,7 @@ def grid_cell(col: Column, cell_width: int, cells: int) -> Column:
     fixed-width integer division — exact (no float in the path) and
     identical arithmetic on any engine. Values past the domain edge
     clamp into the last cell; negatives clamp to 0."""
-    g = F.floor(col / F.lit(cell_width)).cast("long")
+    g = F.call_function("div", col.cast("long"), F.lit(cell_width))
     return F.greatest(F.least(g, F.lit(cells - 1)), F.lit(0))
 
 

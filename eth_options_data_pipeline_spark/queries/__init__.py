@@ -42,25 +42,26 @@ from eth_options_data_pipeline_spark.queries import analytics16  # noqa: F401,E4
 # module-import order, so ``_WINDOW_PRIORITY`` pins an explicit rotation
 # instead.  The rotation is governed by the freshness policy in
 # ``window_policy.py`` (no face >MAX_STALENESS=2 rounds without a driver
-# row, asserted by tests/test_registry_window.py).  Round-7 window:
+# row, asserted by tests/test_registry_window.py).  Round-8 window — the
+# rotation `tools/verify_driver.py --ages` computed at the end of r07:
 #
-#   1. the 13 faces stalest in the registry (last driver row r04 —
-#      q02..q19 single-operator tier, staleness 3 if skipped again);
+#   1. the 26 faces at the staleness limit (last driver row r05 —
+#      dx14..dx34 tier, dx40, dx44, dx47..dx50; staleness 3 if skipped
+#      again), including dx26 under its rebuilt face (the r07 zorder
+#      API break — it must re-earn a driver row);
 #   2. the 7-query §2-critical regression core (every round);
-#   3. 11 of the 13 round-6 first-row faces, kept one more round per
-#      VERDICT r06 item 1 ("keep ... the newest faces") for a second
-#      confirmation row, plus the two NEW round-7 faces (mm02/mm03 —
-#      never-checked faces must enter the window immediately; they
-#      displaced qx49/qx50, the two simplest r06-green rows);
-#   4. 17 of the 43 r05-tier faces, prioritizing the ones this round's
-#      changes touch (dx42 cluster_cap, dx28 lazy path, sx05 shave) and
-#      the multi-operator / streaming / LLM-pipeline faces.
+#   3. 17 of the 32 r06-tier faces (last driver row r06, staleness 2
+#      entering r08 — the rest reach the limit after r08 and MUST head
+#      the r09 window), prioritizing the risk-dense ones: the fuzzy
+#      dedup stack (dx01/dx06/dx07/dx10/dx12/dx13), the vector stack
+#      (vx01/vx03/vx04/vx05), streaming sx01/sx02, multimodal mm01,
+#      sketches qx28, and the hardest relational faces (q30 salted agg,
+#      q36 theta join, q45 as-of join).
 #
-# That is exactly 50 names.  The 26 r05 faces left out reach staleness 2
-# after r07 (at the policy limit) and MUST head the r08 window; the 17
-# r06-tier q20..q45 rows reach staleness 2 after r08 and fill r08's
-# remaining slots.  Everything outside the window stays covered by the
-# sf0.001 full-registry sweep and the sf0.01 driver-scale sweep in
+# That is exactly 50 names.  The 15 r06-tier faces left out (dx02,
+# q20..q43 tier, qx49, qx50) + the core head the r09 window.
+# Everything outside the window stays covered by the sf0.001
+# full-registry sweep and the sf0.01 driver-scale sweep in
 # tests/test_corpus_oracle.py.
 # ---------------------------------------------------------------------------
 # §2-critical single-operator faces covering the reference-parity core
@@ -79,57 +80,53 @@ REGRESSION_CORE = [
 ]
 
 _WINDOW_PRIORITY = [
-    # -- 1. stalest faces (last driver row r04) ---------------------------
-    "q02_band_filter_project",
-    "q03_falsy_guard",
-    "q04_left_join_coalesce",
-    "q05_semi_join",
-    "q10_tail_n",
-    "q12_case_when",
-    "q13_json_extract_cast",
-    "q14_agg_battery",
-    "q15_conditional_counts",
-    "q16_multisort_limit",
-    "q17_union_set_ops",
-    "q18_scrub_nonfinite",
-    "q19_region_revenue",
+    # -- 1. staleness-limit faces (last driver row r05; MUST this round) --
+    "dx14_window_funnel",
+    "dx15_retention",
+    "dx16_select_to_budget",
+    "dx17_dsir_select",
+    "dx18_boilerplate",
+    "dx19_pii_redaction",
+    "dx20_repetition_stats",
+    "dx21_contamination",
+    "dx22_sampling",
+    "dx23_splits",
+    "dx24_export_shuffle",
+    "dx25_quantize_int8",
+    "dx26_zorder_key",
+    "dx27_url_dedup",
+    "dx29_mixing",
+    "dx30_chunking",
+    "dx31_snapshot_diff",
+    "dx32_quantile_gate",
+    "dx33_range_join",
+    "dx34_datacard",
+    "dx40_leakage_safe_split",
+    "dx44_vocab_coverage",
+    "dx47_ngram_span_dups",
+    "dx48_gap_fill",
+    "dx49_hard_negatives",
+    "dx50_rolling_anomaly",
     # -- 2. §2-critical regression core (reference parity, every round) ---
     *REGRESSION_CORE,
-    # -- 3. round-6 first-row faces, kept for a confirmation row ----------
-    "dx51_temperature_mix",
-    "dx52_context_windows",
-    "dx53_incremental_agg",
-    "dx54_drift_psi",
-    "dx55_bpe_pairs",
-    "qx47_compact_roundtrip",
-    "qx48_approx_quantiles",
-    # (qx49_schema_evolution / qx50_sql_surface, both r06-green, ceded
-    # their confirmation slots to the two new round-7 faces below —
-    # new faces must enter the window the round they are registered)
-    "mm02_frame_sample",
-    "mm03_image_resize",
-    "cx02_export_pipeline",
-    "cx03_quality_ensemble",
-    "sx07_agg_maintain_stream",
-    "sx08_cdc_apply_stream",
-    # -- 4. r05-tier rotation: this round's touched faces first -----------
-    "dx42_semdedup",
-    "dx28_pagerank",
-    "sx05_topk_stream",
-    "sx03_stream_join",
-    "sx04_asof_stream",
-    "sx06_stream_dedup",
-    "qx46_merge_upsert",
-    "cx01_corpus_pipeline",
-    "dx35_perplexity",
-    "dx36_heavy_hitters",
-    "dx37_incremental_screen",
-    "dx38_sequence_packing",
-    "dx39_cdc_chunks",
-    "dx41_classifier_gate",
-    "dx43_rag_retrieval",
-    "dx45_bm25_topk",
-    "dx46_hybrid_rrf",
+    # -- 3. r06-tier rotation: 17 of 32 at staleness 2, risk-dense first --
+    "dx01_exact_dup_groups",
+    "dx06_signatures",
+    "dx07_minhash_lsh_pairs",
+    "dx10_neardup_pairs",
+    "dx12_tfidf_top_term",
+    "dx13_dup_clusters",
+    "vx01_ann_topk",
+    "vx03_embedding_neardup",
+    "vx04_ivf_ann",
+    "vx05_ann_recall",
+    "sx01_windowed_aggs",
+    "sx02_session_windows",
+    "mm01_multimodal_features",
+    "qx28_approx_sketches",
+    "q30_salted_agg",
+    "q36_theta_self_join",
+    "q45_asof_join",
 ]
 
 

@@ -21,7 +21,7 @@ from eth_options_data_pipeline_spark.operators.repetition import repetition_stat
 from eth_options_data_pipeline_spark.operators.sampling import cap_per_group, sample_strata
 from eth_options_data_pipeline_spark.operators.splits import split_column
 from eth_options_data_pipeline_spark.operators.urls import dedup_by_url
-from eth_options_data_pipeline_spark.operators.zorder import zorder_key
+from eth_options_data_pipeline_spark.operators.zorder import interleave
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
 
@@ -385,14 +385,23 @@ def dx26_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over rank-normalized columns —
     the data-layout operator behind multi-column data skipping
     (Delta OPTIMIZE ZORDER-style). Both key columns are unique so the
-    global ntile ranking is deterministic (operators/zorder.py)."""
+    global ntile ranking is deterministic. The rank-normalize step
+    (ntile - 1) replaces operators/zorder.grid_cell for this face so
+    the oracle can mirror it exactly; the Morton step is the shared
+    interleave() (operators/zorder.py)."""
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         ((F.col("o_orderkey") * _ZMULT) % (1 << 31)).alias("k2"),
     )
-    return orders.select(
+    cells = 1 << _ZBITS
+    ranked = orders.select(
         "o_orderkey",
-        zorder_key(orders, ["o_orderkey", "k2"], bits=_ZBITS).alias("zkey"),
+        (F.ntile(cells).over(Window.orderBy("o_orderkey")) - 1).alias("r0"),
+        (F.ntile(cells).over(Window.orderBy("k2")) - 1).alias("r1"),
+    )
+    return ranked.select(
+        "o_orderkey",
+        interleave([F.col("r0"), F.col("r1")], bits=_ZBITS).alias("zkey"),
     )
 
 

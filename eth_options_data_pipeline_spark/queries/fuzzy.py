@@ -360,8 +360,12 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushed BEFORE the Python stage. The 'frame' is a
     deterministic 256-byte slice (the decode stub documented in
     decode_asset); the oracle replays the identical slicing
-    relationally. At 100 TB the payload crosses the Arrow boundary
-    once and only video rows ever reach Python."""
+    relationally. The oracle's substr/length are CHARACTER-based while
+    the operator slices BYTES — equivalent only because the corpus is
+    ASCII, pinned by test_multimodal_faces.py::
+    test_corpus_text_is_ascii_so_byte_and_char_offsets_agree. At 100 TB
+    the payload crosses the Arrow boundary once and only video rows
+    ever reach Python."""
     from eth_options_data_pipeline_spark.operators.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")

@@ -27,3 +27,24 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_medium():
     return SF_MEDIUM
+
+
+@pytest.fixture(scope="session")
+def all_plans_raw(spark, sf_small):
+    """One physical-plan compile per registered face, shared by the
+    early compile tripwire (test_all_faces_compile.py) AND every
+    registry-wide plan sweep in test_plans.py. Compiling all faces
+    costs ~25s once per session; capturing per-face exceptions here
+    means an operator API drift fails test_all_faces_compile with the
+    face's NAME instead of erroring unrelated sweeps at fixture setup
+    (VERDICT r07 item 5 — the dx26 lesson)."""
+    from eth_options_data_pipeline_spark.queries import REGISTRY
+
+    out: dict[str, tuple[str | None, BaseException | None]] = {}
+    for name, spec in REGISTRY.items():
+        try:
+            df = spec.fn(spark, sf_small)
+            out[name] = (df._jdf.queryExecution().executedPlan().toString(), None)
+        except BaseException as exc:  # noqa: BLE001 — reported by name in the tripwire
+            out[name] = (None, exc)
+    return out

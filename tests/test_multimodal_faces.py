@@ -62,6 +62,24 @@ def test_frame_sampling_fanout_arithmetic(spark):
     assets.unpersist()
 
 
+def test_corpus_text_is_ascii_so_byte_and_char_offsets_agree(spark):
+    """The mm02/mm03 oracles slice `text` with CHARACTER-based
+    substr/ord/length while the operators slice the UTF-8 BYTE payload
+    (documents_as_assets encodes text). Parity holds only while the
+    corpus is pure ASCII — this test pins that precondition at both
+    sweep scales so any future non-ASCII testdata fails HERE with a
+    clear message instead of as an opaque oracle hash mismatch."""
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf_dir, "documents")
+        non_ascii = docs.where(
+            F.octet_length("text") != F.length("text")).count()
+        assert non_ascii == 0, (
+            f"{sf_dir}: {non_ascii} non-ASCII documents — mm02/mm03 "
+            "char-based oracle SQL no longer matches the byte-based "
+            "operators; rewrite the oracles byte-based before trusting "
+            "their hashes")
+
+
 def test_frame_checksums_match_local_slicing(spark):
     assets = _assets(spark)
     one = assets.where(F.col("modality") == "video").limit(1).collect()[0]
