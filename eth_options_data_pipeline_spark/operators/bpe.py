@@ -22,8 +22,84 @@ which contains every distributed pattern of the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Frozen merge table for the APPLY side (tokenize/token-count): in a
+# real pipeline the tokenizer is trained once (the pair_statistics
+# kernel below) and then applied unchanged to the full 100 TB corpus —
+# so the apply path takes the merge list as configuration. This
+# 8-merge table was derived from this corpus's own top adjacent-pair
+# frequencies (the pair_statistics output) and deliberately includes
+# sequential composition (merge 5 consumes merge 3's symbol, merge 6
+# consumes merge 1's) and SentencePiece-style word-boundary symbols
+# ("▁" marks an original space).
+FROZEN_MERGES: Tuple[Tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("s", "t"), ("o", "w"),
+    ("▁", "st"), ("er", "▁"), ("t", "o"), ("m", "e"),
+)
+
+
+def token_stream(col: Column, merges: Sequence[Tuple[str, str]] = FROZEN_MERGES) -> Column:
+    """BPE-apply as pure JVM string expressions — zero shuffle, zero
+    Python, whole-stage codegen.
+
+    Encoding: spaces become the word-boundary symbol ``▁``, then every
+    character becomes a symbol written as ``" <sym>·"`` — a space
+    PREFIX and a ``·`` TERMINATOR, both guaranteed absent from the
+    ASCII corpus (pinned by test_multimodal_faces'
+    ascii-precondition test). Each merge ``(a, b)`` is then one
+    ``replace(" a· b·" -> " ab·")``. The terminator makes a pattern
+    match WHOLE symbols only (``" m· e·"`` cannot fire inside
+    ``" m· er·"`` — 'e' is a prefix of 'er' but 'e·' is not); the
+    prefix-owned delimiter means overlapping runs resolve exactly like
+    BPE's greedy left-to-right scan on both engines (``l l l l`` ->
+    ``ll ll``, ``l l l`` -> ``ll l``), because Spark's and DuckDB's
+    ``replace`` both substitute left-to-right non-overlapping. Later
+    merges see earlier merges' output symbols, so a frozen merge LIST
+    applies in order with no iteration machinery."""
+    s = F.regexp_replace(F.replace(col, F.lit(" "), F.lit("▁")), "(.)", " $1·")
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a}· {b}·"), F.lit(f" {a}{b}·"))
+    return s
+
+
+def token_stream_sql(expr: str, merges: Sequence[Tuple[str, str]] = FROZEN_MERGES) -> str:
+    """The identical apply chain as engine-neutral SQL text (DuckDB
+    needs the explicit 'g' flag — its regexp_replace is first-match
+    by default, Spark's is global)."""
+    s = f"regexp_replace(replace({expr}, ' ', '▁'), '(.)', ' \\1·', 'g')"
+    for a, b in merges:
+        s = f"replace({s}, ' {a}· {b}·', ' {a}{b}·')"
+    return s
+
+
+def tokenize_stats(docs: DataFrame, text_col: str = "text",
+                   merges: Sequence[Tuple[str, str]] = FROZEN_MERGES,
+                   prefix_len: int = 64) -> DataFrame:
+    """Per-document token accounting under a frozen BPE tokenizer —
+    the statistic every mixture/budget/packing decision consumes
+    (token counts, not char counts, are the currency of a training
+    corpus). Adds ``n_tokens`` (symbols after merges = spaces in the
+    prefixed stream), ``n_chars``, ``chars_per_token`` and a
+    ``token_prefix`` window that pins the actual segmentation."""
+    s = token_stream(F.col(text_col), merges)
+    n_tok = (F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit("")))).cast("long")
+    # drop the per-symbol terminators for the human/hash-facing prefix;
+    # the leading spaces alone still pin the segmentation exactly
+    pretty = F.replace(s, F.lit("·"), F.lit(""))
+    out = docs.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.substring(pretty, 2, prefix_len).alias("token_prefix"),
+    )
+    ratio = F.when(F.col("n_tokens") > 0,
+                   F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6)
+                   ).otherwise(F.lit(0.0))
+    return out.withColumn("chars_per_token", ratio)
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -31,6 +31,7 @@ from eth_options_data_pipeline_spark.queries import analytics13  # noqa: F401,E4
 from eth_options_data_pipeline_spark.queries import analytics14  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics15  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics16  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics17  # noqa: F401,E402
 
 
 # ---------------------------------------------------------------------------
@@ -50,16 +51,18 @@ from eth_options_data_pipeline_spark.queries import analytics16  # noqa: F401,E4
 #      again), including dx26 under its rebuilt face (the r07 zorder
 #      API break — it must re-earn a driver row);
 #   2. the 7-query §2-critical regression core (every round);
-#   3. 17 of the 32 r06-tier faces (last driver row r06, staleness 2
+#   3. 16 of the 32 r06-tier faces (last driver row r06, staleness 2
 #      entering r08 — the rest reach the limit after r08 and MUST head
 #      the r09 window), prioritizing the risk-dense ones: the fuzzy
 #      dedup stack (dx01/dx06/dx07/dx10/dx12/dx13), the vector stack
 #      (vx01/vx03/vx04/vx05), streaming sx01/sx02, multimodal mm01,
-#      sketches qx28, and the hardest relational faces (q30 salted agg,
-#      q36 theta join, q45 as-of join).
+#      sketches qx28, and the hardest relational faces (q36 theta
+#      join, q45 as-of join);
+#   4. the NEW round-8 face dx56_bpe_tokenize (never-checked faces
+#      enter the window the round they are registered).
 #
-# That is exactly 50 names.  The 15 r06-tier faces left out (dx02,
-# q20..q43 tier, qx49, qx50) + the core head the r09 window.
+# That is exactly 50 names.  The 16 r06-tier faces left out (dx02,
+# q20..q43 tier incl. q30, qx49, qx50) + the core head the r09 window.
 # Everything outside the window stays covered by the sf0.001
 # full-registry sweep and the sf0.01 driver-scale sweep in
 # tests/test_corpus_oracle.py.
@@ -124,9 +127,12 @@ _WINDOW_PRIORITY = [
     "sx02_session_windows",
     "mm01_multimodal_features",
     "qx28_approx_sketches",
-    "q30_salted_agg",
     "q36_theta_self_join",
     "q45_asof_join",
+    # -- 4. new round-8 face (never-checked faces enter immediately;
+    #       displaced q30_salted_agg, an r06-green age-2 row that now
+    #       heads the r09 window instead) ------------------------------
+    "dx56_bpe_tokenize",
 ]
 
 
