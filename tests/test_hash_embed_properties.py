@@ -32,14 +32,25 @@ def _ref_embed(text: str) -> list[float]:
     return [float(v) for v in vec]
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
-@given(texts=st.lists(TEXT, min_size=1, max_size=8))
-def test_hash_embed_matches_reference(spark, texts):
+def test_hash_embed_matches_reference(spark):
+    """All hypothesis examples run through ONE Spark job (the example
+    set is drawn up front) — same coverage, no per-example scheduling."""
+    from hypothesis import given, settings
+
+    texts_acc = []
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(TEXT, min_size=1, max_size=8))
+    def collect(texts):
+        texts_acc.extend(texts)
+
+    collect()
     df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+        [(i, t) for i, t in enumerate(texts_acc)], "id long, text string")
     got = {r.id: r.e for r in
            df.select("id", _hash_embed(F.col("text")).alias("e")).collect()}
-    for i, t in enumerate(texts):
+    for i, t in enumerate(texts_acc):
         assert got[i] == _ref_embed(t), f"text={t!r}"
 
 
@@ -49,18 +60,33 @@ ARRIVALS = st.lists(
     min_size=1, max_size=40, unique_by=lambda x: x[2])
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-@given(arrivals=ARRIVALS)
-def test_keep_first_batched_matches_sequential(spark, arrivals):
+def test_keep_first_batched_matches_sequential(spark):
     """The 3-batch tracked-state kernel (sx06's shape) must equal a
-    sequential scan in arrival order (batch asc, event_id asc)."""
+    sequential scan in arrival order (batch asc, event_id asc).
+
+    Hypothesis draws the example set up front; all examples then run
+    through ONE 3-batch Spark pipeline with the example index as an
+    extra key (keys include ``ex``, so examples cannot interact) —
+    3 Spark rounds total instead of 3 per example (was 25s of
+    per-example job scheduling for identical coverage)."""
+    from hypothesis import given, settings
     from pyspark.sql import Window
 
+    cases = []
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(arrivals=ARRIVALS)
+    def collect(arrivals):
+        cases.append(list(arrivals))
+
+    collect()
+    rows = [(ex, uid, et, eid)
+            for ex, arr in enumerate(cases) for uid, et, eid in arr]
     df = spark.createDataFrame(
-        [(uid, et, eid) for uid, et, eid in arrivals],
-        "user_id long, event_type string, event_id long")
-    keys = ["user_id", "event_type"]
-    tracked = spark.createDataFrame([], "user_id bigint, event_type string")
+        rows, "ex long, user_id long, event_type string, event_id long")
+    keys = ["ex", "user_id", "event_type"]
+    tracked = spark.createDataFrame([], "ex bigint, user_id bigint, event_type string")
     got = {}
     for i in range(3):
         batch = df.where(F.col("event_id") % 3 == i)
@@ -70,10 +96,11 @@ def test_keep_first_batched_matches_sequential(spark, arrivals):
             .where(F.col("_rn") == 1).drop("_rn")
             .join(tracked, keys, "left_anti"))
         for r in firsts.collect():
-            got[(r.user_id, r.event_type)] = r.event_id
+            got[(r.ex, r.user_id, r.event_type)] = r.event_id
         tracked = tracked.unionByName(firsts.select(*keys))
 
     want = {}
-    for uid, et, eid in sorted(arrivals, key=lambda x: (x[2] % 3, x[2])):
-        want.setdefault((uid, et), eid)
+    for ex, arr in enumerate(cases):
+        for uid, et, eid in sorted(arr, key=lambda x: (x[2] % 3, x[2])):
+            want.setdefault((ex, uid, et), eid)
     assert got == want
