@@ -43,29 +43,29 @@ from eth_options_data_pipeline_spark.queries import analytics17  # noqa: F401,E4
 # module-import order, so ``_WINDOW_PRIORITY`` pins an explicit rotation
 # instead.  The rotation is governed by the freshness policy in
 # ``window_policy.py`` (no face >MAX_STALENESS=2 rounds without a driver
-# row, asserted by tests/test_registry_window.py).  Round-8 window — the
-# rotation `tools/verify_driver.py --ages` computed at the end of r07:
+# row, asserted by tests/test_registry_window.py).  Round-9 window — the
+# rotation `tools/verify_driver.py --ages` computed at the end of r08:
 #
-#   1. the 26 faces at the staleness limit (last driver row r05 —
-#      dx14..dx34 tier, dx40, dx44, dx47..dx50; staleness 3 if skipped
-#      again), including dx26 under its rebuilt face (the r07 zorder
-#      API break — it must re-earn a driver row);
+#   1. the 16 faces at the staleness limit (last driver row r06 —
+#      the r06-tier half left out of the r08 window; staleness 3 if
+#      skipped again);
 #   2. the 7-query §2-critical regression core (every round);
-#   3. 16 of the 32 r06-tier faces (last driver row r06, staleness 2
-#      entering r08 — the rest reach the limit after r08 and MUST head
-#      the r09 window), prioritizing the risk-dense ones: the fuzzy
-#      dedup stack (dx01/dx06/dx07/dx10/dx12/dx13), the vector stack
-#      (vx01/vx03/vx04/vx05), streaming sx01/sx02, multimodal mm01,
-#      sketches qx28, and the hardest relational faces (q36 theta
-#      join, q45 as-of join);
-#   4. the NEW round-8 face dx56_bpe_tokenize (never-checked faces
-#      enter the window the round they are registered).
+#   3. 27 of the 43 r07-tier faces (last driver row r07, staleness 2
+#      entering r09 — the rest reach the limit after r09 and MUST head
+#      the r10 window), prioritizing the risk-dense ones per the r08
+#      brief: the full streaming set sx03..sx08, the composition faces
+#      cx01..cx03, the hardest-to-reverify kernels (dx35 perplexity,
+#      dx38 packing, dx39 CDC chunking, dx41 classifier gate, dx42
+#      SemDeDup, dx43 RAG), then dx28 pagerank, dx36/dx37 sketch+
+#      incremental, dx45/dx46 BM25+RRF, dx51..dx55 mixing/context/
+#      incremental-agg/drift/BPE-train, and qx46/qx48.
 #
-# That is exactly 50 names.  The 16 r06-tier faces left out (dx02,
-# q20..q43 tier incl. q30, qx49, qx50) + the core head the r09 window.
-# Everything outside the window stays covered by the sf0.001
-# full-registry sweep and the sf0.01 driver-scale sweep in
-# tests/test_corpus_oracle.py.
+# That is exactly 50 names.  The 16 r07-tier faces left out (mm02,
+# mm03, q02..q19 relational tier, qx47) head the r10 window.  New
+# faces registered this round displace the tail of section 3 (the
+# displaced face joins the r10 head list).  Everything outside the
+# window stays covered by the sf0.001 full-registry sweep and the
+# sf0.01 driver-scale sweep in tests/test_corpus_oracle.py.
 # ---------------------------------------------------------------------------
 # §2-critical single-operator faces covering the reference-parity core
 # (main.py/deltaweekly.py semantics). ALWAYS in the driver window, and
@@ -83,56 +83,53 @@ REGRESSION_CORE = [
 ]
 
 _WINDOW_PRIORITY = [
-    # -- 1. staleness-limit faces (last driver row r05; MUST this round) --
-    "dx14_window_funnel",
-    "dx15_retention",
-    "dx16_select_to_budget",
-    "dx17_dsir_select",
-    "dx18_boilerplate",
-    "dx19_pii_redaction",
-    "dx20_repetition_stats",
-    "dx21_contamination",
-    "dx22_sampling",
-    "dx23_splits",
-    "dx24_export_shuffle",
-    "dx25_quantize_int8",
-    "dx26_zorder_key",
-    "dx27_url_dedup",
-    "dx29_mixing",
-    "dx30_chunking",
-    "dx31_snapshot_diff",
-    "dx32_quantile_gate",
-    "dx33_range_join",
-    "dx34_datacard",
-    "dx40_leakage_safe_split",
-    "dx44_vocab_coverage",
-    "dx47_ngram_span_dups",
-    "dx48_gap_fill",
-    "dx49_hard_negatives",
-    "dx50_rolling_anomaly",
+    # -- 1. staleness-limit faces (last driver row r06; MUST this round) --
+    "dx02_doc_features",
+    "q20_topk_per_group",
+    "q22_rollup_cube",
+    "q26_window_battery",
+    "q27_pivot",
+    "q29_sink_roundtrip",
+    "q30_salted_agg",
+    "q32_group_having",
+    "q34_date_funcs",
+    "q35_correlated_scalar",
+    "q39_array_funcs",
+    "q41_supplier_variety",
+    "q42_dormant_rich_customers",
+    "q43_argmax_join_back",
+    "qx49_schema_evolution",
+    "qx50_sql_surface",
     # -- 2. §2-critical regression core (reference parity, every round) ---
     *REGRESSION_CORE,
-    # -- 3. r06-tier rotation: 17 of 32 at staleness 2, risk-dense first --
-    "dx01_exact_dup_groups",
-    "dx06_signatures",
-    "dx07_minhash_lsh_pairs",
-    "dx10_neardup_pairs",
-    "dx12_tfidf_top_term",
-    "dx13_dup_clusters",
-    "vx01_ann_topk",
-    "vx03_embedding_neardup",
-    "vx04_ivf_ann",
-    "vx05_ann_recall",
-    "sx01_windowed_aggs",
-    "sx02_session_windows",
-    "mm01_multimodal_features",
-    "qx28_approx_sketches",
-    "q36_theta_self_join",
-    "q45_asof_join",
-    # -- 4. new round-8 face (never-checked faces enter immediately;
-    #       displaced q30_salted_agg, an r06-green age-2 row that now
-    #       heads the r09 window instead) ------------------------------
-    "dx56_bpe_tokenize",
+    # -- 3. r07-tier rotation: 27 of 43 at staleness 2, risk-dense first --
+    "sx03_stream_join",
+    "sx04_asof_stream",
+    "sx05_topk_stream",
+    "sx06_stream_dedup",
+    "sx07_agg_maintain_stream",
+    "sx08_cdc_apply_stream",
+    "cx01_corpus_pipeline",
+    "cx02_export_pipeline",
+    "cx03_quality_ensemble",
+    "dx35_perplexity",
+    "dx38_sequence_packing",
+    "dx39_cdc_chunks",
+    "dx41_classifier_gate",
+    "dx42_semdedup",
+    "dx43_rag_retrieval",
+    "dx28_pagerank",
+    "dx36_heavy_hitters",
+    "dx37_incremental_screen",
+    "dx45_bm25_topk",
+    "dx46_hybrid_rrf",
+    "dx51_temperature_mix",
+    "dx52_context_windows",
+    "dx53_incremental_agg",
+    "dx54_drift_psi",
+    "dx55_bpe_pairs",
+    "qx46_merge_upsert",
+    "qx48_approx_quantiles",
 ]
 
 

@@ -40,11 +40,13 @@ def all_plans_raw(spark, sf_small):
     (VERDICT r07 item 5 — the dx26 lesson)."""
     from eth_options_data_pipeline_spark.queries import REGISTRY
 
-    out: dict[str, tuple[str | None, BaseException | None]] = {}
+    out: dict[str, tuple[str | None, Exception | None]] = {}
     for name, spec in REGISTRY.items():
         try:
             df = spec.fn(spark, sf_small)
             out[name] = (df._jdf.queryExecution().executedPlan().toString(), None)
-        except BaseException as exc:  # noqa: BLE001 — reported by name in the tripwire
+        except Exception as exc:  # noqa: BLE001 — reported by name in the tripwire;
+            # KeyboardInterrupt/SystemExit must abort the session, not be
+            # recorded as a per-face compile failure (ADVICE r08)
             out[name] = (None, exc)
     return out
