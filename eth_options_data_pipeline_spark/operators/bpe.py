@@ -59,8 +59,14 @@ def token_stream(col: Column, merges: Sequence[Tuple[str, str]] = FROZEN_MERGES)
     ``ll ll``, ``l l l`` -> ``ll l``), because Spark's and DuckDB's
     ``replace`` both substitute left-to-right non-overlapping. Later
     merges see earlier merges' output symbols, so a frozen merge LIST
-    applies in order with no iteration machinery."""
-    s = F.regexp_replace(F.replace(col, F.lit(" "), F.lit("▁")), "(.)", " $1·")
+    applies in order with no iteration machinery.
+
+    ``(?s)`` (dotall, identical inline syntax in Java regex and RE2)
+    makes EVERY char a symbol: without it the two engines disagree on
+    which line terminators ``.`` excludes (Java: \\r \\n \\u0085
+    \\u2028/9; RE2: \\n only), so a stray \\r would be symbolized by
+    DuckDB but not Spark (ADVICE r08)."""
+    s = F.regexp_replace(F.replace(col, F.lit(" "), F.lit("▁")), "(?s)(.)", " $1·")
     for a, b in merges:
         s = F.replace(s, F.lit(f" {a}· {b}·"), F.lit(f" {a}{b}·"))
     return s
@@ -70,7 +76,7 @@ def token_stream_sql(expr: str, merges: Sequence[Tuple[str, str]] = FROZEN_MERGE
     """The identical apply chain as engine-neutral SQL text (DuckDB
     needs the explicit 'g' flag — its regexp_replace is first-match
     by default, Spark's is global)."""
-    s = f"regexp_replace(replace({expr}, ' ', '▁'), '(.)', ' \\1·', 'g')"
+    s = f"regexp_replace(replace({expr}, ' ', '▁'), '(?s)(.)', ' \\1·', 'g')"
     for a, b in merges:
         s = f"replace({s}, ' {a}· {b}·', ' {a}{b}·')"
     return s

@@ -111,6 +111,31 @@ def test_property_replica_equivalence_random_inputs(spark):
         assert got[i][f"s{i}"] == expect, (text, merges)
 
 
+def test_line_terminator_engine_parity(spark):
+    """Dotall parity (ADVICE r08): Java '.' excludes \\r \\n \\u0085
+    \\u2028/9 while RE2 excludes only \\n, so without (?s) a \\r is
+    symbolized by DuckDB but not Spark. Pin that both engines now
+    symbolize EVERY char identically, and both match the replica."""
+    import duckdb
+
+    from eth_options_data_pipeline_spark.operators.bpe import token_stream_sql
+
+    texts = ["a\rb", "a\nb", "a\u0085b", "a\u2028b", "a\u2029b", "\r\n"]
+    merges = [("a", "\r")]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got_spark = {r["i"]: r["s"] for r in
+                 df.select("i", token_stream(F.col("text"), merges).alias("s")).collect()}
+    con = duckdb.connect()
+    sql_expr = token_stream_sql("text", merges)
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    got_duck = dict(con.execute(f"SELECT i, {sql_expr} FROM t").fetchall())
+    for i, text in enumerate(texts):
+        expect = "".join(f" {s}·" for s in _py_replica(text, merges))
+        assert got_spark[i] == expect, (repr(text), "spark")
+        assert got_duck[i] == expect, (repr(text), "duckdb")
+
+
 def test_plan_is_single_projection_no_shuffle(spark, sf_small):
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     p = tokenize_stats(docs)._jdf.queryExecution().executedPlan().toString()
