@@ -116,6 +116,88 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
 
 
+def adjacent_symbol_pairs(stream: Column) -> Column:
+    """``array<struct<a,b>>`` of adjacent symbol pairs in a token
+    stream (the ``" sym·"`` wire format of :func:`token_stream`) —
+    the per-round counting statistic of the iterated BPE trainer.
+    Pure JVM array ops (split/slice/zip_with), no Python, no UDF."""
+    parts = F.split(stream, "·")                      # [" a", " b", ""]
+    n = F.size(parts) - F.lit(1)                      # symbol count
+    # NB: an explicit 1-arg lambda — ltrim grew an optional 2nd param
+    # (trim set) in Spark 4, and transform feeds 2-arg callables the
+    # element INDEX as the 2nd argument (the F.filter gotcha).
+    syms = F.transform(F.slice(parts, F.lit(1), n), lambda p: F.ltrim(p))
+    return F.when(
+        n >= F.lit(2),
+        F.zip_with(
+            F.slice(syms, F.lit(1), n - F.lit(1)),
+            F.slice(syms, F.lit(2), n - F.lit(1)),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ).otherwise(F.array())
+
+
+def segment_vocabulary(docs: DataFrame, text_col: str = "text",
+                       merges: Sequence[Tuple[str, str]] = ()) -> DataFrame:
+    """(stream, freq): the word-frequency table with each word
+    segmented under ``merges`` — the state the BPE training loop
+    iterates on. One corpus scan; every later round is bounded by
+    |vocab|, not corpus tokens (the Sennrich scale trick)."""
+    vocab = word_frequencies(docs, text_col)
+    return vocab.select(token_stream(F.col("w"), merges).alias("stream"), "freq")
+
+
+def pair_counts(seg: DataFrame) -> DataFrame:
+    """(a, b, cnt) adjacent-symbol-pair frequencies over a segmented
+    vocabulary — the merge-selection statistic, recomputed per round
+    on the re-segmented stream."""
+    pairs = seg.select(
+        F.explode(adjacent_symbol_pairs(F.col("stream"))).alias("p"), "freq")
+    return (pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("cnt")))
+
+
+def train_merges(docs: DataFrame, text_col: str = "text",
+                 rounds: int = 3) -> Tuple[list, DataFrame]:
+    """The iterated BPE merge loop: ``rounds`` iterations of
+    count-pairs -> pick-top-pair (total order: cnt desc, a, b) ->
+    re-segment. Returns (per-round ``Row(a, b, cnt)`` list, final
+    segmented vocabulary under all learned merges).
+
+    Scale shape: the loop state is the |vocab|-bounded word-frequency
+    table (persisted once — ~10^7 rows at 100 TB, never the corpus),
+    each round is one job over that cache collecting exactly ONE row
+    (the k-means-centroid pattern, clustering.py:109), and round k
+    re-segments by applying the k learned merges as literal replaces
+    (token_stream) — so the corpus is scanned once to build the vocab
+    and the selected pair is configuration, not data, thereafter.
+    A fully lazy formulation (top-pair as a broadcast 1-row scalar
+    join per round) was measured instead: the per-round subplans do
+    NOT canonicalize as reusable exchanges, so the plan re-scans the
+    corpus 2^rounds times. The returned final segmentation is fresh
+    lineage from ``docs`` (no pinned cache escapes this function).
+
+    Stops early if the vocabulary runs out of adjacent pairs (the
+    oracle SQL assumes the corpus is large enough that it never does
+    at the tested scales)."""
+    vocab = word_frequencies(docs, text_col).persist()
+    try:
+        merges: list = []
+        rows: list = []
+        for _ in range(rounds):
+            seg = vocab.select(
+                token_stream(F.col("w"), merges).alias("stream"), "freq")
+            top = (pair_counts(seg)
+                   .orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect())
+            if not top:
+                break
+            merges.append((top[0]["a"], top[0]["b"]))
+            rows.append(top[0])
+        return rows, segment_vocabulary(docs, text_col, merges)
+    finally:
+        vocab.unpersist()
+
+
 def pair_statistics(docs: DataFrame, text_col: str = "text",
                     k: int = 20) -> DataFrame:
     """Top-``k`` adjacent character pairs by corpus frequency:

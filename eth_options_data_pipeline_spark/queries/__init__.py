@@ -129,7 +129,10 @@ _WINDOW_PRIORITY = [
     "dx54_drift_psi",
     "dx55_bpe_pairs",
     "qx46_merge_upsert",
-    "qx48_approx_quantiles",
+    # -- 4. new round-9 face (never-checked faces enter immediately;
+    #       displaced qx48_approx_quantiles, an r07-green age-2 row
+    #       that now heads the r10 window instead) ---------------------
+    "dx57_bpe_train",
 ]
 
 
