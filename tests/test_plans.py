@@ -129,7 +129,7 @@ def test_no_python_in_hot_paths(all_plans):
     # heavy-hitters summary pass (deliberate bounded mapInPandas) —
     # sx05 reuses that same summary kernel per micro-batch
     for name, p in all_plans.items():
-        if name.startswith("mm") or name in ("dx36_heavy_hitters", "dx38_sequence_packing", "dx39_cdc_chunks", "sx05_topk_stream"):
+        if name.startswith("mm") or name in ("dx36_heavy_hitters", "dx38_sequence_packing", "dx39_cdc_chunks", "sx05_topk_stream", "cx04_token_budget_pack"):
             continue
         assert "EvalPython" not in p and "MapInPandas" not in p, f"{name} drops to Python"
 
@@ -366,6 +366,31 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_small):
         j.collect()  # AQE decisions appear only in the FINAL plan
         p = j._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in p and "AQEShuffleRead skewed" in p, p
+
+
+def test_token_budget_pipeline_posture(all_plans):
+    """cx04: BPE counting and budget selection stay JVM-side (the one
+    Python operator is the packing kernel's FlatMapGroupsInPandas),
+    and the selection stage keeps its distributed-prefix-sum shape —
+    no partition-less window even though the pipeline composes three
+    operators."""
+    p = all_plans["cx04_token_budget_pack"]
+    assert p.count("FlatMapGroupsInPandas") == 1, p
+    assert "MapInPandas" not in p
+    # as in dx16: the only permitted global window is the one over the
+    # |partitions|-row offsets table (recognizable by its _pid ordering)
+    for ln in global_window_lines(p):
+        assert "_pid" in ln, f"global window over corpus rows in cx04:\n{ln}"
+
+
+def test_zorder_face_has_no_global_window(all_plans):
+    """dx26 de-scaffolded (VERDICT r08 item 5): the face now computes
+    grid-cell semantics (one-row max() bounds pass broadcast back +
+    static interleave chain), so the corpus's last partition-less sort
+    is gone. ntile must not reappear either."""
+    p = all_plans["dx26_zorder_key"]
+    assert global_window_lines(p) == [], global_window_lines(p)
+    assert "ntile" not in p
 
 
 def test_no_cartesian_product_anywhere(all_plans):
