@@ -58,7 +58,7 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
     def order_key(doc_id: int) -> str:
         return hashlib.md5(f"{seed}o|{doc_id}".encode()).hexdigest()
 
-    def pack_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (shard,) = key
         rows = sorted(
             zip(pdf["_id"], pdf["_tok"]),

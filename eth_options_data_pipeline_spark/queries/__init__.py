@@ -60,10 +60,9 @@ from eth_options_data_pipeline_spark.queries import analytics17  # noqa: F401,E4
 #      incremental, dx45/dx46 BM25+RRF, dx51..dx55 mixing/context/
 #      incremental-agg/drift/BPE-train, and qx46/qx48.
 #
-# That is exactly 50 names.  The 16 r07-tier faces left out (mm02,
-# mm03, q02..q19 relational tier, qx47) head the r10 window.  New
-# faces registered this round displace the tail of section 3 (the
-# displaced face joins the r10 head list).  Everything outside the
+# That is exactly 50 names.  The 18 r07-tier faces left out (mm02,
+# mm03, q02..q19 relational tier, qx47, plus qx46/qx48 displaced by
+# the new dx57/cx04) head the r10 window.  Everything outside the
 # window stays covered by the sf0.001 full-registry sweep and the
 # sf0.01 driver-scale sweep in tests/test_corpus_oracle.py.
 # ---------------------------------------------------------------------------
@@ -128,11 +127,11 @@ _WINDOW_PRIORITY = [
     "dx53_incremental_agg",
     "dx54_drift_psi",
     "dx55_bpe_pairs",
-    "qx46_merge_upsert",
-    # -- 4. new round-9 face (never-checked faces enter immediately;
-    #       displaced qx48_approx_quantiles, an r07-green age-2 row
-    #       that now heads the r10 window instead) ---------------------
+    # -- 4. new round-9 faces (never-checked faces enter immediately;
+    #       displaced qx46_merge_upsert and qx48_approx_quantiles,
+    #       r07-green age-2 rows that now head the r10 window) ---------
     "dx57_bpe_train",
+    "cx04_token_budget_pack",
 ]
 
 

@@ -162,3 +162,113 @@ def dx57_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.row_number().over(w).cast("int").alias("rank"),
                    "a", "b", "cnt"))
     return reduce(DataFrame.unionByName, merge_rows + [fin])
+
+
+# ------------------------- token-budget pipeline on BPE tokens (cx04)
+#
+# VERDICT r08 item 6: the budget faces carried whitespace-ish counts;
+# a real pipeline's budget currency is the TOKENIZER's. This face
+# welds the stack end-to-end: dx56's frozen-BPE n_tokens -> dx16's
+# budget selection (distributed prefix sum) -> dx38's greedy packing
+# (sharded Arrow kernel), so every stage spends the same currency.
+
+_CX04_BUDGET = 30_000   # corpus selection: "best 30k BPE tokens"
+_CX04_PACK = 512        # training-sequence pack budget
+_CX04_SHARDS = 4
+
+
+def _cx04_sql() -> str:
+    stream = token_stream_sql("text", FROZEN_MERGES)
+    n_tok = "length(stream) - length(replace(stream, ' ', ''))"
+    return f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS quality,
+             {stream} AS stream
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, quality, CAST({n_tok} AS BIGINT) AS toks,
+             CAST(sum({n_tok}) OVER (ORDER BY quality DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM s
+    ),
+    sel AS MATERIALIZED (
+      SELECT doc_id, quality, toks, cum_tokens FROM c
+      WHERE cum_tokens <= {_CX04_BUDGET}
+    ),
+    keyed AS (
+      SELECT CAST(doc_id AS BIGINT) AS _id, toks AS _tok,
+             CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               % {_CX04_SHARDS} AS shard,
+             md5('packo|' || CAST(doc_id AS VARCHAR)) AS okey
+      FROM sel
+    ),
+    base AS MATERIALIZED (
+      SELECT shard, _id, _tok, okey,
+             row_number() OVER (PARTITION BY shard ORDER BY okey, _id) AS rn
+      FROM keyed
+    ),
+    walk AS (
+      SELECT shard, rn, _id,
+             CAST(0 AS BIGINT) AS pack_seq,
+             CAST(0 AS BIGINT) AS offset_in_pack,
+             _tok AS pack_tokens,
+             CASE WHEN _tok >= {_CX04_PACK} THEN CAST(1 AS BIGINT) ELSE 0 END AS next_seq,
+             CASE WHEN _tok >= {_CX04_PACK} THEN CAST(0 AS BIGINT) ELSE _tok END AS next_used
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.shard, b.rn, b._id,
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_CX04_PACK}
+                  THEN w.next_seq + 1 ELSE w.next_seq END AS pack_seq,
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_CX04_PACK}
+                  THEN 0 ELSE w.next_used END AS offset_in_pack,
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_CX04_PACK}
+                  THEN b._tok ELSE w.next_used + b._tok END AS pack_tokens,
+             CASE WHEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_CX04_PACK}
+                             THEN b._tok ELSE w.next_used + b._tok END) >= {_CX04_PACK}
+                  THEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_CX04_PACK}
+                             THEN w.next_seq + 1 ELSE w.next_seq END) + 1
+                  ELSE (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_CX04_PACK}
+                             THEN w.next_seq + 1 ELSE w.next_seq END) END AS next_seq,
+             CASE WHEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_CX04_PACK}
+                             THEN b._tok ELSE w.next_used + b._tok END) >= {_CX04_PACK}
+                  THEN 0
+                  ELSE (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_CX04_PACK}
+                             THEN b._tok ELSE w.next_used + b._tok END) END AS next_used
+      FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+    )
+    SELECT w._id AS doc_id_packed, w.shard, w.pack_seq,
+           w.shard * {1 << 40} + w.pack_seq AS pack_id,
+           w.offset_in_pack, w.pack_tokens,
+           s2.quality, s2.cum_tokens
+    FROM walk w JOIN sel s2 ON s2.doc_id = w._id
+    """
+
+
+@query("cx04_token_budget_pack", sql=_cx04_sql())
+def cx04_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget pipeline with the TOKENIZER as the budget
+    currency: frozen-BPE token counts (operators/bpe.py, pure-JVM
+    replace chain) feed budget selection (distributed prefix sum, no
+    global window — operators/selection.py) feed greedy sequence
+    packing (sharded sequential Arrow kernel — operators/packing.py).
+    The oracle replays selection as a single global running sum and
+    packing as the exact recursive-CTE state walk."""
+    from eth_options_data_pipeline_spark.operators.packing import pack_documents
+    from eth_options_data_pipeline_spark.operators.selection import select_to_budget
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = tokenize_stats(docs, "text", FROZEN_MERGES).select(
+        "doc_id",
+        F.col("n_chars").alias("quality"),
+        F.col("n_tokens").alias("toks"),
+    )
+    sel = select_to_budget(stats, "quality", "toks", _CX04_BUDGET)
+    packed = pack_documents(sel.select("doc_id", "toks"), "doc_id", "toks",
+                            budget=_CX04_PACK, n_shards=_CX04_SHARDS)
+    return packed.join(
+        sel.select(F.col("doc_id").alias("doc_id_packed"),
+                   "quality", "cum_tokens"),
+        "doc_id_packed",
+    )
