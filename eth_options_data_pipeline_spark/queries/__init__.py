@@ -32,6 +32,7 @@ from eth_options_data_pipeline_spark.queries import analytics14  # noqa: F401,E4
 from eth_options_data_pipeline_spark.queries import analytics15  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics16  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics17  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import window_policy  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -41,30 +42,27 @@ from eth_options_data_pipeline_spark.queries import analytics17  # noqa: F401,E4
 # ``queries()`` yields them (observed: CORRECTNESS_r03..r06 each hold exactly
 # the first 50 names ``queries()`` yielded that round).  Registration order is
 # module-import order, so ``_WINDOW_PRIORITY`` pins an explicit rotation
-# instead.  The rotation is governed by the freshness policy in
-# ``window_policy.py`` (no face >MAX_STALENESS=2 rounds without a driver
-# row, asserted by tests/test_registry_window.py).  Round-9 window — the
-# rotation `tools/verify_driver.py --ages` computed at the end of r08:
+# instead.
 #
-#   1. the 16 faces at the staleness limit (last driver row r06 —
-#      the r06-tier half left out of the r08 window; staleness 3 if
-#      skipped again);
-#   2. the 7-query §2-critical regression core (every round);
-#   3. 27 of the 43 r07-tier faces (last driver row r07, staleness 2
-#      entering r09 — the rest reach the limit after r09 and MUST head
-#      the r10 window), prioritizing the risk-dense ones per the r08
-#      brief: the full streaming set sx03..sx08, the composition faces
-#      cx01..cx03, the hardest-to-reverify kernels (dx35 perplexity,
-#      dx38 packing, dx39 CDC chunking, dx41 classifier gate, dx42
-#      SemDeDup, dx43 RAG), then dx28 pagerank, dx36/dx37 sketch+
-#      incremental, dx45/dx46 BM25+RRF, dx51..dx55 mixing/context/
-#      incremental-agg/drift/BPE-train, and qx46/qx48.
-#
-# That is exactly 50 names.  The 18 r07-tier faces left out (mm02,
-# mm03, q02..q19 relational tier, qx47, plus qx46/qx48 displaced by
-# the new dx57/cx04) head the r10 window.  Everything outside the
-# window stays covered by the sf0.001 full-registry sweep and the
-# sf0.01 driver-scale sweep in tests/test_corpus_oracle.py.
+# Since round 9 the rotation is COMPUTED, not hand-curated
+# (window_policy.computed_window): the 7-query regression core always,
+# then every face by (last GREEN driver round asc, risk class, name) —
+# never-checked faces (new registrations, or faces whose last driver
+# row FAILED) enter immediately, the stalest faces head every window,
+# and risk class (streaming > composition > dx kernels > vectors >
+# multimodal > extensions > relational) breaks same-age ties.  When
+# the driver lands CORRECTNESS_r{N}.json the window auto-rotates for
+# round N+1, so the freshness policy (no face >MAX_STALENESS=2 rounds
+# without a green driver row, asserted by tests/test_registry_window)
+# holds at every commit — no end-of-round rotation commit, no
+# designed-red HEAD (VERDICT r08 items 1-2).  For round 9 the
+# computation reproduces the r08 brief's hand rotation exactly: the
+# 16 r06-tier staleness-limit faces + core + sx03..sx08, cx01..cx03,
+# dx28/dx35..dx55 kernels + the new dx57/cx04; the 18 left-out
+# r07-tier faces (mm02/mm03, q02..q19, qx46..qx48) head r10.
+# Everything outside the window stays covered by the sf0.001
+# full-registry sweep and the sf0.01 driver-scale sweep in
+# tests/test_corpus_oracle.py.
 # ---------------------------------------------------------------------------
 # §2-critical single-operator faces covering the reference-parity core
 # (main.py/deltaweekly.py semantics). ALWAYS in the driver window, and
@@ -81,58 +79,8 @@ REGRESSION_CORE = [
     "q21_options_pipeline",
 ]
 
-_WINDOW_PRIORITY = [
-    # -- 1. staleness-limit faces (last driver row r06; MUST this round) --
-    "dx02_doc_features",
-    "q20_topk_per_group",
-    "q22_rollup_cube",
-    "q26_window_battery",
-    "q27_pivot",
-    "q29_sink_roundtrip",
-    "q30_salted_agg",
-    "q32_group_having",
-    "q34_date_funcs",
-    "q35_correlated_scalar",
-    "q39_array_funcs",
-    "q41_supplier_variety",
-    "q42_dormant_rich_customers",
-    "q43_argmax_join_back",
-    "qx49_schema_evolution",
-    "qx50_sql_surface",
-    # -- 2. §2-critical regression core (reference parity, every round) ---
-    *REGRESSION_CORE,
-    # -- 3. r07-tier rotation: 27 of 43 at staleness 2, risk-dense first --
-    "sx03_stream_join",
-    "sx04_asof_stream",
-    "sx05_topk_stream",
-    "sx06_stream_dedup",
-    "sx07_agg_maintain_stream",
-    "sx08_cdc_apply_stream",
-    "cx01_corpus_pipeline",
-    "cx02_export_pipeline",
-    "cx03_quality_ensemble",
-    "dx35_perplexity",
-    "dx38_sequence_packing",
-    "dx39_cdc_chunks",
-    "dx41_classifier_gate",
-    "dx42_semdedup",
-    "dx43_rag_retrieval",
-    "dx28_pagerank",
-    "dx36_heavy_hitters",
-    "dx37_incremental_screen",
-    "dx45_bm25_topk",
-    "dx46_hybrid_rrf",
-    "dx51_temperature_mix",
-    "dx52_context_windows",
-    "dx53_incremental_agg",
-    "dx54_drift_psi",
-    "dx55_bpe_pairs",
-    # -- 4. new round-9 faces (never-checked faces enter immediately;
-    #       displaced qx46_merge_upsert and qx48_approx_quantiles,
-    #       r07-green age-2 rows that now head the r10 window) ---------
-    "dx57_bpe_train",
-    "cx04_token_budget_pack",
-]
+_WINDOW_PRIORITY = window_policy.computed_window(
+    list(REGISTRY), REGRESSION_CORE)
 
 
 def _ordered_names():

@@ -24,14 +24,27 @@ import os
 import re
 
 MAX_STALENESS = 2
+WINDOW_SIZE = 50
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
 
+def _row_green(row: dict) -> bool:
+    """A driver row counts as a CHECK only if it passed: full oracle
+    rows need the value-hash match; rows-only faces (err='no_oracle')
+    need a recorded row count. Errored/mismatched rows do NOT count,
+    so a face that fails in round N sorts as stale and auto-re-enters
+    round N+1's computed window to re-earn its green row."""
+    if row.get("hash_match"):
+        return bool(row.get("rows_match")) and bool(row.get("schema_match"))
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
 def correctness_rounds(repo_root: str = _REPO_ROOT) -> dict[int, set[str]]:
-    """round number -> set of face names with a driver row that round."""
+    """round number -> set of face names with a GREEN driver row that
+    round (see _row_green; failed rows are treated as unchecked)."""
     out: dict[int, set[str]] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -39,7 +52,7 @@ def correctness_rounds(repo_root: str = _REPO_ROOT) -> dict[int, set[str]]:
             continue
         with open(path) as f:
             rows = json.load(f)
-        out[int(m.group(1))] = set(rows)
+        out[int(m.group(1))] = {n for n, r in rows.items() if _row_green(r)}
     return out
 
 
@@ -55,6 +68,42 @@ def last_driver_round(repo_root: str = _REPO_ROOT) -> dict[str, int]:
         for n in names:
             last[n] = max(last.get(n, 0), rnd)
     return last
+
+
+# Tie-break rank for faces at the SAME staleness: streaming/stateful
+# faces are the hardest to re-verify locally (a driver row is worth
+# the most), compositions next, then the kernel-heavy dx faces, the
+# vector stack, multimodal, extensions, and last the plain relational
+# q-faces (the sf0.01 sweeps re-verify those convincingly between
+# driver rows). Within a class, name order. Because chosen faces get
+# fresh rows and unchosen ones age, the ordering is self-balancing
+# round-robin — no face can starve while slack exists.
+_RISK_CLASS = {"sx": 0, "cx": 1, "dx": 2, "vx": 3, "mm": 4, "qx": 5}
+
+
+def _risk_rank(name: str) -> int:
+    return _RISK_CLASS.get(name[:2], 6)
+
+
+def computed_window(registry_names: list, core: list,
+                    size: int = WINDOW_SIZE,
+                    repo_root: str = _REPO_ROOT) -> list:
+    """The driver window, COMPUTED from the CORRECTNESS history — no
+    hand curation, no end-of-round rotation commit (VERDICT r08 item
+    2). Membership: the regression core always; then every registered
+    face ordered by (last green driver round asc, risk class, name),
+    so never-checked faces (round 0 — new registrations and faces
+    whose last row failed) enter immediately and the stalest faces
+    head every window. When a new CORRECTNESS_r{N}.json lands, the
+    window rotates for round N+1 by construction, keeping the
+    freshness policy green at every commit."""
+    last = last_driver_round(repo_root)
+    core_in = [n for n in core if n in registry_names]
+    rest = sorted(
+        (n for n in registry_names if n not in set(core_in)),
+        key=lambda n: (last.get(n, 0), _risk_rank(n), n),
+    )
+    return (core_in + rest)[:size]
 
 
 def age_table(

@@ -6,6 +6,8 @@ permanently cost the dropped face its driver CORRECTNESS row."""
 
 from __future__ import annotations
 
+import os
+
 from eth_options_data_pipeline_spark import queries as q
 
 
@@ -54,6 +56,70 @@ def test_window_satisfies_freshness_policy():
         f"{wp.MAX_STALENESS}: {violations}\n"
         + wp.format_age_table(registry, q._WINDOW_PRIORITY)
     )
+
+
+def _green_row():
+    return {"rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None}
+
+
+def _fake_history(tmp_path, extra_round=None, failed=()):
+    """Copy the real CORRECTNESS history into tmp and optionally land
+    a synthetic next round: green rows for the CURRENT computed window
+    except the names in ``failed`` (hash mismatch)."""
+    import glob
+    import json
+    import shutil
+
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    for p in glob.glob(os.path.join(wp._REPO_ROOT, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path)
+    if extra_round is not None:
+        rows = {}
+        for name in q._WINDOW_PRIORITY:
+            r = _green_row()
+            if name in failed:
+                r["hash_match"] = False
+            rows[name] = r
+        with open(tmp_path / f"CORRECTNESS_r{extra_round}.json", "w") as f:
+            json.dump(rows, f)
+    return str(tmp_path)
+
+
+def test_computed_window_autorotates_when_next_round_lands(tmp_path):
+    """The r08 designed-red-at-HEAD problem, closed: landing
+    CORRECTNESS_r{N}.json must rotate the computed window for round
+    N+1 with zero code change, keeping the freshness policy green."""
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    root = _fake_history(tmp_path, extra_round=9)
+    registry = list(q.REGISTRY)
+    nxt = wp.computed_window(registry, q.REGRESSION_CORE, repo_root=root)
+    assert wp.policy_violations(registry, nxt, repo_root=root) == []
+    # the faces that would hit the staleness limit (left out of the
+    # r09 window AND oldest green row) must all be in, and the core
+    # never leaves
+    last = wp.last_driver_round(root)
+    left_out = set(registry) - set(q._WINDOW_PRIORITY)
+    oldest = min(last.get(n, 0) for n in left_out)
+    must_head = {n for n in left_out if last.get(n, 0) == oldest}
+    assert must_head <= set(nxt)
+    assert set(q.REGRESSION_CORE) <= set(nxt)
+
+
+def test_failed_face_reenters_next_window(tmp_path):
+    """A face whose driver row FAILED counts as unchecked, so it must
+    re-enter the very next computed window to re-earn a green row
+    (the r07 dx26 situation, now automatic)."""
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    victim = next(n for n in q._WINDOW_PRIORITY
+                  if n not in q.REGRESSION_CORE)
+    root = _fake_history(tmp_path, extra_round=9, failed=(victim,))
+    nxt = wp.computed_window(list(q.REGISTRY), q.REGRESSION_CORE,
+                             repo_root=root)
+    assert victim in nxt
 
 
 def test_every_face_has_some_driver_row_or_is_in_window():
