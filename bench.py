@@ -92,6 +92,16 @@ def main() -> None:
         "queries": timings,
         "queries_min": {name: round(min(ts), 4) for name, ts in runs.items()},
         "construction_heavy": sorted(CONSTRUCTION_HEAVY & set(timings)),
+        "notes": {
+            "dx10_neardup_pairs": (
+                "local medians drifted 3.29 (r06) -> 3.74 (r07) -> 3.59 "
+                "(r08) s with NO code change; per-face diffs track the "
+                "uniform ~8% corpus drift of shared-host load (r08 run "
+                "started at load avg 4.8), not plan regressions. Watch "
+                "only if it exceeds 4.0 s on a quiet box (VERDICT r08 "
+                "item 7)."
+            ),
+        },
         "sf": sf_from_dir(sf_dir),
         "config": {
             "master": spark.sparkContext.master,

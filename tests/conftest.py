@@ -12,10 +12,40 @@ from eth_options_data_pipeline_spark.session import get_spark
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
+# Suite scratch rides tmpfs when available: streaming checkpoints,
+# scratch sinks, and shuffle spill are many small fsync-bound writes,
+# and /tmp is disk-backed ext4 on this box while /dev/shm is RAM.
+# Data volumes are tiny (sf0.001/sf0.01), so RAM is safe. All three
+# scratch roots move together: pytest's tmp_path (--basetemp), the
+# package faces' tempfile.gettempdir() landings, and Spark's local
+# dirs. Falls back to the normal defaults when /dev/shm is absent.
+_SHM = "/dev/shm"
+
+
+def pytest_configure(config):
+    if os.path.isdir(_SHM) and config.option.basetemp is None:
+        import tempfile
+
+        base = os.path.join(_SHM, "spark-graft-pytest")
+        config.option.basetemp = os.path.join(base, "tmp_path")
+        scratch = os.path.join(base, "scratch")
+        os.makedirs(scratch, exist_ok=True)
+        os.environ["TMPDIR"] = scratch
+        tempfile.tempdir = scratch
+
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="engine-tests", master="local[8]", shuffle_partitions=8)
+    extra = {}
+    if os.path.isdir(_SHM):
+        local_dir = os.path.join(_SHM, "spark-graft-pytest", "spark-local")
+        os.makedirs(local_dir, exist_ok=True)
+        extra["spark.local.dir"] = local_dir
+    # local[16]: plan shapes depend on shuffle_partitions /
+    # default.parallelism (both pinned at 8), never on thread count,
+    # so extra threads only cut wall time on the CPU-bound sweeps.
+    spark = get_spark(app_name="engine-tests", master="local[16]",
+                      shuffle_partitions=8, extra_conf=extra)
     yield spark
 
 
@@ -40,13 +70,16 @@ def all_plans_raw(spark, sf_small):
     (VERDICT r07 item 5 — the dx26 lesson)."""
     from eth_options_data_pipeline_spark.queries import REGISTRY
 
-    out: dict[str, tuple[str | None, Exception | None]] = {}
+    out: dict[str, tuple] = {}
     for name, spec in REGISTRY.items():
         try:
             df = spec.fn(spark, sf_small)
-            out[name] = (df._jdf.queryExecution().executedPlan().toString(), None)
+            # the DataFrame rides along so the sf0.001 oracle-parity
+            # sweep can reuse it instead of re-constructing every face
+            # (construction + analysis is ~0.3s x 111 faces)
+            out[name] = (df, df._jdf.queryExecution().executedPlan().toString(), None)
         except Exception as exc:  # noqa: BLE001 — reported by name in the tripwire;
             # KeyboardInterrupt/SystemExit must abort the session, not be
             # recorded as a per-face compile failure (ADVICE r08)
-            out[name] = (None, exc)
+            out[name] = (None, None, exc)
     return out

@@ -40,9 +40,19 @@ def _key(row):
 
 
 def compare(spark_df, con, sql: str) -> dict:
-    """Returns {'ok': bool, ...diagnostics}."""
-    sdf = spark_df.toPandas()
-    ddf = con.execute(sql).fetchdf()
+    """Returns {'ok': bool, ...diagnostics}.
+
+    The two engine runs overlap: DuckDB executes on a worker thread
+    while Spark collects on this one — both release the GIL for the
+    heavy part, and the connection is still used by exactly one
+    query at a time, so semantics are unchanged and the wall cost of
+    a parity check drops to ~max(engine times) instead of their sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(lambda: con.execute(sql).fetchdf())
+        sdf = spark_df.toPandas()
+        ddf = fut.result()
 
     s_cols = sorted(sdf.columns)
     d_cols = sorted(ddf.columns)

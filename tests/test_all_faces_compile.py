@@ -17,7 +17,7 @@ from eth_options_data_pipeline_spark.queries import REGISTRY
 
 def test_all_faces_compile(all_plans_raw):
     assert set(all_plans_raw) == set(REGISTRY)
-    broken = {name: exc for name, (_, exc) in all_plans_raw.items()
+    broken = {name: exc for name, (_, _, exc) in all_plans_raw.items()
               if exc is not None}
     assert not broken, (
         "face plan-compile failures (operator API drift?): "

@@ -7,6 +7,7 @@ vocabulary runs out of pairs."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators.bpe import (
@@ -20,6 +21,16 @@ from eth_options_data_pipeline_spark.operators.bpe import (
 from tests.test_bpe_apply import _py_replica
 
 _ROUNDS = 3
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_small):
+    """One 3-round trainer run shared by every consistency check in
+    this module (each run is 4 Spark jobs; the checks below compare
+    DIFFERENT properties of the same deterministic output)."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("text")
+    rows, seg = train_merges(docs, rounds=_ROUNDS)
+    return docs, rows, seg
 
 
 def _py_train(word_freqs, rounds):
@@ -41,13 +52,11 @@ def _py_train(word_freqs, rounds):
     return merges, rows
 
 
-def test_trainer_matches_python_replica(spark, sf_small):
-    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("text")
+def test_trainer_matches_python_replica(spark, trained):
+    docs, rows, seg = trained
     word_freqs = [(r["w"], r["freq"])
                   for r in word_frequencies(docs).collect()]
     want_merges, want_rows = _py_train(word_freqs, _ROUNDS)
-
-    rows, seg = train_merges(docs, rounds=_ROUNDS)
     got_rows = [(r["a"], r["b"], r["cnt"]) for r in rows]
     assert got_rows == want_rows
     assert [(a, b) for a, b, _ in got_rows] == want_merges
@@ -62,12 +71,11 @@ def test_trainer_matches_python_replica(spark, sf_small):
     assert got_final == counts
 
 
-def test_learned_merges_reproduce_trainer_segmentation(spark, sf_small):
+def test_learned_merges_reproduce_trainer_segmentation(spark, trained):
     """The VERDICT r08 item-4 closure: the merge table the trainer
     emits, fed to the APPLY side as a frozen table, segments exactly
     as the trainer's own final state does."""
-    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("text")
-    rows, seg = train_merges(docs, rounds=_ROUNDS)
+    docs, rows, seg = trained
     merges = [(r["a"], r["b"]) for r in rows]
     applied = segment_vocabulary(docs, "text", merges)
     got = sorted((r["stream"], r["freq"]) for r in seg.collect())
@@ -100,16 +108,16 @@ def test_adjacent_pairs_edge_cases(spark):
     assert [tuple(p) for p in got[3]] == [("a", "bc"), ("bc", "d")]
 
 
-def test_trainer_round_one_equals_pair_statistics(spark, sf_small):
+def test_trainer_round_one_equals_pair_statistics(spark, trained):
     """Round one of the loop counts single-char adjacent pairs — the
     dx55 statistic. The two formulations (substring pairs over raw
     words vs explode over the symbolized stream) must pick the same
     top pair when the maximum is unique."""
     from eth_options_data_pipeline_spark.operators.bpe import pair_statistics
 
-    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("text")
+    docs, rows, _seg = trained
     top2 = pair_statistics(docs, k=2).collect()
     assert top2[0]["cnt"] > top2[1]["cnt"], "corpus tie at rank 1 — pick another fixture"
-    rows, _ = train_merges(docs, rounds=1)
+    # round one of the shared 3-round run IS the k=1 training run
     assert rows[0]["a"] + rows[0]["b"] == top2[0]["pair"]
     assert rows[0]["cnt"] == top2[0]["cnt"]

@@ -10,6 +10,7 @@ import random
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators import clustering
 
@@ -88,6 +89,16 @@ def test_assignment_plan_is_shuffle_free(spark, vec_df):
 
 
 def test_converged_centroids_are_fixpoint(spark, vec_df):
+    """Converged centroids must be a Lloyd fixpoint: one EXPLICIT
+    extra assign+update step leaves them unchanged. (Asserting via a
+    second full kmeans run with max_iters+1 checks the identical
+    property — deterministic seeding replays the same trajectory —
+    but costs 25 redundant Spark jobs; suite budget, VERDICT r08
+    item 3.)"""
     _, cents = clustering.kmeans(vec_df, K, max_iters=25, tol=1e-9)
-    _, again = clustering.kmeans(vec_df, K, max_iters=26, tol=1e-9)
+    vecs = vec_df.select("vec_id",
+                         F.col("embedding").cast("array<double>").alias("embedding"))
+    assigned = clustering.assign_centroids(vecs, cents)
+    again = clustering._update_centroids(
+        vecs, assigned, K, len(cents[0]), cents, "vec_id", "embedding")
     assert np.allclose(np.array(cents), np.array(again), atol=1e-7)

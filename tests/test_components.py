@@ -43,11 +43,32 @@ EDGES = st.lists(
     min_size=1, max_size=25)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-@given(edges=EDGES)
-def test_matches_union_find_on_random_graphs(spark, edges):
-    nodes = sorted({n for e in edges for n in e})
-    assert _spark_cc(spark, edges) == _union_find(edges, nodes)
+def test_matches_union_find_on_random_graphs(spark):
+    """10 hypothesis-drawn random graphs, batched into ONE distributed
+    CC run over their disjoint union (graph g's node n rides as
+    g*1000 + n): components of a disjoint union are the union of
+    per-graph components, so the per-example assertions are identical
+    to running each graph alone — at one iterative-job cost instead of
+    ten (suite budget, VERDICT r08 item 3)."""
+    cases = []
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(edges=EDGES)
+    def collect(edges):
+        cases.append(edges)
+
+    collect()
+    offset = 1000
+    union_edges = [(g * offset + a, g * offset + b)
+                   for g, edges in enumerate(cases) for a, b in edges]
+    got_all = _spark_cc(spark, union_edges)
+    for g, edges in enumerate(cases):
+        nodes = sorted({n for e in edges for n in e})
+        want = _union_find(edges, nodes)
+        got = {n - g * offset: c - g * offset
+               for n, c in got_all.items() if n // offset == g}
+        assert got == want, f"example {g}: {edges}"
 
 
 def test_long_chain_converges_in_log_rounds(spark):

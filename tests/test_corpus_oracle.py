@@ -25,9 +25,15 @@ def con(sf_small):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(spark, sf_small, con, name):
+def test_oracle_parity(spark, sf_small, con, name, all_plans_raw):
     spec = REGISTRY[name]
-    result = compare(spec.fn(spark, sf_small), con, spec.sql)
+    # reuse the DataFrame the session-wide compile pass already built
+    # (identical object: spec.fn(spark, sf_small)); reconstruct only if
+    # that face failed to compile so THIS test shows the real error
+    df = all_plans_raw.get(name, (None,))[0]
+    if df is None:
+        df = spec.fn(spark, sf_small)
+    result = compare(df, con, spec.sql)
     assert result["ok"], f"{name}: {result}"
 
 

@@ -117,7 +117,7 @@ def all_plans(all_plans_raw):
     that FAILED to compile are dropped here — the early tripwire
     already failed with their names, so the sweeps stay live for
     everything else instead of erroring at setup (VERDICT r07 item 5)."""
-    return {name: p for name, (p, exc) in all_plans_raw.items()
+    return {name: p for name, (_df, p, exc) in all_plans_raw.items()
             if exc is None}
 
 

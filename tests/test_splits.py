@@ -5,9 +5,20 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from eth_options_data_pipeline_spark.operators.splits import leakage_safe_split
 
 FRACS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def default_rows(spark):
+    """One collected default-seed run shared by the straddle and
+    proportion tests (the operator is deterministic — pinned by
+    test_deterministic_and_seed_sensitive — so sharing loses nothing)."""
+    docs, pairs = fixtures(spark)
+    return [r.asDict() for r in leakage_safe_split(docs, pairs, FRACS).collect()]
 
 
 def fixtures(spark):
@@ -20,10 +31,8 @@ def fixtures(spark):
     return docs, pairs
 
 
-def test_clusters_never_straddle(spark):
-    docs, pairs = fixtures(spark)
-    out = leakage_safe_split(docs, pairs, FRACS)
-    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+def test_clusters_never_straddle(spark, default_rows):
+    rows = {r["doc_id"]: r["split"] for r in default_rows}
     assert len(rows) == 500
     for cluster in [[0, 1, 2], [10, 11], [20, 21, 22, 23]]:
         assert len({rows[d] for d in cluster}) == 1
@@ -41,11 +50,10 @@ def test_deterministic_and_seed_sensitive(spark):
     assert a != c
 
 
-def test_proportions_roughly_hold(spark):
-    docs, pairs = fixtures(spark)
-    got = {row["split"]: row["n"] for row in
-           leakage_safe_split(docs, pairs, FRACS)
-           .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+def test_proportions_roughly_hold(spark, default_rows):
+    got: dict = {}
+    for r in default_rows:
+        got[r["split"]] = got.get(r["split"], 0) + 1
     assert set(got) == set(FRACS)
     assert 330 <= got["train"] <= 470          # 0.8 of 500 +- slack
     assert got["valid"] + got["test"] == 500 - got["train"]

@@ -42,9 +42,20 @@ def _random_batches(seed: int, n_batches: int = 4, n_symbols: int = 12):
     return batches
 
 
-@pytest.mark.parametrize("seed", [7, 42])
-def test_join_replay_stateful_agree(spark, tmp_path, seed):
-    batches = _random_batches(seed)
+def test_join_replay_stateful_agree(spark, tmp_path):
+    """Both randomized histories (seeds 7 and 42) ride ONE run: every
+    form keys strictly by SYMBOL, so prefixing each seed's symbols
+    with the seed makes the combined run semantically identical to two
+    separate runs — per-seed parametrization paid the 4-batch fold,
+    the replay, and a full streaming query TWICE for the same
+    coverage (suite budget, VERDICT r08 item 3)."""
+    seed = "all"
+    per = {s: _random_batches(s) for s in (7, 42)}
+    batches = [
+        [(f"{s}:{sym}", t, c, oi)
+         for s, bs in per.items() for (sym, t, c, oi) in bs[b]]
+        for b in range(len(per[7]))
+    ]
     schema = "SYMBOL string, Time timestamp, Close double, OI long"
 
     # form 1: incremental join, folding each batch against history
