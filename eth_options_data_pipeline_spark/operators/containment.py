@@ -1,0 +1,94 @@
+"""Near-containment detection: documents subsumed by other documents.
+
+Jaccard near-dup (operators/text.py MinHash, queries/fuzzy.py LSH)
+misses the asymmetric case: a short document wholly quoted inside a
+much longer one has tiny Jaccard similarity but containment ~1.0.
+Training-corpus curation treats subsumed documents as duplicates of
+their container (the SlimPajama-style cleanup), so containment is its
+own first-class dedup statistic:
+
+    containment(A -> B) = |shingles(A) & shingles(B)| / |shingles(A)|
+
+Scale shape (the classic inverted-index pattern, all equi-joins):
+
+  1. word n-gram shingles per document — a per-row projection;
+  2. a document-frequency cap drops shingles appearing in more than
+     ``df_cap`` documents (boilerplate/stopword n-grams): bounds every
+     shingle bucket, so the self-join emits at most ``df_cap**2`` pair
+     rows per shingle regardless of corpus size — same role as the
+     giant-bucket cap in the MinHash-LSH miner (queries/fuzzy.py);
+  3. shared-shingle counts via the bucket self-join, then one ratio
+     filter against the per-document shingle counts.
+
+All counts (numerator AND denominator) are over the capped shingle
+space, so the statistic is self-consistent and engine-reproducible.
+No counterpart in the reference (row-oriented options pipeline,
+main.py:43-351); this extends the brief's dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_id, shingle) word n-grams. Documents with fewer
+    than ``n`` words contribute no shingles (and therefore never
+    appear in containment output) — the statistic is undefined for
+    them. Pure per-row array expressions until the final distinct."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), " "),
+                     lambda w: w != F.lit(""))
+    k = F.size(words) - F.lit(n - 1)
+    shingles = F.when(
+        k >= F.lit(1),
+        F.transform(F.sequence(F.lit(0), k - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(words, i + F.lit(1), n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles).alias("shingle"))
+            .distinct())
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
+                      min_containment: float = 0.5,
+                      df_cap: int = 20) -> DataFrame:
+    """Directional near-containment pairs (doc_id, contained_in,
+    shared, m_small, m_big, containment): the smaller document's
+    capped shingle set overlaps the larger's by at least
+    ``min_containment``. Size ties break on doc_id so each unordered
+    pair appears exactly once. ``containment`` is rounded to 6 dp for
+    cross-engine hash stability."""
+    sh = shingle_table(docs, text_col, n)
+    # document-frequency cap: a bounded window per shingle (bucket
+    # sizes are <= corpus doc count per key, and the join below is
+    # what the cap is protecting)
+    w = Window.partitionBy("shingle")
+    kept = (sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") <= df_cap).drop("_df"))
+    m = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("sid"), "shingle")
+    b = kept.select(F.col("doc_id").alias("bid"), "shingle")
+    pairs = (a.join(b, "shingle")
+             .where(F.col("sid") != F.col("bid"))
+             .groupBy("sid", "bid")
+             .agg(F.count(F.lit(1)).alias("shared")))
+    ma = m.select(F.col("doc_id").alias("sid"), F.col("n_sh").alias("m_small"))
+    mb = m.select(F.col("doc_id").alias("bid"), F.col("n_sh").alias("m_big"))
+    out = (pairs.join(ma, "sid").join(mb, "bid")
+           .where((F.col("m_small") < F.col("m_big"))
+                  | ((F.col("m_small") == F.col("m_big"))
+                     & (F.col("sid") < F.col("bid"))))
+           .withColumn("containment",
+                       F.round(F.col("shared").cast("double")
+                               / F.col("m_small"), 6))
+           .where(F.col("containment") >= min_containment))
+    return out.select(F.col("sid").alias("doc_id"),
+                      F.col("bid").alias("contained_in"),
+                      F.col("shared").cast("long").alias("shared"),
+                      F.col("m_small").cast("long").alias("m_small"),
+                      F.col("m_big").cast("long").alias("m_big"),
+                      "containment")

@@ -272,3 +272,67 @@ def cx04_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "quality", "cum_tokens"),
         "doc_id_packed",
     )
+
+
+# ------------------------------------- near-containment dedup (dx58)
+#
+# The asymmetric dup case Jaccard misses: a short document wholly
+# quoted inside a longer one has tiny Jaccard but containment ~1.0
+# (operators/containment.py). Inverted-index self-join with a
+# document-frequency cap bounding every shingle bucket.
+
+_CONT_N = 3
+_CONT_MIN = 0.5
+_CONT_DF_CAP = 20
+
+_CONT_SQL = f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ws[i + 1 : i + {_CONT_N}], ' ') AS shingle
+      FROM (SELECT doc_id, ws,
+                   unnest(range(greatest(len(ws) - {_CONT_N - 1}, 0))) AS i
+            FROM w)
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {_CONT_DF_CAP}
+    ),
+    m AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS sid, b.doc_id AS bid, count(*) AS shared
+      FROM kept a JOIN kept b ON a.shingle = b.shingle
+                             AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.sid AS doc_id, p.bid AS contained_in,
+           CAST(p.shared AS BIGINT) AS shared,
+           CAST(ma.n_sh AS BIGINT) AS m_small,
+           CAST(mb.n_sh AS BIGINT) AS m_big,
+           round(CAST(p.shared AS DOUBLE) / ma.n_sh, 6) AS containment
+    FROM p
+    JOIN m ma ON ma.doc_id = p.sid
+    JOIN m mb ON mb.doc_id = p.bid
+    WHERE (ma.n_sh < mb.n_sh OR (ma.n_sh = mb.n_sh AND p.sid < p.bid))
+      AND round(CAST(p.shared AS DOUBLE) / ma.n_sh, 6) >= {_CONT_MIN}
+"""
+
+
+@query("dx58_containment", sql=_CONT_SQL)
+def dx58_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs: smaller document's word-3-gram shingle
+    set >= 50% inside a larger document's. Per-row shingling, a
+    df-capped inverted index (every bucket bounded, so the self-join
+    is bounded per shingle at any corpus size), equi-joins only."""
+    from eth_options_data_pipeline_spark.operators.containment import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, "text", n=_CONT_N,
+                             min_containment=_CONT_MIN,
+                             df_cap=_CONT_DF_CAP)

@@ -1,0 +1,84 @@
+"""Near-containment (operators/containment.py) against a brute-force
+python replica: shingling, the df-cap, the directional size/id rule,
+and the ratio threshold must all match on the real corpus sample and
+on crafted edges (short docs, exact subsumption, boilerplate cap)."""
+
+from __future__ import annotations
+
+from eth_options_data_pipeline_spark.operators.containment import (
+    containment_pairs,
+    shingle_table,
+)
+
+N = 3
+CAP = 20
+MIN_C = 0.5
+
+
+def _py_shingles(text: str, n: int = N) -> set:
+    ws = [w for w in text.strip().split(" ") if w]
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _py_pairs(texts: dict, n: int = N, cap: int = CAP, min_c: float = MIN_C):
+    sh = {d: _py_shingles(t, n) for d, t in texts.items() if t is not None}
+    df: dict = {}
+    for s in sh.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    kept = {d: {g for g in s if df[g] <= cap} for d, s in sh.items()}
+    out = set()
+    for a, sa in kept.items():
+        for b, sb in kept.items():
+            if a == b or not sa:
+                continue
+            if len(sa) < len(sb) or (len(sa) == len(sb) and a < b):
+                shared = len(sa & sb)
+                c = round(shared / len(sa), 6)
+                if c >= min_c:
+                    out.add((a, b, shared, len(sa), len(sb), c))
+    return out
+
+
+def test_matches_bruteforce_on_corpus_sample(spark, sf_small):
+    docs = (spark.read.parquet(f"{sf_small}/documents.parquet")
+            .select("doc_id", "text").limit(120))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {tuple(r) for r in
+           containment_pairs(docs, df_cap=CAP,
+                             min_containment=MIN_C).collect()}
+    assert got == _py_pairs(texts)
+    assert got, "sample produced no containment pairs — widen the limit"
+
+
+def test_exact_subsumption_and_short_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),   # container
+        (2, "beta gamma delta"),                      # one shingle, inside 1
+        (3, "one two"),                               # < n words: no shingles
+        (4, None),                                    # null text
+        (5, "totally different words here indeed"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["contained_in"], r["containment"])
+           for r in containment_pairs(docs).collect()}
+    assert (2, 1, 1.0) in got
+    assert all(d not in (3, 4) and c not in (3, 4) for d, c, _ in got)
+
+
+def test_df_cap_drops_boilerplate_shingle(spark):
+    """A shingle shared by MORE than df_cap docs must not create
+    pairs: 25 otherwise-disjoint docs sharing one boilerplate line
+    produce zero output under cap 20."""
+    boiler = "subscribe to our newsletter"
+    rows = [(i, f"{boiler} unique{i} tail{i} end{i}") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_pairs(docs, df_cap=CAP).count() == 0
+
+
+def test_shingle_table_is_distinct_per_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string")
+    got = sorted(r["shingle"] for r in shingle_table(docs).collect())
+    # 7 positions but only 3 distinct shingles
+    assert got == ["a b c", "b c a", "c a b"]
