@@ -68,6 +68,18 @@ HEADLINERS = {
                       "— the whole monitor is a single aggregation pass",
     "dx55_bpe_pairs": "BPE pair statistics on the word-frequency table (Sennrich trick): "
                       "corpus scanned once, pair ranking bounded by the symbol alphabet",
+    "dx26_zorder_key": "z-order key as grid-cell + static interleave bit chain: the only "
+                       "extra cost over the scan is a broadcast one-row bounds pass — "
+                       "no global sort, no window (de-scaffolded r09)",
+    "dx57_bpe_train": "iterated BPE training round: pair counts explode the |vocab|-bounded "
+                      "segmented word table, selection is a 1-row TakeOrdered — the corpus "
+                      "is scanned once per job regardless of merge rounds",
+    "cx04_token_budget_pack": "BPE count -> budget select -> pack as one pipeline: counting "
+                              "is a pure projection, selection keeps the distributed-prefix-"
+                              "sum shape, the only Python is the sharded packing kernel",
+    "dx58_containment": "near-containment: df-capped inverted index bounds every "
+                        "shared-shingle bucket, so the self-join never exceeds "
+                        "cap^2 pair rows per shingle at any corpus size",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
