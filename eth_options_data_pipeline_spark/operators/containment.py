@@ -28,7 +28,7 @@ main.py:43-351); this extends the brief's dedup family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,20 +61,42 @@ def containment_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     capped shingle set overlaps the larger's by at least
     ``min_containment``. Size ties break on doc_id so each unordered
     pair appears exactly once. ``containment`` is rounded to 6 dp for
-    cross-engine hash stability."""
-    sh = shingle_table(docs, text_col, n)
-    # document-frequency cap: a bounded window per shingle (bucket
-    # sizes are <= corpus doc count per key, and the join below is
-    # what the cap is protecting)
-    w = Window.partitionBy("shingle")
-    kept = (sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .where(F.col("_df") <= df_cap).drop("_df"))
-    m = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = kept.select(F.col("doc_id").alias("sid"), "shingle")
-    b = kept.select(F.col("doc_id").alias("bid"), "shingle")
-    pairs = (a.join(b, "shingle")
-             .where(F.col("sid") != F.col("bid"))
-             .groupBy("sid", "bid")
+    cross-engine hash stability.
+
+    One groupBy(shingle) builds the bucket (collect_set dedups the
+    per-doc shingle multiplicity in the same shuffle), the df-cap is a
+    plain size predicate on the bucket array, and candidate pairs are
+    an IN-ROW expansion of the bounded array (<= cap^2 per bucket) —
+    the giant-bucket-cap pattern of the LSH miner (queries/fuzzy.py),
+    with no self-join and no per-shingle window sort."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), " "),
+                     lambda w: w != F.lit(""))
+    k = F.size(words) - F.lit(n - 1)
+    shingles = F.when(
+        k >= F.lit(1),
+        F.transform(F.sequence(F.lit(0), k - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(words, i + F.lit(1), n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (docs.where(F.col(text_col).isNotNull())
+          .select(F.col("doc_id"), F.explode(shingles).alias("shingle")))
+    buckets = (sh.groupBy("shingle")
+               .agg(F.collect_set("doc_id").alias("ds"))
+               .where(F.size("ds") <= df_cap)
+               .where(F.size("ds") >= 1))
+    # per-doc shingle counts over the SAME capped space
+    m = (buckets.select(F.explode("ds").alias("doc_id"))
+         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")))
+    # in-row ordered-pair expansion, bounded by cap^2 per bucket
+    pair_arr = F.flatten(F.transform(
+        "ds",
+        lambda a: F.filter(
+            F.transform("ds", lambda b: F.struct(a.alias("sid"),
+                                                 b.alias("bid"))),
+            lambda p: p["sid"] != p["bid"]),
+    ))
+    pairs = (buckets.select(F.explode(pair_arr).alias("p"))
+             .groupBy("p.sid", "p.bid")
              .agg(F.count(F.lit(1)).alias("shared")))
     ma = m.select(F.col("doc_id").alias("sid"), F.col("n_sh").alias("m_small"))
     mb = m.select(F.col("doc_id").alias("bid"), F.col("n_sh").alias("m_big"))
