@@ -336,3 +336,115 @@ def dx58_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "text", n=_CONT_N,
                              min_containment=_CONT_MIN,
                              df_cap=_CONT_DF_CAP)
+
+
+# --------------------------------- vocabulary growth / Heaps law (dx59)
+#
+# Data-card corpus-health curve: distinct uni/bigram counts as a
+# function of corpus position (docs processed in doc_id order, split
+# into fixed buckets). A healthy crawl grows ~ tokens^beta (Heaps);
+# heavy duplication or contamination flattens the tail. The scale
+# shape is one groupBy over the gram space (first occurrence = min
+# doc_id — duplicates collapse map-side) + one per-bucket token agg;
+# the running sums ride a window over gram_n x buckets rows (~20).
+
+_VG_BUCKETS = 10
+
+
+_VG_SQL = f"""
+    WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) + 1 AS denom FROM documents),
+    w AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT CAST(doc_id * {_VG_BUCKETS} // denom AS INT) AS bucket,
+             CAST(sum(len(ws)) AS BIGINT) AS bucket_tokens
+      FROM w, mx GROUP BY 1
+    ),
+    grams AS (
+      SELECT 1 AS gram_n, doc_id, unnest(ws) AS gram FROM w
+      UNION ALL
+      SELECT 2 AS gram_n, doc_id, array_to_string(ws[i + 1 : i + 2], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 1, 0))) AS i FROM w)
+    ),
+    first AS (
+      SELECT gram_n, gram, min(doc_id) AS first_doc FROM grams GROUP BY 1, 2
+    ),
+    newg AS (
+      SELECT gram_n, CAST(first_doc * {_VG_BUCKETS} // denom AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS new_grams
+      FROM first, mx GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT g.gram_n, t.bucket,
+             coalesce(n.new_grams, 0) AS new_grams, t.bucket_tokens
+      FROM tok t
+      CROSS JOIN (SELECT 1 AS gram_n UNION ALL SELECT 2) g
+      LEFT JOIN newg n ON n.gram_n = g.gram_n AND n.bucket = t.bucket
+    )
+    SELECT gram_n, bucket,
+           CAST(new_grams AS BIGINT) AS new_grams,
+           CAST(sum(new_grams) OVER (PARTITION BY gram_n ORDER BY bucket
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_grams,
+           bucket_tokens,
+           CAST(sum(bucket_tokens) OVER (PARTITION BY gram_n ORDER BY bucket
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+    FROM base
+"""
+
+
+@query("dx59_vocab_growth", sql=_VG_SQL)
+def dx59_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve: per corpus bucket (doc_id order, 10
+    fixed buckets via a broadcast one-row max), new and cumulative
+    distinct uni/bigrams plus token totals. First occurrence is
+    min(doc_id) per gram — a single map-side-combinable groupBy over
+    the gram space; the cumulative sums are windows over ~20 rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.trim(F.col("text")), " "),
+                     lambda w: w != F.lit(""))
+    w = (docs.where(F.col("text").isNotNull())
+         .select("doc_id", words.alias("ws")))
+    denom = docs.agg((F.max("doc_id").cast("long") + 1).alias("denom"))
+
+    def bucket(col):
+        return F.call_function(
+            "div", col * F.lit(_VG_BUCKETS), F.col("denom")).cast("int")
+
+    tok = (w.crossJoin(F.broadcast(denom))
+           .groupBy(bucket(F.col("doc_id")).alias("bucket"))
+           .agg(F.sum(F.size("ws")).cast("long").alias("bucket_tokens")))
+    uni = w.select(F.lit(1).alias("gram_n"), "doc_id",
+                   F.explode("ws").alias("gram"))
+    k = F.size("ws") - F.lit(1)
+    bigrams = F.when(
+        k >= F.lit(1),
+        F.transform(F.sequence(F.lit(0), k - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice("ws", i + F.lit(1), 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = w.select(F.lit(2).alias("gram_n"), "doc_id",
+                  F.explode(bigrams).alias("gram"))
+    first = (uni.unionByName(bi)
+             .groupBy("gram_n", "gram")
+             .agg(F.min("doc_id").alias("first_doc")))
+    newg = (first.crossJoin(F.broadcast(denom))
+            .groupBy("gram_n", bucket(F.col("first_doc")).alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("new_grams")))
+    gram_ns = spark.range(1, 3).select(F.col("id").cast("int").alias("gram_n"))
+    base = (tok.crossJoin(F.broadcast(gram_ns))
+            .join(newg, ["gram_n", "bucket"], "left")
+            .select("gram_n", "bucket",
+                    F.coalesce("new_grams", F.lit(0)).cast("long").alias("new_grams"),
+                    "bucket_tokens"))
+    cw = (Window.partitionBy("gram_n").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return base.select(
+        "gram_n", "bucket", "new_grams",
+        F.sum("new_grams").over(cw).cast("long").alias("cum_grams"),
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(cw).cast("long").alias("cum_tokens"),
+    )
