@@ -34,6 +34,7 @@ from eth_options_data_pipeline_spark.session import get_spark  # noqa: E402
 CONSTRUCTION_HEAVY = {
     "qx46_merge_upsert",       # copy-on-write MERGE into scratch table
     "qx47_compact_roundtrip",  # compaction rewrite + roundtrip read
+    "qx51_textfmt_roundtrip",  # JSONL + CSV scratch writes + read-back
     "sx05_topk_stream",        # 3 micro-batch replays + candidates ckpt
     "sx06_stream_dedup",       # 3 micro-batch replays into scratch
     "sx07_agg_maintain_stream",  # availableNow stream + state landings

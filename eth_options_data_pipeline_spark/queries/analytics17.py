@@ -448,3 +448,65 @@ def dx59_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_tokens",
         F.sum("bucket_tokens").over(cw).cast("long").alias("cum_tokens"),
     )
+
+
+# --------------------------------- JSONL + CSV source roundtrip (qx51)
+#
+# JSONL is the dominant LLM-corpus interchange format; CSV the
+# long-tail one. The corpus text is injected with the characters that
+# break naive writers (double quote, comma, newline, backslash —
+# derived from doc_id so both engines build the identical string),
+# written out in BOTH formats, read back with pinned schemas, and
+# digested. The oracle computes the digest straight from parquet: a
+# hash match proves each roundtrip is byte-lossless THROUGH the
+# escaping paths (JSON string escapes; CSV quoting + multiLine read).
+
+_AUG_SQL = ("text || ' \"q,' || chr(10) || '\\' || CAST(doc_id AS VARCHAR)")
+
+_QX51_SQL = f"""
+    SELECT doc_id,
+           CAST(length({_AUG_SQL}) AS BIGINT) AS n_chars_aug,
+           md5({_AUG_SQL}) AS digest_jsonl,
+           md5({_AUG_SQL}) AS digest_csv
+    FROM documents
+"""
+
+
+@query("qx51_textfmt_roundtrip", sql=_QX51_SQL)
+def qx51_textfmt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2-family source-format matrix: JSONL and CSV roundtrips of
+    escape-hostile text must be byte-lossless. Eager at construction
+    (two scratch writes, q29-style); the read-back schemas are pinned
+    (schema-on-read, no inference on the hot path) and the CSV leg
+    exercises quoting + multiLine embedded newlines."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = F.concat(F.col("text"), F.lit(' "q,\n\\'),
+                   F.col("doc_id").cast("string"))
+    staged = docs.select("doc_id", aug.alias("text_aug"))
+    root = tempfile.mkdtemp(prefix="textfmt_rt_")
+    jdir, cdir = os.path.join(root, "j"), os.path.join(root, "c")
+    staged.write.mode("overwrite").json(jdir)
+    # RFC-4180 quoting on BOTH sides (Spark's default escape is a
+    # backslash; escape='"' doubles embedded quotes instead)
+    staged.write.mode("overwrite").option("header", "true") \
+        .option("escape", '"').csv(cdir)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text_aug", StringType())])
+    jback = spark.read.schema(schema).json(jdir)
+    cback = (spark.read.schema(schema)
+             .option("header", "true").option("multiLine", "true")
+             .option("escape", '"')
+             .csv(cdir))
+    j = jback.select("doc_id",
+                     F.length("text_aug").cast("long").alias("n_chars_aug"),
+                     F.md5(F.col("text_aug")).alias("digest_jsonl"))
+    c = cback.select(F.col("doc_id").alias("doc_id_c"),
+                     F.md5(F.col("text_aug")).alias("digest_csv"))
+    return j.join(c, j["doc_id"] == c["doc_id_c"]).select(
+        "doc_id", "n_chars_aug", "digest_jsonl", "digest_csv")
