@@ -46,20 +46,19 @@ from eth_options_data_pipeline_spark.queries import window_policy  # noqa: E402
 #
 # Since round 9 the rotation is COMPUTED, not hand-curated
 # (window_policy.computed_window): the 7-query regression core always,
-# then every face by (last GREEN driver round asc, risk class, name) —
-# never-checked faces (new registrations, or faces whose last driver
-# row FAILED) enter immediately, the stalest faces head every window,
+# then every face by (freshness deadline asc, risk class, name) where
+# deadline = last green driver round + the face's class staleness
+# limit (MAX_STALENESS=2, except plain relational q-faces at 4 —
+# VERDICT r09 item 3's capacity demotion; the sf0.01 driver-scale
+# sweep re-verifies those between driver rows).  Faces whose LATEST
+# driver row failed sort first unconditionally (deadline -1, VERDICT
+# r09 item 2), then never-checked new registrations (deadline 0),
 # and risk class (streaming > composition > dx kernels > vectors >
-# multimodal > extensions > relational) breaks same-age ties.  When
-# the driver lands CORRECTNESS_r{N}.json the window auto-rotates for
-# round N+1, so the freshness policy (no face >MAX_STALENESS=2 rounds
-# without a green driver row, asserted by tests/test_registry_window)
-# holds at every commit — no end-of-round rotation commit, no
-# designed-red HEAD (VERDICT r08 items 1-2).  For round 9 the
-# computation reproduces the r08 brief's hand rotation exactly: the
-# 16 r06-tier staleness-limit faces + core + sx03..sx08, cx01..cx03,
-# dx28/dx35..dx55 kernels + the new dx57/cx04; the 18 left-out
-# r07-tier faces (mm02/mm03, q02..q19, qx46..qx48) head r10.
+# multimodal > extensions > relational) breaks same-deadline ties.
+# When the driver lands CORRECTNESS_r{N}.json the window auto-rotates
+# for round N+1, so the freshness policy (asserted by
+# tests/test_registry_window) holds at every commit — no end-of-round
+# rotation commit, no designed-red HEAD (VERDICT r08 items 1-2).
 # Everything outside the window stays covered by the sf0.001
 # full-registry sweep and the sf0.01 driver-scale sweep in
 # tests/test_corpus_oracle.py.

@@ -5,10 +5,17 @@ The driver hash-checks only the first 50 names ``queries()`` yields
 the window keep only the local sf0.001/sf0.01 sweeps between rounds,
 so a face left out too long drifts away from its last *driver* check.
 
-Policy (VERDICT r06 item 1): **no registered face goes more than
-``MAX_STALENESS`` rounds without a driver row** — i.e. for every face,
-``current_round - last_driver_round <= MAX_STALENESS``, where a face in
-the current window counts as checked this round.
+Policy (VERDICT r06 item 1, refined r09 item 3): **no registered face
+goes more than its class staleness limit rounds without a driver
+row** — i.e. for every face, ``current_round - last_driver_round <=
+staleness_limit(face)``, where a face in the current window counts as
+checked this round.  The limit is ``MAX_STALENESS`` (=2) for every
+class except the plain-relational q-faces (risk class 6), which carry
+``Q_FACE_STALENESS`` (=4): the sf0.01 driver-scale sweep re-verifies
+those convincingly between driver rows (tests/test_corpus_oracle.py),
+and demoting them keeps the 43-slot window unsaturated as the registry
+grows (VERDICT r09 item 3 — capacity math in
+tests/test_registry_window.py::test_window_capacity_not_saturating).
 
 This module is the single source of truth for per-face driver-row age:
 ``tools/verify_driver.py`` prints the age table from it, and
@@ -24,6 +31,9 @@ import os
 import re
 
 MAX_STALENESS = 2
+# Plain-relational q-faces (risk class 6) may go longer between driver
+# rows: the default sf0.01 sweep re-runs them at driver scale locally.
+Q_FACE_STALENESS = 4
 WINDOW_SIZE = 50
 
 _REPO_ROOT = os.path.dirname(
@@ -35,29 +45,66 @@ def _row_green(row: dict) -> bool:
     """A driver row counts as a CHECK only if it passed: full oracle
     rows need the value-hash match; rows-only faces (err='no_oracle')
     need a recorded row count. Errored/mismatched rows do NOT count,
-    so a face that fails in round N sorts as stale and auto-re-enters
-    round N+1's computed window to re-earn its green row."""
+    so a face that fails in round N sorts ahead of every checked face
+    and re-enters round N+1's computed window unconditionally (see
+    computed_window)."""
     if row.get("hash_match"):
         return bool(row.get("rows_match")) and bool(row.get("schema_match"))
     return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
 
 
-def correctness_rounds(repo_root: str = _REPO_ROOT) -> dict[int, set[str]]:
-    """round number -> set of face names with a GREEN driver row that
-    round (see _row_green; failed rows are treated as unchecked)."""
-    out: dict[int, set[str]] = {}
+def _round_files(repo_root: str) -> dict[int, list[str]]:
+    """round number -> CORRECTNESS files parsing to that round.
+
+    ``r9`` and ``r09`` both parse to round 9; both files contribute
+    (set-union of their rows) rather than last-writer-wins, so a
+    synthetic fixture file can never silently REPLACE the real round's
+    rows (the r09 red-HEAD collision, VERDICT r09 item 1)."""
+    out: dict[int, list[str]] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
-        with open(path) as f:
-            rows = json.load(f)
-        out[int(m.group(1))] = {n for n, r in rows.items() if _row_green(r)}
+        out.setdefault(int(m.group(1)), []).append(path)
     return out
 
 
+def correctness_rounds(repo_root: str = _REPO_ROOT) -> dict[int, set[str]]:
+    """round number -> set of face names with a GREEN driver row that
+    round (see _row_green; failed rows are treated as unchecked).
+    Duplicate round numbers (``r9`` + ``r09``) union their green sets."""
+    out: dict[int, set[str]] = {}
+    for rnd, paths in _round_files(repo_root).items():
+        green: set[str] = set()
+        for path in paths:
+            with open(path) as f:
+                rows = json.load(f)
+            green |= {n for n, r in rows.items() if _row_green(r)}
+        out[rnd] = green
+    return out
+
+
+def latest_failed(repo_root: str = _REPO_ROOT) -> set[str]:
+    """Faces with a row in the LATEST round that is not green (failed
+    or errored there, and no duplicate file recorded a green row).
+    These must re-enter the next window unconditionally."""
+    files = _round_files(repo_root)
+    if not files:
+        return set()
+    latest = max(files)
+    seen: set[str] = set()
+    green: set[str] = set()
+    for path in files[latest]:
+        with open(path) as f:
+            rows = json.load(f)
+        seen |= set(rows)
+        green |= {n for n, r in rows.items() if _row_green(r)}
+    return seen - green
+
+
 def last_driver_round(repo_root: str = _REPO_ROOT) -> dict[str, int]:
-    """face name -> most recent round with a driver row (0 = never).
+    """face name -> most recent round with a GREEN driver row (0 =
+    never).
 
     Names are taken as-recorded; renamed/retired faces simply stop
     matching the live registry and are ignored by callers that join
@@ -70,7 +117,7 @@ def last_driver_round(repo_root: str = _REPO_ROOT) -> dict[str, int]:
     return last
 
 
-# Tie-break rank for faces at the SAME staleness: streaming/stateful
+# Tie-break rank for faces at the SAME deadline: streaming/stateful
 # faces are the hardest to re-verify locally (a driver row is worth
 # the most), compositions next, then the kernel-heavy dx faces, the
 # vector stack, multimodal, extensions, and last the plain relational
@@ -85,23 +132,41 @@ def _risk_rank(name: str) -> int:
     return _RISK_CLASS.get(name[:2], 6)
 
 
+def staleness_limit(name: str) -> int:
+    """Max rounds a face may go without a green driver row."""
+    return Q_FACE_STALENESS if _risk_rank(name) == 6 else MAX_STALENESS
+
+
 def computed_window(registry_names: list, core: list,
                     size: int = WINDOW_SIZE,
                     repo_root: str = _REPO_ROOT) -> list:
     """The driver window, COMPUTED from the CORRECTNESS history — no
     hand curation, no end-of-round rotation commit (VERDICT r08 item
     2). Membership: the regression core always; then every registered
-    face ordered by (last green driver round asc, risk class, name),
-    so never-checked faces (round 0 — new registrations and faces
-    whose last row failed) enter immediately and the stalest faces
-    head every window. When a new CORRECTNESS_r{N}.json lands, the
-    window rotates for round N+1 by construction, keeping the
-    freshness policy green at every commit."""
+    face ordered by (deadline asc, risk class, name) where deadline =
+    last green driver round + that face's staleness limit — the face
+    whose freshness deadline binds first heads every window.  Two
+    unconditional overrides (VERDICT r09 item 2): a face whose row in
+    the LATEST round exists and is not green sorts with deadline -1
+    (ahead of everything — a failed face re-enters the very next
+    window even with zero slack), and a never-checked face (new
+    registration) sorts with deadline 0, ahead of every checked face.
+    When a new CORRECTNESS_r{N}.json lands, the window rotates for
+    round N+1 by construction, keeping the freshness policy green at
+    every commit."""
     last = last_driver_round(repo_root)
+    failed = latest_failed(repo_root)
+
+    def deadline(n):
+        if n in failed:
+            return -1
+        lr = last.get(n, 0)
+        return lr + staleness_limit(n) if lr else 0
+
     core_in = [n for n in core if n in registry_names]
     rest = sorted(
         (n for n in registry_names if n not in set(core_in)),
-        key=lambda n: (last.get(n, 0), _risk_rank(n), n),
+        key=lambda n: (deadline(n), _risk_rank(n), n),
     )
     return (core_in + rest)[:size]
 
@@ -138,11 +203,13 @@ def policy_violations(
     window_names: list[str],
     repo_root: str = _REPO_ROOT,
 ) -> list[tuple[str, int, int]]:
-    """Faces whose post-window staleness would exceed MAX_STALENESS."""
+    """Faces whose post-window staleness would exceed their class
+    staleness limit (MAX_STALENESS, or Q_FACE_STALENESS for plain
+    relational q-faces)."""
     return [
         (name, lr, stale)
         for name, lr, stale, _ in age_table(registry_names, window_names, repo_root)
-        if stale > MAX_STALENESS
+        if stale > staleness_limit(name)
     ]
 
 
@@ -151,9 +218,10 @@ def format_age_table(
     window_names: list[str],
     repo_root: str = _REPO_ROOT,
 ) -> str:
-    lines = ["face                            last_r  next_age  window"]
+    lines = ["face                            last_r  next_age  limit  window"]
     for name, lr, stale, inw in age_table(registry_names, window_names, repo_root):
         lines.append(
-            f"{name:<32}{lr or '-':>5}{stale:>9}  {'*' if inw else ''}"
+            f"{name:<32}{lr or '-':>5}{stale:>9}{staleness_limit(name):>6}"
+            f"  {'*' if inw else ''}"
         )
     return "\n".join(lines)

@@ -63,10 +63,12 @@ def _green_row():
             "spark_rows": 1, "oracle_rows": 1, "err": None}
 
 
-def _fake_history(tmp_path, extra_round=None, failed=()):
+def _fake_history(tmp_path, land_next=False, failed=()):
     """Copy the real CORRECTNESS history into tmp and optionally land
-    a synthetic next round: green rows for the CURRENT computed window
-    except the names in ``failed`` (hash mismatch)."""
+    a synthetic NEXT round (max parsed real round + 1, zero-padded
+    filename so it can never collide with a real round's file — the
+    r9/r09 collision, VERDICT r09 item 1): green rows for the CURRENT
+    computed window except the names in ``failed`` (hash mismatch)."""
     import glob
     import json
     import shutil
@@ -75,14 +77,15 @@ def _fake_history(tmp_path, extra_round=None, failed=()):
 
     for p in glob.glob(os.path.join(wp._REPO_ROOT, "CORRECTNESS_r*.json")):
         shutil.copy(p, tmp_path)
-    if extra_round is not None:
+    if land_next:
+        nxt = max(wp.correctness_rounds(str(tmp_path)), default=0) + 1
         rows = {}
         for name in q._WINDOW_PRIORITY:
             r = _green_row()
             if name in failed:
                 r["hash_match"] = False
             rows[name] = r
-        with open(tmp_path / f"CORRECTNESS_r{extra_round}.json", "w") as f:
+        with open(tmp_path / f"CORRECTNESS_r{nxt:02d}.json", "w") as f:
             json.dump(rows, f)
     return str(tmp_path)
 
@@ -93,17 +96,22 @@ def test_computed_window_autorotates_when_next_round_lands(tmp_path):
     N+1 with zero code change, keeping the freshness policy green."""
     from eth_options_data_pipeline_spark.queries import window_policy as wp
 
-    root = _fake_history(tmp_path, extra_round=9)
+    root = _fake_history(tmp_path, land_next=True)
     registry = list(q.REGISTRY)
     nxt = wp.computed_window(registry, q.REGRESSION_CORE, repo_root=root)
     assert wp.policy_violations(registry, nxt, repo_root=root) == []
-    # the faces that would hit the staleness limit (left out of the
-    # r09 window AND oldest green row) must all be in, and the core
-    # never leaves
+    # the faces whose freshness deadline binds first (left out of the
+    # landed window AND earliest last_green + limit) must all be in,
+    # and the core never leaves
     last = wp.last_driver_round(root)
     left_out = set(registry) - set(q._WINDOW_PRIORITY)
-    oldest = min(last.get(n, 0) for n in left_out)
-    must_head = {n for n in left_out if last.get(n, 0) == oldest}
+    first_deadline = min(
+        last.get(n, 0) + wp.staleness_limit(n) for n in left_out
+    )
+    must_head = {
+        n for n in left_out
+        if last.get(n, 0) + wp.staleness_limit(n) == first_deadline
+    }
     assert must_head <= set(nxt)
     assert set(q.REGRESSION_CORE) <= set(nxt)
 
@@ -116,10 +124,76 @@ def test_failed_face_reenters_next_window(tmp_path):
 
     victim = next(n for n in q._WINDOW_PRIORITY
                   if n not in q.REGRESSION_CORE)
-    root = _fake_history(tmp_path, extra_round=9, failed=(victim,))
+    root = _fake_history(tmp_path, land_next=True, failed=(victim,))
     nxt = wp.computed_window(list(q.REGISTRY), q.REGRESSION_CORE,
                              repo_root=root)
     assert victim in nxt
+
+
+def test_failed_face_reentry_is_unconditional(tmp_path):
+    """VERDICT r09 item 2: the re-entry guarantee must hold by POLICY,
+    not by window slack — a failed face sorts with deadline -1, ahead
+    of every checked face.  Prove it with zero slack: a window sized
+    core+1 must still admit the failed face."""
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    victim = next(n for n in q._WINDOW_PRIORITY
+                  if n not in q.REGRESSION_CORE)
+    root = _fake_history(tmp_path, land_next=True, failed=(victim,))
+    assert victim in wp.latest_failed(root)
+    tight = wp.computed_window(list(q.REGISTRY), q.REGRESSION_CORE,
+                               size=len(q.REGRESSION_CORE) + 1,
+                               repo_root=root)
+    assert tight == [*[c for c in q.REGRESSION_CORE if c in q.REGISTRY],
+                     victim]
+
+
+def test_duplicate_round_spellings_union(tmp_path):
+    """The r9/r09 collision, hardened: two files parsing to the same
+    round number must UNION their rows (green-set union; a face is
+    'failed in latest' only if no duplicate file recorded it green) —
+    never last-writer-wins."""
+    import json
+
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    rows_a = {"face_a": _green_row(), "face_b": _green_row()}
+    rows_a["face_b"]["hash_match"] = False
+    rows_b = {"face_b": _green_row(), "face_c": _green_row()}
+    rows_b["face_c"]["hash_match"] = False
+    with open(tmp_path / "CORRECTNESS_r7.json", "w") as f:
+        json.dump(rows_a, f)
+    with open(tmp_path / "CORRECTNESS_r07.json", "w") as f:
+        json.dump(rows_b, f)
+    rounds = wp.correctness_rounds(str(tmp_path))
+    assert set(rounds) == {7}
+    # face_b failed in one spelling but is green in the other -> green
+    assert rounds[7] == {"face_a", "face_b"}
+    assert wp.latest_failed(str(tmp_path)) == {"face_c"}
+    assert wp.last_driver_round(str(tmp_path)) == {"face_a": 7, "face_b": 7}
+
+
+def test_window_capacity_not_saturating():
+    """VERDICT r09 item 3: the per-class staleness map must keep the
+    window schedulable as the registry grows.  Steady-state load is
+    sum over non-core faces of 1/(limit+1) window slots per round; at
+    the observed +5 faces/round growth (worst case all at the tight
+    MAX_STALENESS limit) the projected saturation round must be >= 15."""
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    slots = wp.WINDOW_SIZE - len(q.REGRESSION_CORE)
+    load = sum(
+        1.0 / (wp.staleness_limit(n) + 1)
+        for n in q.REGISTRY if n not in q.REGRESSION_CORE
+    )
+    assert load <= slots, f"already saturated: load {load:.1f} > {slots}"
+    growth_per_round = 5.0 / (wp.MAX_STALENESS + 1)
+    current_round = max(wp.correctness_rounds(), default=0) + 1
+    saturation_round = current_round + (slots - load) / growth_per_round
+    assert saturation_round >= 15, (
+        f"window saturates at round {saturation_round:.1f} "
+        f"(load {load:.1f}/{slots} slots, +{growth_per_round:.2f}/round)"
+    )
 
 
 def test_every_face_has_some_driver_row_or_is_in_window():

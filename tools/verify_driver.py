@@ -51,11 +51,14 @@ def print_age_table():
     print(wp.format_age_table(registry, window))
     violations = wp.policy_violations(registry, window)
     if violations:
-        print(f"\nPOLICY VIOLATIONS (staleness > {wp.MAX_STALENESS}):")
+        print("\nPOLICY VIOLATIONS (staleness > per-class limit):")
         for name, lr, stale in violations:
             print(f" - {name}: last driver row r{lr}, would reach age {stale}")
     else:
-        print(f"\npolicy ok: max post-window staleness <= {wp.MAX_STALENESS}")
+        print(
+            "policy ok: every face within its class staleness limit "
+            f"({wp.MAX_STALENESS}; q-faces {wp.Q_FACE_STALENESS})"
+        )
     return violations
 
 
