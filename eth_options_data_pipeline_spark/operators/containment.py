@@ -32,24 +32,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def shingle_expr(text_col: str = "text", n: int = 3):
+    """The word n-gram shingle array as a Column expression — the ONE
+    definition of shingling, shared by shingle_table and
+    containment_pairs (and mirrored by the dx58 SQL oracle), so the
+    engine and oracle can never silently diverge (ADVICE r09)."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), " "),
+                     lambda w: w != F.lit(""))
+    k = F.size(words) - F.lit(n - 1)
+    return F.when(
+        k >= F.lit(1),
+        F.transform(F.sequence(F.lit(0), k - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(words, i + F.lit(1), n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3,
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct (doc_id, shingle) word n-grams. Documents with fewer
     than ``n`` words contribute no shingles (and therefore never
     appear in containment output) — the statistic is undefined for
     them. Pure per-row array expressions until the final distinct."""
-    words = F.filter(F.split(F.trim(F.col(text_col)), " "),
-                     lambda w: w != F.lit(""))
-    k = F.size(words) - F.lit(n - 1)
-    shingles = F.when(
-        k >= F.lit(1),
-        F.transform(F.sequence(F.lit(0), k - F.lit(1)),
-                    lambda i: F.array_join(
-                        F.slice(words, i + F.lit(1), n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
     return (docs.where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"),
-                    F.explode(shingles).alias("shingle"))
+                    F.explode(shingle_expr(text_col, n)).alias("shingle"))
             .distinct())
 
 
@@ -68,18 +75,13 @@ def containment_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     plain size predicate on the bucket array, and candidate pairs are
     an IN-ROW expansion of the bounded array (<= cap^2 per bucket) —
     the giant-bucket-cap pattern of the LSH miner (queries/fuzzy.py),
-    with no self-join and no per-shingle window sort."""
-    words = F.filter(F.split(F.trim(F.col(text_col)), " "),
-                     lambda w: w != F.lit(""))
-    k = F.size(words) - F.lit(n - 1)
-    shingles = F.when(
-        k >= F.lit(1),
-        F.transform(F.sequence(F.lit(0), k - F.lit(1)),
-                    lambda i: F.array_join(
-                        F.slice(words, i + F.lit(1), n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    with no self-join and no per-shingle window sort.  Shingling is
+    shingle_expr — exploded WITHOUT shingle_table's distinct (the
+    collect_set dedups per-doc multiplicity inside the same shuffle,
+    saving the extra exchange)."""
     sh = (docs.where(F.col(text_col).isNotNull())
-          .select(F.col("doc_id"), F.explode(shingles).alias("shingle")))
+          .select(F.col("doc_id"),
+                  F.explode(shingle_expr(text_col, n)).alias("shingle")))
     buckets = (sh.groupBy("shingle")
                .agg(F.collect_set("doc_id").alias("ds"))
                .where(F.size("ds") <= df_cap)

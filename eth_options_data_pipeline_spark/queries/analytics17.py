@@ -488,7 +488,12 @@ def qx51_textfmt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = F.concat(F.col("text"), F.lit(' "q,\n\\'),
                    F.col("doc_id").cast("string"))
     staged = docs.select("doc_id", aug.alias("text_aug"))
-    root = tempfile.mkdtemp(prefix="textfmt_rt_")
+    # One per-session scratch tree reused across invocations (qx46/
+    # qx47 pattern — overwritten, never accumulated; VERDICT r09 #4).
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"textfmt_rt_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)))
     jdir, cdir = os.path.join(root, "j"), os.path.join(root, "c")
     staged.write.mode("overwrite").json(jdir)
     # RFC-4180 quoting on BOTH sides (Spark's default escape is a

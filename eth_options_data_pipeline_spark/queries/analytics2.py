@@ -238,7 +238,11 @@ def q29_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     append sink and partition-pruned read-back path end-to-end inside
     the oracle harness."""
     li = t(spark, sf_dir, "lineitem").where(F.col("l_linestatus") == "F")
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_rt_"), "t")
+    # Per-session scratch, overwritten on re-run (qx46/qx47 pattern).
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sink_rt_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)), "t")
     li.select("l_returnflag", "l_quantity").write.mode("overwrite") \
         .partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)

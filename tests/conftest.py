@@ -26,19 +26,33 @@ def pytest_configure(config):
     if os.path.isdir(_SHM) and config.option.basetemp is None:
         import tempfile
 
-        base = os.path.join(_SHM, "spark-graft-pytest")
+        # Per-run component (PID) so two concurrent pytest runs on the
+        # same box never clobber each other's basetemp / Spark local
+        # dirs; pytest_unconfigure removes the tree so per-face scratch
+        # (qx46/qx47/qx51-style) can't accumulate in RAM (ADVICE r09).
+        base = os.path.join(_SHM, f"spark-graft-pytest-{os.getpid()}")
         config.option.basetemp = os.path.join(base, "tmp_path")
         scratch = os.path.join(base, "scratch")
         os.makedirs(scratch, exist_ok=True)
         os.environ["TMPDIR"] = scratch
         tempfile.tempdir = scratch
+        config._spark_graft_scratch_root = base
+
+
+def pytest_unconfigure(config):
+    root = getattr(config, "_spark_graft_scratch_root", None)
+    if root and os.path.isdir(root):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
 def spark():
     extra = {}
     if os.path.isdir(_SHM):
-        local_dir = os.path.join(_SHM, "spark-graft-pytest", "spark-local")
+        local_dir = os.path.join(
+            _SHM, f"spark-graft-pytest-{os.getpid()}", "spark-local")
         os.makedirs(local_dir, exist_ok=True)
         extra["spark.local.dir"] = local_dir
     # local[16]: plan shapes depend on shuffle_partitions /

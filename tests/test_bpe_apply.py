@@ -93,7 +93,8 @@ def test_property_replica_equivalence_random_inputs(spark):
 
     cases = []
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60, deadline=None,
+              derandomize=True)
     @given(texts, merge_tables())
     def collect(text, merges):
         cases.append((text, tuple(merges)))

@@ -53,7 +53,8 @@ def test_matches_union_find_on_random_graphs(spark):
     cases = []
 
     @settings(max_examples=10, deadline=None,
-              suppress_health_check=list(HealthCheck))
+              suppress_health_check=list(HealthCheck),
+                        derandomize=True)
     @given(edges=EDGES)
     def collect(edges):
         cases.append(edges)

@@ -41,8 +41,10 @@ def _py_pairs(texts: dict, n: int = N, cap: int = CAP, min_c: float = MIN_C):
 
 
 def test_matches_bruteforce_on_corpus_sample(spark, sf_small):
+    # sort before limit: LIMIT without ordering may pick different
+    # rows across the two jobs below (collect vs containment_pairs)
     docs = (spark.read.parquet(f"{sf_small}/documents.parquet")
-            .select("doc_id", "text").limit(120))
+            .select("doc_id", "text").orderBy("doc_id").limit(120))
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     got = {tuple(r) for r in
            containment_pairs(docs, df_cap=CAP,

@@ -59,7 +59,8 @@ def _hypothesis_date_sets(n):
     cases = []
 
     @settings(max_examples=n, deadline=None,
-              suppress_health_check=list(HealthCheck))
+              suppress_health_check=list(HealthCheck),
+                        derandomize=True)
     @given(dates=DATES)
     def collect(dates):
         cases.append(dates)

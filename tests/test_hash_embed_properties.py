@@ -40,7 +40,8 @@ def test_hash_embed_matches_reference(spark):
     texts_acc = []
 
     @settings(max_examples=15, deadline=None,
-              suppress_health_check=list(HealthCheck))
+              suppress_health_check=list(HealthCheck),
+                        derandomize=True)
     @given(texts=st.lists(TEXT, min_size=1, max_size=8))
     def collect(texts):
         texts_acc.extend(texts)
@@ -75,7 +76,8 @@ def test_keep_first_batched_matches_sequential(spark):
     cases = []
 
     @settings(max_examples=10, deadline=None,
-              suppress_health_check=list(HealthCheck))
+              suppress_health_check=list(HealthCheck),
+                        derandomize=True)
     @given(arrivals=ARRIVALS)
     def collect(arrivals):
         cases.append(list(arrivals))

@@ -32,7 +32,8 @@ def test_asof_matches_bruteforce(spark):
     cases = []
 
     @settings(max_examples=12, deadline=None,
-              suppress_health_check=list(HealthCheck))
+              suppress_health_check=list(HealthCheck),
+                        derandomize=True)
     @given(probes=PROBES, builds=BUILDS)
     def collect(probes, builds):
         cases.append((probes, builds))
@@ -79,7 +80,8 @@ def test_range_join_matches_bruteforce(spark):
     cases = []
 
     @settings(max_examples=12, deadline=None,
-              suppress_health_check=list(HealthCheck))
+              suppress_health_check=list(HealthCheck),
+                        derandomize=True)
     @given(points=st.lists(TS, min_size=1, max_size=12), intervals=INTERVALS)
     def collect(points, intervals):
         cases.append((points, intervals))
