@@ -95,12 +95,11 @@ def main() -> None:
         "construction_heavy": sorted(CONSTRUCTION_HEAVY & set(timings)),
         "notes": {
             "dx10_neardup_pairs": (
-                "local medians drifted 3.29 (r06) -> 3.74 (r07) -> 3.59 "
-                "(r08) s with NO code change; per-face diffs track the "
-                "uniform ~8% corpus drift of shared-host load (r08 run "
-                "started at load avg 4.8), not plan regressions. Watch "
-                "only if it exceeds 4.0 s on a quiet box (VERDICT r08 "
-                "item 7)."
+                "r06-r09 local-median history 3.29/3.74/3.59/3.35 s "
+                "with no code change — tracked shared-host load, not "
+                "plan regressions; the drift watch CLOSED in r09 "
+                "(VERDICT r09). Reopen only if a quiet-box median "
+                "exceeds 4.0 s."
             ),
         },
         "sf": sf_from_dir(sf_dir),

@@ -82,6 +82,19 @@ def containment_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     sh = (docs.where(F.col(text_col).isNotNull())
           .select(F.col("doc_id"),
                   F.explode(shingle_expr(text_col, n)).alias("shingle")))
+    return pairs_from_shingles(sh, min_containment=min_containment,
+                               df_cap=df_cap)
+
+
+def pairs_from_shingles(sh: DataFrame, min_containment: float = 0.5,
+                        df_cap: int = 20) -> DataFrame:
+    """containment_pairs from an already-materialized (doc_id,
+    shingle) relation — the serve path of the streaming screen
+    (streaming/containment_stream.py), which maintains the shingle
+    table incrementally and computes pairs from the persisted index.
+    Per-doc shingle multiplicity need not be pre-deduped (collect_set
+    dedups inside the bucket shuffle). Same plan from here on as
+    containment_pairs."""
     buckets = (sh.groupBy("shingle")
                .agg(F.collect_set("doc_id").alias("ds"))
                .where(F.size("ds") <= df_cap)
