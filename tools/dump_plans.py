@@ -80,6 +80,12 @@ HEADLINERS = {
     "dx58_containment": "near-containment: df-capped inverted index bounds every "
                         "shared-shingle bucket, so the self-join never exceeds "
                         "cap^2 pair rows per shingle at any corpus size",
+    "dx60_minhash_error": "sketch calibration inherits the dx07 posture: candidates "
+                          "from the band-key equi-join only; the calibration aggregate "
+                          "is k+1 groups of integer micro-sums",
+    "dx61_salted_skew_join": "join-side salting: dim replicated by an in-row explode, "
+                             "fact salt from row-local hash, ShuffledHashJoin on "
+                             "(key, salt) — a hot key spreads across SALT_N reducers",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
