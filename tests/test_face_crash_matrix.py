@@ -171,3 +171,68 @@ def test_sx08_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
     assert _rows(analytics16.sx08_cdc_apply_stream(spark, sf)) == want
     shutil.rmtree(os.path.join(_scratch(spark, "cdc_face", sf), "_done"))
     assert _rows(analytics16.sx08_cdc_apply_stream(spark, sf)) == want
+
+
+# ---- round-10 faces: sx09 (containment screen), sx10 (quantiles) ----
+
+def _sx09_want(spark, sf_dir):
+    from eth_options_data_pipeline_spark.operators.containment import (
+        containment_pairs,
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _rows(containment_pairs(docs))
+
+
+def test_sx09_mid_stream_crash_resumes_from_checkpoint(
+        spark, sf_small, tmp_path, monkeypatch):
+    from eth_options_data_pipeline_spark.queries import analytics18
+    from eth_options_data_pipeline_spark.streaming.containment_stream import (
+        StreamingContainmentScreen,
+    )
+    sf = _linked_sf(tmp_path, sf_small, "sx09streamcrash")
+    real = StreamingContainmentScreen._process_batch
+
+    def crashing(self, batch_df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected crash at batch 1")
+        real(self, batch_df, batch_id)
+
+    monkeypatch.setattr(StreamingContainmentScreen, "_process_batch", crashing)
+    with pytest.raises(Exception):
+        analytics18.sx09_containment_stream(spark, sf)
+    monkeypatch.setattr(StreamingContainmentScreen, "_process_batch", real)
+    got = _rows(analytics18.sx09_containment_stream(spark, sf))
+    assert got == _sx09_want(spark, sf)
+
+
+def test_sx09_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
+    from eth_options_data_pipeline_spark.queries import analytics18
+    sf = _linked_sf(tmp_path, sf_small, "sx09donecrash")
+    want = _sx09_want(spark, sf)
+    assert _rows(analytics18.sx09_containment_stream(spark, sf)) == want
+    shutil.rmtree(os.path.join(_scratch(spark, "contstream_face", sf), "_done"))
+    assert _rows(analytics18.sx09_containment_stream(spark, sf)) == want
+
+
+def test_sx10_partial_staging_discarded_and_rebuilt(spark, sf_small, tmp_path):
+    from eth_options_data_pipeline_spark.queries import analytics18
+    sf = _linked_sf(tmp_path, sf_small, "sx10stagecrash")
+    scratch = _scratch(spark, "squant_face", sf)
+    staging = os.path.join(scratch, "in_staging")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-junk.parquet"), "w") as f:
+        f.write("torn half-written slice")
+    first = _rows(analytics18.sx10_stream_quantiles(spark, sf))
+    assert first and not os.path.isdir(staging)
+    # served rows are internally consistent: cum <= tot, thresholds met
+    for (permille, q, bucket, cum, tot, lo, mn, mx) in first:
+        assert cum <= tot and mn <= mx
+        assert cum * 1000 >= permille * tot  # cum >= ceil(permille*tot/1000)
+
+
+def test_sx10_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
+    from eth_options_data_pipeline_spark.queries import analytics18
+    sf = _linked_sf(tmp_path, sf_small, "sx10donecrash")
+    want = _rows(analytics18.sx10_stream_quantiles(spark, sf))
+    shutil.rmtree(os.path.join(_scratch(spark, "squant_face", sf), "_done"))
+    assert _rows(analytics18.sx10_stream_quantiles(spark, sf)) == want
