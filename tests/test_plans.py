@@ -449,3 +449,11 @@ def test_stream_quantile_serving_is_tiny_and_window_free(spark, sf_small):
     p = plan(df)
     assert global_window_lines(p) == []
     assert "o_totalprice" not in p  # serves from state, never raw history
+
+
+def test_orc_roundtrip_read_partition_prunes(spark, sf_small):
+    """qx52: the lang filter must prune to the lang=en directory at
+    the ORC scan (PartitionFilters), not post-filter all partitions."""
+    p = plan(REGISTRY["qx52_orc_roundtrip"].fn(spark, sf_small))
+    scan = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert scan and "lang" in scan[0], p
