@@ -23,12 +23,22 @@ def optimized(df) -> str:
 
 
 def global_window_lines(p: str) -> list[str]:
-    """Window operator lines with NO partition spec (two bracket
-    groups instead of three) — the single-partition shape the
-    WindowExec warning is about."""
-    return [ln.strip() for ln in p.splitlines()
-            if ln.strip("+-: *").startswith("Window [")
-            and ln.count("], [") == 1]
+    """Window operator lines with NO partition spec — the
+    single-partition shape the WindowExec warning is about. A Window
+    line prints ``[exprs], [partitionSpec], [orderSpec]`` but omits
+    empty specs, so two bracket groups can be EITHER global-ordered
+    (second group is an order spec — always carries ASC/DESC) or
+    partitioned-unordered (second group is the partition columns, no
+    sort direction); only the former is a global window."""
+    out = []
+    for ln in p.splitlines():
+        if not ln.strip("+-: *").startswith("Window ["):
+            continue
+        if ln.count("], [") == 1:
+            tail = ln.rsplit("], [", 1)[1]
+            if "ASC" in tail or "DESC" in tail:
+                out.append(ln.strip())
+    return out
 
 def test_filter_and_projection_pushdown(spark, sf_small):
     df = REGISTRY["q02_band_filter_project"].fn(spark, sf_small)
@@ -457,3 +467,36 @@ def test_orc_roundtrip_read_partition_prunes(spark, sf_small):
     p = plan(REGISTRY["qx52_orc_roundtrip"].fn(spark, sf_small))
     scan = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert scan and "lang" in scan[0], p
+
+
+# Faces whose plans legitimately contain a partition-less (global)
+# Window — each over a construction-BOUNDED input, never corpus rows:
+#   q08/q09        expiry/Friday ladder rank — a handful of candidate
+#                  dates survives the aggregation below the window
+#   dx16/cx01/cx04 the |shuffle-partitions|-row offsets table of the
+#                  distributed prefix sum (the corpus side is
+#                  partitioned by _pid; asserted separately above)
+#   dx45/dx46      rank over the <= pool-size rows a
+#                  TakeOrderedAndProject already bounded
+#   dx55/dx57      rank over the top-k pair candidates / the 1-row
+#                  per-round merge pick
+_BOUNDED_GLOBAL_WINDOW_FACES = {
+    "q08_expiry_ladder", "q09_friday_ladder",
+    "dx16_select_to_budget", "cx01_corpus_pipeline",
+    "cx04_token_budget_pack",
+    "dx45_bm25_topk", "dx46_hybrid_rrf",
+    "dx55_bpe_pairs", "dx57_bpe_train",
+}
+
+
+def test_no_unbounded_global_window_anywhere(all_plans):
+    """Registry-wide tripwire (the cartesian sweep's Window twin): a
+    partition-less ordered Window outside the bounded allowlist means
+    some face funnels corpus-scale rows through one task — exactly
+    the shape the WindowExec warning is about. New faces must either
+    partition their windows or justify an allowlist entry here."""
+    for name, p in all_plans.items():
+        if name in _BOUNDED_GLOBAL_WINDOW_FACES:
+            continue
+        g = global_window_lines(p)
+        assert not g, f"{name} plans a global window:\n{g[0]}"
