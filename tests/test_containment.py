@@ -84,3 +84,20 @@ def test_shingle_table_is_distinct_per_doc(spark):
     got = sorted(r["shingle"] for r in shingle_table(docs).collect())
     # 7 positions but only 3 distinct shingles
     assert got == ["a b c", "b c a", "c a b"]
+
+
+def test_pairs_from_shingles_equals_explode_path(spark, sf_small):
+    """The streaming serve path (pairs_from_shingles over a
+    materialized, pre-deduped shingle relation) must equal the batch
+    explode path bit for bit — guards the r10 refactor that split
+    containment_pairs in two."""
+    from eth_options_data_pipeline_spark.operators.containment import (
+        pairs_from_shingles,
+    )
+    docs = (spark.read.parquet(f"{sf_small}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(150))
+    via_table = pairs_from_shingles(shingle_table(docs),
+                                    min_containment=MIN_C, df_cap=CAP)
+    direct = containment_pairs(docs, min_containment=MIN_C, df_cap=CAP)
+    assert sorted(map(tuple, via_table.collect())) == \
+        sorted(map(tuple, direct.collect()))

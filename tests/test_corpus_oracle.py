@@ -75,6 +75,12 @@ def _driver_scale_names():
     from eth_options_data_pipeline_spark.queries import window_policy as wp
     if os.environ.get("RUN_SF001_SWEEP"):
         return ORACLE_QUERIES
+    # Deliberately the GLOBAL MAX_STALENESS, not the per-class limit:
+    # the plain-relational q-faces' demotion to staleness 4 (VERDICT
+    # r09 item 3) is justified BY this sweep — once any face is 2+
+    # rounds past its driver row it earns the local sf0.01 check,
+    # so a q-face waiting out rounds 2..4 stays driver-scale-covered
+    # the whole time.
     at_limit = {
         name
         for name, _lr, stale, _inw in wp.age_table(
