@@ -73,18 +73,8 @@ def test_stream_equals_batch_with_redelivery_and_restart(
     assert _rows(screen.screen(spark)) == want
 
 
-def test_face_matches_its_oracle_semantics(spark, sf_small):
-    """The sx09 face's served result equals the dx58 batch face on the
-    same sf_dir (the driver proves this vs DuckDB; this pins the
-    equality engine-side at sf0.001 including the face's own slice +
-    re-delivery arrival pattern and scratch guards)."""
-    from eth_options_data_pipeline_spark.queries.analytics17 import (
-        dx58_containment,
-    )
-    from eth_options_data_pipeline_spark.queries.analytics18 import (
-        sx09_containment_stream,
-    )
-
-    got = _rows(sx09_containment_stream(spark, sf_small))
-    assert got == _rows(dx58_containment(spark, sf_small))
-    assert got
+# (sx09 == dx58 face equality is NOT tested directly here: the
+# sf0.001 oracle sweep checks both faces against the SAME SQL string,
+# which implies it transitively — a direct test would just re-run
+# both faces a second time. The module-level test above covers the
+# parts the sweep can't: restart, re-delivery, index shape.)
