@@ -430,41 +430,40 @@ def test_sx05_construction_is_single_barrier(spark, sf_small):
     assert n <= 4, f"sx05 construction ran {n} jobs (single-barrier regression?)"
 
 
-def test_salted_join_is_shuffled_and_salted(spark, sf_small):
+def test_salted_join_is_shuffled_and_salted(all_plans):
     """dx61: the fact side must NOT be broadcast (the whole point is
     spreading a hot key across reducers), the join must carry the salt
     in its keys, and the dim replication must be an in-row explode
     (posexplode/generate), not a join."""
-    p = plan(REGISTRY["dx61_salted_skew_join"].fn(spark, sf_small))
+    p = all_plans["dx61_salted_skew_join"]
     assert "ShuffledHashJoin" in p, p
     assert "salt" in p
     assert "Generate explode" in p
 
 
-def test_minhash_error_candidate_join_on_band_keys(spark, sf_small):
+def test_minhash_error_candidate_join_on_band_keys(all_plans):
     """dx60 inherits dx07's scale posture: candidates come from the
     band-key equi-join (no cartesian/nested-loop over documents)."""
-    p = plan(REGISTRY["dx60_minhash_error"].fn(spark, sf_small))
+    p = all_plans["dx60_minhash_error"]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "band_key" in p
 
 
-def test_stream_quantile_serving_is_tiny_and_window_free(spark, sf_small):
+def test_stream_quantile_serving_is_tiny_and_window_free(all_plans):
     """sx10's serve path ranks from the B-bucket histogram: no global
     Window over history, no sort of the orders table — the only
     non-equi join is the triangular bucket<=bucket self-join over <=12
     rows."""
-    df = REGISTRY["sx10_stream_quantiles"].fn(spark, sf_small)
-    p = plan(df)
+    p = all_plans["sx10_stream_quantiles"]
     assert global_window_lines(p) == []
     assert "o_totalprice" not in p  # serves from state, never raw history
 
 
-def test_orc_roundtrip_read_partition_prunes(spark, sf_small):
+def test_orc_roundtrip_read_partition_prunes(all_plans):
     """qx52: the lang filter must prune to the lang=en directory at
     the ORC scan (PartitionFilters), not post-filter all partitions."""
-    p = plan(REGISTRY["qx52_orc_roundtrip"].fn(spark, sf_small))
+    p = all_plans["qx52_orc_roundtrip"]
     scan = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert scan and "lang" in scan[0], p
 
