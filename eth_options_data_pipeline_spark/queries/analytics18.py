@@ -21,7 +21,7 @@ import os
 import tempfile
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.queries.analytics16 import _stage_slices
@@ -407,3 +407,178 @@ def sx10_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("bucket") * _SX10_WIDTH).cast("long").alias("bucket_lo"),
                 F.col("mn").alias("bucket_min_cents"),
                 F.col("mx").alias("bucket_max_cents")))
+
+
+# --------------------------- product-quantization ANN (vx06)
+#
+# Completes the similarity-search family (brute vx01, hyperplane-LSH
+# vx01/vx05, IVF vx04) with the memory-bound scale path: product
+# quantization. Each 64-d vector is split into M=4 subspaces of 16
+# dims; each subspace gets a k=8 codebook (seed vectors + one Lloyd
+# refinement, the vx04 recipe — means rounded to 9 dp on both engines
+# so assignment is bit-stable); vectors compress to M 1-byte codes;
+# queries scan the COMPRESSED corpus via an asymmetric-distance
+# (ADC) lookup table, then exact-rerank the top candidates. Distances
+# accumulate as integer nano-units so the M-way sum is
+# order-independent and engine-exact. At 100 TB the codebooks are
+# M*k rows broadcast, the code table is M bytes/vector (256x smaller
+# than the embeddings), the ADC join touches only codes, and the
+# exact rerank reads just top-N embeddings per query.
+
+_PQ_M = 4            # subspaces
+_PQ_DSUB = 16        # dims per subspace (4 x 16 = 64)
+_PQ_K = 8            # codewords per subspace (seed vec_ids 0..7)
+_PQ_NQ = 3           # queries: vec_id < 3
+_PQ_POOL = 10        # ADC candidate pool per query
+_PQ_TOPK = 3         # final exact-reranked neighbors
+
+
+def _vx06_sql() -> str:
+    from eth_options_data_pipeline_spark.operators import vectors as vx
+
+    def l2sq(a, b):
+        d = f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+        return f"list_dot_product({d}, {d})"
+
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (
+      SELECT vec_id, m,
+             e[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+      FROM emb, (SELECT unnest(range({_PQ_M})) AS m)
+    ),
+    seeds AS (
+      SELECT m, vec_id AS code, sv AS c FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    a1 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, k.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2sq('s.sv', 'k.c')}, k.code) AS _rk
+        FROM sub s JOIN seeds k ON k.m = s.m)
+      WHERE _rk = 1
+    ),
+    refined AS (
+      SELECT m, code, list(mu ORDER BY pos) AS c
+      FROM (
+        SELECT a1.m, a1.code, pos, round(avg(v), 9) AS mu
+        FROM a1
+        JOIN sub ON sub.vec_id = a1.vec_id AND sub.m = a1.m,
+             LATERAL (SELECT unnest(sub.sv) AS v,
+                             generate_subscripts(sub.sv, 1) AS pos) u
+        GROUP BY a1.m, a1.code, pos)
+      GROUP BY m, code
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, k.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2sq('s.sv', 'k.c')}, k.code) AS _rk
+        FROM sub s JOIN refined k ON k.m = s.m)
+      WHERE _rk = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, k.m, k.code,
+             CAST(round({l2sq('q.sv', 'k.c')} * 1000000000) AS BIGINT)
+               AS dsq_nano
+      FROM sub q JOIN refined k ON k.m = q.m
+      WHERE q.vec_id < {_PQ_NQ}
+    ),
+    adc AS (
+      SELECT l.q_id, c.vec_id AS cand_id,
+             CAST(sum(l.dsq_nano) AS BIGINT) AS adc_nano
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      WHERE c.vec_id <> l.q_id
+      GROUP BY l.q_id, c.vec_id
+    ),
+    pool AS (
+      SELECT q_id, cand_id, adc_nano FROM (
+        SELECT q_id, cand_id, adc_nano,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_nano, cand_id) AS _rk
+        FROM adc)
+      WHERE _rk <= {_PQ_POOL}
+    )
+    SELECT q_id, cand_id,
+           round(adc_nano / 1000000000.0, 6) AS approx_dsq,
+           cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT p.q_id, p.cand_id, p.adc_nano,
+             round({vx.cosine_sql('ce.e', 'qe.e')}, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.q_id
+               ORDER BY {vx.cosine_sql('ce.e', 'qe.e')} DESC, p.cand_id) AS rk
+      FROM pool p
+      JOIN emb qe ON qe.vec_id = p.q_id
+      JOIN emb ce ON ce.vec_id = p.cand_id)
+    WHERE rk <= {_PQ_TOPK}
+    """
+
+
+@query("vx06_pq_adc", sql=_vx06_sql())
+def vx06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scan + exact
+    rerank. Codebooks: per subspace, the first k vectors seed one
+    rounded-Lloyd refinement (vx04 recipe). Encoding and query LUT
+    are broadcast joins against the M*k-row codebook; the ADC scan
+    joins the compressed code table (M rows/vector) to the LUT and
+    sums integer nano-distances (order-independent); only the
+    top-POOL candidates per query touch raw embeddings again."""
+    from eth_options_data_pipeline_spark.operators import vectors as vx
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    sub = emb.select("vec_id", "e", ms).select(
+        "vec_id", "m",
+        F.slice(F.col("e"), F.col("m") * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"))
+
+    def l2sq(a, b):
+        d = F.zip_with(a, b, lambda x, y: x - y)
+        return vx.dot(d, d)
+
+    def assign(svdf, cb):
+        j = svdf.join(F.broadcast(cb), "m").withColumn(
+            "_d", l2sq(F.col("sv"), F.col("c")))
+        key = F.struct(F.col("_d"), F.col("code"))
+        return (j.groupBy("vec_id", "m")
+                .agg(F.min_by(F.col("code"), key).alias("code")))
+
+    seeds = (sub.where(F.col("vec_id") < _PQ_K)
+             .select("m", F.col("vec_id").alias("code"),
+                     F.col("sv").alias("c")))
+    a1 = assign(sub, seeds)
+    refined = (a1.join(sub, ["vec_id", "m"])
+               .select("m", "code", F.posexplode("sv").alias("pos", "v"))
+               .groupBy("m", "code", "pos")
+               .agg(F.round(F.avg("v"), 9).alias("mu"))
+               .groupBy("m", "code")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("pos", "mu"))).alias("_pm"))
+               .select("m", "code",
+                       F.transform("_pm", lambda s: s["mu"]).alias("c")))
+    codes = assign(sub, refined)
+    lut = (sub.where(F.col("vec_id") < _PQ_NQ)
+           .select(F.col("vec_id").alias("q_id"), "m", "sv")
+           .join(F.broadcast(refined), "m")
+           .select("q_id", "m", "code",
+                   F.round(l2sq(F.col("sv"), F.col("c")) * 1e9)
+                    .cast("long").alias("dsq_nano")))
+    adc = (codes.join(F.broadcast(lut), ["m", "code"])
+           .where(F.col("vec_id") != F.col("q_id"))
+           .groupBy("q_id", F.col("vec_id").alias("cand_id"))
+           .agg(F.sum("dsq_nano").cast("long").alias("adc_nano")))
+    w = Window.partitionBy("q_id").orderBy("adc_nano", "cand_id")
+    pool = (adc.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _PQ_POOL).drop("_rk"))
+    qe = emb.select(F.col("vec_id").alias("q_id"), F.col("e").alias("q_e"))
+    ce = emb.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("c_e"))
+    rer = (pool.join(F.broadcast(qe), "q_id").join(ce, "cand_id")
+           .withColumn("_cos", vx.cosine(F.col("c_e"), F.col("q_e"))))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), "cand_id")
+    return (rer.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= _PQ_TOPK)
+            .select("q_id", "cand_id",
+                    F.round(F.col("adc_nano") / 1e9, 6).alias("approx_dsq"),
+                    F.round(F.col("_cos"), 6).alias("cos_sim"),
+                    F.col("rk").cast("long").alias("rk")))

@@ -499,3 +499,15 @@ def test_no_unbounded_global_window_anywhere(all_plans):
             continue
         g = global_window_lines(p)
         assert not g, f"{name} plans a global window:\n{g[0]}"
+
+
+def test_pq_adc_scan_touches_codes_not_embeddings(all_plans):
+    """vx06: the ADC candidate scan joins the code table to the
+    broadcast LUT — codebooks and LUT ride BroadcastExchange, the
+    encode/assign joins are equi-joins on the subspace id (no
+    cartesian against the corpus), and raw embeddings re-enter only
+    for the bounded rerank pool."""
+    p = all_plans["vx06_pq_adc"]
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "dsq_nano" in p
