@@ -1,0 +1,165 @@
+"""Round-10 late faces: Bloom-filter contamination pre-screen (dx62)
+and per-group closed-form OLS (dx63).
+
+dx62 is the scale-path variant of dx21's exact contamination screen:
+when the reference set is too large to broadcast as strings, broadcast
+a fixed-size Bloom bitset instead, prune the corpus map-side, and run
+the exact confirm join on the surviving slice. The filter has no
+false negatives, so the served statistic is EXACTLY the plain
+intersection — which is what the DuckDB oracle computes, with no bloom
+at all. The filter's entire effect is on the plan; its absence from
+the oracle is the invariant worth a driver row.
+
+dx63 fits one tiny trend model per group in a single pass: the five
+OLS sufficient statistics are exact int64 sums (values scaled to
+fixed-point BEFORE summing), map-side combinable, and the closed-form
+slope/intercept/r² runs on the grouped scalars with an expression tree
+mirrored verbatim in the oracle.
+
+No counterpart in the reference (row-oriented options pipeline,
+main.py:43-351); extends the corpus-curation (SURVEY §2 extensions)
+family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators import text as tx
+from eth_options_data_pipeline_spark.operators.bloom import (
+    bloom_build, bloom_prune, sized_bits,
+)
+from eth_options_data_pipeline_spark.operators.regression import group_ols
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+# ------------------------------------- Bloom contamination pre-screen
+
+_BLOOM_N = 5           # word-gram order
+_BLOOM_BENCH_MOD = 11  # bench slice = doc_id % 11 == 0 (disjoint stat
+                       # from dx21's % 13 split)
+_BLOOM_K = 3           # hash probes per member
+
+_SH5 = tx.shingles_sql("text", n=_BLOOM_N)
+
+_BLOOM_SQL = f"""
+    WITH train AS (
+      SELECT doc_id, {_SH5} AS sh FROM documents
+      WHERE doc_id % {_BLOOM_BENCH_MOD} <> 0
+    ),
+    bench AS (
+      SELECT {_SH5} AS sh FROM documents
+      WHERE doc_id % {_BLOOM_BENCH_MOD} = 0
+    ),
+    bg AS (SELECT DISTINCT unnest(sh) AS gram FROM bench),
+    tg AS (SELECT doc_id, unnest(sh) AS gram FROM train),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM tg JOIN bg USING (gram) GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams FROM train)
+    SELECT h.doc_id, t.n_grams, h.n_hits,
+           round(h.n_hits / CAST(t.n_grams AS DOUBLE), 6) AS hit_rate
+    FROM hits h JOIN totals t USING (doc_id)
+"""
+
+
+def _bloom_hits(spark: SparkSession, sf_dir: str,
+                use_bloom: bool = True) -> DataFrame:
+    """Shared kernel: contamination hits, optionally bloom-pruned.
+
+    ``use_bloom=False`` is the test-only direct path proving the
+    filter changes the plan and nothing else."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = tx.word_shingles(F.col("text"), n=_BLOOM_N)
+    train = docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD != 0)
+    bench_grams = (docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD == 0)
+                   .select(F.explode(grams).alias("gram"))
+                   .distinct())
+    train_grams = train.select(
+        "doc_id", F.explode(grams).alias("gram"))
+    if use_bloom:
+        m_bits = sized_bits(bench_grams.count())
+        bloom = bloom_build(bench_grams, "gram", m_bits, k=_BLOOM_K)
+        train_grams = bloom_prune(
+            train_grams, "gram", bloom, m_bits, k=_BLOOM_K)
+    hits = (train_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    totals = train.select(
+        "doc_id", F.size(grams).cast("long").alias("n_grams"))
+    return (hits.join(totals, "doc_id")
+            .select("doc_id", "n_grams", "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_grams"), 6)
+                    .alias("hit_rate")))
+
+
+@query("dx62_bloom_prefilter", sql=_BLOOM_SQL)
+def dx62_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-screened benchmark contamination: the bench slice's
+    5-gram set is compressed to a ~16-bits/member bitset (sized from
+    one count of the SMALL side, operators/bloom.py), the corpus gram
+    stream is pruned by k=3 broadcast word-lookups + bit tests — no
+    shuffle, no false negatives — and only survivors reach the exact
+    confirm join. Served rows are the plain intersection; the oracle
+    runs the exact join with no bloom anywhere."""
+    return _bloom_hits(spark, sf_dir, use_bloom=True)
+
+
+# ------------------------------------------- per-group closed-form OLS
+
+_OLS_SQL = """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS x,
+             CAST(round(value * 1000) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx, syy,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / CAST(1000 AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / CAST(1000 AS DOUBLE), 6) AS intercept,
+           round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS r2
+    FROM s
+"""
+
+
+@query("dx63_pergroup_ols", sql=_OLS_SQL)
+def dx63_pergroup_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value-vs-hour-of-day trend: closed-form OLS from
+    exact int64 sufficient statistics (value scaled to millis before
+    summing, operators/regression.py) — one map-side-combinable pass,
+    one exchange of five numbers per group. slope/intercept are in
+    value-units per hour (the /1000 de-scales y); the sums are emitted
+    so the hash also pins the exact integer layer."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        F.hour("ts").alias("x"),
+        F.round(F.col("value") * 1000).cast("long").alias("y"))
+    fit = group_ols(pts, ["event_type"], "x", "y")
+    thousand = F.lit(1000).cast("double")
+    return fit.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx", "syy",
+        F.round(F.col("slope") / thousand, 6).alias("slope"),
+        F.round(F.col("intercept") / thousand, 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )

@@ -1,0 +1,120 @@
+"""Bloom pre-screen (operators/bloom.py) + per-group OLS
+(operators/regression.py): the no-false-negative contract, the
+prune-changes-plan-not-answer equality behind dx62, exact-sum OLS vs
+a numpy closed-form replica, and the partial-merge identity behind the
+one-pass scale claim."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators.bloom import (
+    bloom_build, bloom_prune, sized_bits,
+)
+from eth_options_data_pipeline_spark.operators.regression import group_ols
+from eth_options_data_pipeline_spark.queries.analytics19 import _bloom_hits
+
+
+# ------------------------------------------------------------- bloom
+
+def test_sized_bits_envelope():
+    assert sized_bits(0) == 1 << 12
+    assert sized_bits(1) == 1 << 12
+    # ~16 bits/element, next power of two
+    assert sized_bits(1000) == 1 << 14
+    assert sized_bits(100_000) == 1 << 21
+    # clamped: a billion members won't blow up the broadcast
+    assert sized_bits(1_000_000_000) == 1 << 24
+
+
+def test_bloom_never_drops_a_member(spark):
+    members = spark.createDataFrame(
+        [(f"member {i}",) for i in range(500)], "gram string")
+    m = sized_bits(500)
+    bloom = bloom_build(members, "gram", m)
+    probe = spark.createDataFrame(
+        [(f"member {i}",) for i in range(500)]
+        + [(f"stranger {i}",) for i in range(2000)], "gram string")
+    kept = {r["gram"] for r in
+            bloom_prune(probe, "gram", bloom, m).collect()}
+    # every true member survives (false negatives are impossible) ...
+    assert all(f"member {i}" in kept for i in range(500))
+    # ... and at 16 bits/element the stranger fpr is ~0.5%, so the
+    # prune must actually prune (generous 10% bound)
+    strangers_kept = sum(1 for g in kept if g.startswith("stranger"))
+    assert strangers_kept < 200
+
+
+def test_bloom_build_is_bounded_by_words(spark):
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(10_000)], "gram string")
+    m = 1 << 12  # deliberately undersized: saturates, stays correct
+    bloom = bloom_build(members, "gram", m)
+    assert bloom.count() <= m // 64
+    kept = bloom_prune(members, "gram", bloom, m)
+    assert kept.count() == 10_000  # saturation never loses members
+
+
+def test_dx62_bloom_path_equals_direct_path(spark, sf_small):
+    direct = {tuple(r) for r in
+              _bloom_hits(spark, sf_small, use_bloom=False).collect()}
+    pruned = {tuple(r) for r in
+              _bloom_hits(spark, sf_small, use_bloom=True).collect()}
+    assert pruned == direct
+    assert direct, "contamination sample empty — widen the bench slice"
+
+
+# ---------------------------------------------------------------- ols
+
+def _py_ols(pts):
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    num = float(n) * sxy - float(sx) * sy
+    den = float(n) * sxx - float(sx) * sx
+    deny = float(n) * syy - float(sy) * sy
+    return (num / den,
+            (float(sy) * sxx - float(sx) * sxy) / den,
+            num * num / (den * deny))
+
+
+def test_group_ols_matches_closed_form_replica(spark):
+    pts = [(x, 37 * x + 11 + ((x * 7919) % 13) - 6) for x in range(200)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts],
+                               "g string, x long, y long")
+    row = group_ols(df, ["g"], "x", "y").collect()[0]
+    slope, icpt, r2 = _py_ols(pts)
+    assert row["n"] == 200
+    assert math.isclose(row["slope"], slope, rel_tol=0, abs_tol=0)
+    assert math.isclose(row["intercept"], icpt, rel_tol=0, abs_tol=0)
+    assert math.isclose(row["r2"], r2, rel_tol=0, abs_tol=0)
+    assert 0.99 < row["r2"] <= 1.0  # strong linear signal by design
+
+
+def test_group_ols_partial_merge_identity(spark):
+    """fit(A ∪ B) from summed partials == fit over the union — the
+    sufficient statistics are exactly mergeable, which is the whole
+    one-pass / map-side-combinable scale claim."""
+    a = [("g", x, 5 * x + (x % 7)) for x in range(0, 50)]
+    b = [("g", x, 5 * x + (x % 7)) for x in range(50, 120)]
+    schema = "g string, x long, y long"
+    whole = group_ols(spark.createDataFrame(a + b, schema),
+                      ["g"], "x", "y").collect()[0]
+    pa = group_ols(spark.createDataFrame(a, schema), ["g"], "x", "y").collect()[0]
+    pb = group_ols(spark.createDataFrame(b, schema), ["g"], "x", "y").collect()[0]
+    for s in ("n", "sx", "sy", "sxy", "sxx", "syy"):
+        assert pa[s] + pb[s] == whole[s]
+
+
+def test_group_ols_constant_y_r2_handles_zero_variance(spark):
+    df = spark.createDataFrame([("g", x, 42) for x in range(10)],
+                               "g string, x long, y long")
+    row = group_ols(df, ["g"], "x", "y").collect()[0]
+    assert row["slope"] == 0.0
+    # r2 is 0/0 here; double semantics give NaN, never an error
+    assert row["r2"] is None or math.isnan(row["r2"])

@@ -511,3 +511,30 @@ def test_pq_adc_scan_touches_codes_not_embeddings(all_plans):
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "dsq_nano" in p
+
+
+def test_bloom_prefilter_probe_side_never_shuffles(all_plans):
+    """dx62: the bitset lookups and the exact confirm are ALL
+    broadcast-hash joins (k=3 word probes + bench-gram confirm + the
+    totals join re-using broadcast), so the corpus gram stream reaches
+    its per-doc aggregate without an intermediate exchange; the only
+    hash exchanges carry grouped rows, and the bitset build side is
+    the sole bit_or aggregate."""
+    p = all_plans["dx62_bloom_prefilter"]
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p
+    assert "bit_or" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pergroup_ols_is_one_pass_partial_agg(all_plans):
+    """dx63: one scan of events, one partial+final hash aggregate,
+    exactly one data exchange (on event_type) — the closed-form math
+    runs post-aggregate on grouped scalars. No joins, no windows."""
+    p = all_plans["dx63_pergroup_ols"]
+    # exactly one DATA exchange (load_table's round-robin small-file
+    # spread is the only other one, and it is not keyed)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial_" in p  # map-side combine of the sufficient sums
+    assert "Join" not in p
+    assert global_window_lines(p) == []
