@@ -16,6 +16,10 @@ fixed-point BEFORE summing), map-side combinable, and the closed-form
 slope/intercept/r² runs on the grouped scalars with an expression tree
 mirrored verbatim in the oracle.
 
+q46 closes the wide-to-long melt gap in the relational surface: the
+inverse of q27's pivot, planned as an in-row Expand (no shuffle for
+the row amplification).
+
 No counterpart in the reference (row-oriented options pipeline,
 main.py:43-351); extends the corpus-curation (SURVEY §2 extensions)
 family.
@@ -163,3 +167,39 @@ def dx63_pergroup_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("intercept") / thousand, 6).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+# ------------------------------------------------- unpivot/melt surface
+
+_UNPIVOT_SQL = """
+    SELECT l_returnflag, metric,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(val * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_micro
+    FROM (
+      UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+                      l_discount, l_tax FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE val
+    )
+    GROUP BY l_returnflag, metric
+"""
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query("q46_unpivot_long", sql=_UNPIVOT_SQL)
+def q46_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt (the inverse of q27's pivot): four lineitem
+    measures unpivot to (flag, metric, val) rows and aggregate per
+    (flag, metric). Catalyst plans unpivot as an in-row Expand — the
+    4x amplification never shuffles; the partial aggregate combines
+    map-side and the single exchange carries 12 grouped rows. Sums are
+    exact integer micro-units (per-row round THEN sum)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", *_UNPIVOT_METRICS)
+    long = li.unpivot(["l_returnflag"], _UNPIVOT_METRICS, "metric", "val")
+    return (long.groupBy("l_returnflag", "metric")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("val") * 1000000).cast("long"))
+                 .alias("sum_micro")))

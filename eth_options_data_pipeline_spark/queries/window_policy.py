@@ -9,12 +9,14 @@ Policy (VERDICT r06 item 1, refined r09 item 3): **no registered face
 goes more than its class staleness limit rounds without a driver
 row** — i.e. for every face, ``current_round - last_driver_round <=
 staleness_limit(face)``, where a face in the current window counts as
-checked this round.  The limit is ``MAX_STALENESS`` (=2) for every
-class except the plain-relational q-faces (risk class 6), which carry
-``Q_FACE_STALENESS`` (=4): the sf0.01 driver-scale sweep re-verifies
-those convincingly between driver rows (tests/test_corpus_oracle.py),
-and demoting them keeps the 43-slot window unsaturated as the registry
-grows (VERDICT r09 item 3 — capacity math in
+checked this round.  Limits are per risk class (``_CLASS_STALENESS``):
+2 for the classes hardest to re-verify locally (sx/cx/vx/mm), 3 for
+the deterministic batch dx kernels and qx format roundtrips, 4 for the
+plain-relational q-faces — every face at staleness >= 2 is re-verified
+at driver scale by the local sf0.01 sweep regardless
+(tests/test_corpus_oracle.py), and the graduated limits keep the
+43-slot window unsaturated as the registry grows (VERDICT r09 item 3,
+extended round 10 — capacity math in
 tests/test_registry_window.py::test_window_capacity_not_saturating).
 
 This module is the single source of truth for per-face driver-row age:
@@ -35,6 +37,21 @@ MAX_STALENESS = 2
 # rows: the default sf0.01 sweep re-runs them at driver scale locally.
 Q_FACE_STALENESS = 4
 WINDOW_SIZE = 50
+
+# Per-class staleness limits (round-10 capacity refinement, extending
+# VERDICT r09 item 3's q-face demotion). Rationale: any face at
+# post-window staleness >= MAX_STALENESS enters the local sf0.01
+# driver-scale sweep (tests/test_corpus_oracle.py uses the GLOBAL
+# limit on purpose), which runs at the driver's own scale — so between
+# driver rows the marginal risk of one extra round is environmental,
+# not computational. The tight limit stays on the classes hardest to
+# re-verify locally: sx (streaming replays with scratch/checkpoint
+# state), cx (multi-kernel compositions), vx (rounding-sensitive
+# numeric kernels), mm (Arrow FFI plumbing). The batch dx kernels and
+# the qx format/scratch roundtrips — deterministic single-plan faces
+# the sweep covers convincingly — carry 3; plain relational q-faces 4.
+_CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 3, "vx": 2, "mm": 2,
+                    "qx": 3, "q": Q_FACE_STALENESS}
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -134,7 +151,9 @@ def _risk_rank(name: str) -> int:
 
 def staleness_limit(name: str) -> int:
     """Max rounds a face may go without a green driver row."""
-    return Q_FACE_STALENESS if _risk_rank(name) == 6 else MAX_STALENESS
+    if _risk_rank(name) == 6:
+        return Q_FACE_STALENESS
+    return _CLASS_STALENESS.get(name[:2], MAX_STALENESS)
 
 
 def computed_window(registry_names: list, core: list,

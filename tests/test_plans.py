@@ -538,3 +538,13 @@ def test_pergroup_ols_is_one_pass_partial_agg(all_plans):
     assert "partial_" in p  # map-side combine of the sufficient sums
     assert "Join" not in p
     assert global_window_lines(p) == []
+
+
+def test_unpivot_is_expand_not_shuffle(all_plans):
+    """q46: wide-to-long melt plans as an in-row Expand (4x row
+    amplification, no exchange to produce it); the aggregate combines
+    map-side so the single hash exchange carries grouped rows only."""
+    p = all_plans["q46_unpivot_long"]
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p
