@@ -94,12 +94,23 @@ def main() -> None:
         "queries_min": {name: round(min(ts), 4) for name, ts in runs.items()},
         "construction_heavy": sorted(CONSTRUCTION_HEAVY & set(timings)),
         "notes": {
+            "_environment": (
+                "r10: the same box measured the identical 119-face code "
+                "at 121.97 s (morning), 141.4 s and 162.2 s (afternoon) "
+                "with zero code change on the shared faces; isolated "
+                "re-timings of untouched faces (dx42 3.8 s vs 2.17, "
+                "dx10 4.0 vs 3.18, q14 2.06 vs 1.91) confirm a "
+                "host-level slowdown invisible to guest /proc/stat "
+                "(no steal, 99.9% idle). Cross-round per-face deltas "
+                "are only meaningful against same-session siblings."
+            ),
             "dx10_neardup_pairs": (
                 "r06-r09 local-median history 3.29/3.74/3.59/3.35 s "
                 "with no code change — tracked shared-host load, not "
                 "plan regressions; the drift watch CLOSED in r09 "
                 "(VERDICT r09). Reopen only if a quiet-box median "
-                "exceeds 4.0 s."
+                "exceeds 4.0 s AND same-session siblings hold their "
+                "r09 levels (see _environment)."
             ),
         },
         "sf": sf_from_dir(sf_dir),
