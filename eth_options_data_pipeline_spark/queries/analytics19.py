@@ -78,14 +78,20 @@ def _bloom_hits(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = tx.word_shingles(F.col("text"), n=_BLOOM_N)
     train = docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD != 0)
+    # cached: the bench gram set feeds the sizing count, the bitset
+    # build AND the confirm join, and the bitset broadcasts once per
+    # probe seed (Spark does not ReuseExchange across the differently-
+    # aliased lookups) — without the caches the documents table would
+    # be re-scanned for every consumer (observed: 6 scans -> 2)
     bench_grams = (docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD == 0)
                    .select(F.explode(grams).alias("gram"))
-                   .distinct())
+                   .distinct()
+                   .cache())
     train_grams = train.select(
         "doc_id", F.explode(grams).alias("gram"))
     if use_bloom:
         m_bits = sized_bits(bench_grams.count())
-        bloom = bloom_build(bench_grams, "gram", m_bits, k=_BLOOM_K)
+        bloom = bloom_build(bench_grams, "gram", m_bits, k=_BLOOM_K).cache()
         train_grams = bloom_prune(
             train_grams, "gram", bloom, m_bits, k=_BLOOM_K)
     hits = (train_grams.join(F.broadcast(bench_grams), "gram")
