@@ -118,3 +118,48 @@ def test_group_ols_constant_y_r2_handles_zero_variance(spark):
     assert row["slope"] == 0.0
     # r2 is 0/0 here; double semantics give NaN, never an error
     assert row["r2"] is None or math.isnan(row["r2"])
+
+
+def test_bloom_no_false_negatives_randomized(spark):
+    """12 hypothesis examples batched into ONE build+prune (the
+    suite-budget collector pattern): example g's values ride as
+    'g|value' so membership is per-example independent. For every
+    example, every member must survive pruning regardless of set
+    size, duplicates, unicode, or empty-ish strings."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+    values = st.lists(
+        st.text(min_size=0, max_size=12), min_size=1, max_size=40)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck), derandomize=True)
+    @given(members=values, strangers=values)
+    def collect(members, strangers):
+        cases.append((members, strangers))
+
+    collect()
+    member_rows, probe_rows, want = [], [], set()
+    for g, (members, strangers) in enumerate(cases):
+        for v in members:
+            member_rows.append((f"{g}|{v}",))
+            want.add(f"{g}|{v}")
+        probe_rows.extend((f"{g}|{v}",) for v in members + strangers)
+    m = sized_bits(len(member_rows))
+    bloom = bloom_build(
+        spark.createDataFrame(member_rows, "gram string"), "gram", m)
+    kept = {r["gram"] for r in bloom_prune(
+        spark.createDataFrame(probe_rows, "gram string"),
+        "gram", bloom, m).collect()}
+    missing = want - kept
+    assert not missing, f"false negatives: {sorted(missing)[:5]}"
+
+
+def test_group_ols_constant_x_slope_is_null(spark):
+    """Zero variance in x: denom = 0, so slope/intercept/r2 are NULL
+    via try_divide — the job must not fail under ANSI mode."""
+    df = spark.createDataFrame([("g", 5, y) for y in range(10)],
+                               "g string, x long, y long")
+    row = group_ols(df, ["g"], "x", "y").collect()[0]
+    assert row["slope"] is None and row["intercept"] is None
