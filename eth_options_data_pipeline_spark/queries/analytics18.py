@@ -145,8 +145,14 @@ def dx60_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = tx.MINHASH_K
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint, not cache(): the shingle table is consumed by
+    # three downstream branches, but cache entries in the long-lived
+    # shared session of the 123-face sweep are never released —
+    # checkpointed partitions are dropped by the ContextCleaner once
+    # this DataFrame goes out of scope.
     sh = docs.select(
-        "doc_id", tx.word_shingles(F.col("text")).alias("sh")).cache()
+        "doc_id", tx.word_shingles(F.col("text")).alias("sh"))
+    sh = sh.localCheckpoint(eager=False)
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh",
                     *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
@@ -211,14 +217,16 @@ def qx52_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S2 format matrix, ORC leg: partitioned ORC sink + partition-
     pruned read-back (the filter prunes to the lang=en directory
     before any ORC file is opened). Eager at construction, per-session
-    scratch overwritten on re-run (qx46/qx47 pattern)."""
+    scratch overwritten on every run — an unconditional
+    mode('overwrite') write, so a crash mid-write can never leave a
+    partial tree that a later invocation silently reads as complete
+    (the hazard _stage_slices documents)."""
     docs = load_table(spark, sf_dir, "documents")
     out = os.path.join(
         tempfile.gettempdir(),
         f"orc_rt_{spark.sparkContext.applicationId}",
         os.path.basename(os.path.normpath(sf_dir)), "t")
-    if not os.path.isdir(out):
-        docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
     back = spark.read.orc(out).where(F.col("lang") == "en")
     return back.select(
         "doc_id", "source", "lang",

@@ -27,12 +27,14 @@ family.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators import text as tx
 from eth_options_data_pipeline_spark.operators.bloom import (
-    bloom_build, bloom_prune, sized_bits,
+    bloom_build, bloom_layout, bloom_prune, sized_bits,
 )
 from eth_options_data_pipeline_spark.operators.regression import group_ols
 from eth_options_data_pipeline_spark.queries.registry import query
@@ -78,20 +80,25 @@ def _bloom_hits(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = tx.word_shingles(F.col("text"), n=_BLOOM_N)
     train = docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD != 0)
-    # cached: the bench gram set feeds the sizing count, the bitset
-    # build AND the confirm join, and the bitset broadcasts once per
-    # probe seed (Spark does not ReuseExchange across the differently-
-    # aliased lookups) — without the caches the documents table would
-    # be re-scanned for every consumer (observed: 6 scans -> 2)
+    # localCheckpoint (not cache): the bench gram set feeds the sizing
+    # count, the bitset build AND the confirm join, and the bitset
+    # broadcasts once per probe seed (Spark does not ReuseExchange
+    # across the differently-aliased lookups) — without materializing
+    # once, the documents table would be re-scanned for every consumer
+    # (observed: 6 scans -> 2). Checkpointed partitions are released by
+    # the ContextCleaner when the face's result is done; cache entries
+    # would accumulate for the life of the shared 123-face session.
     bench_grams = (docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD == 0)
                    .select(F.explode(grams).alias("gram"))
                    .distinct()
-                   .cache())
+                   .localCheckpoint(eager=False))
     train_grams = train.select(
         "doc_id", F.explode(grams).alias("gram"))
     if use_bloom:
         m_bits = sized_bits(bench_grams.count())
-        bloom = bloom_build(bench_grams, "gram", m_bits, k=_BLOOM_K).cache()
+        bloom = bloom_build(
+            bench_grams, "gram", m_bits,
+            k=_BLOOM_K).localCheckpoint(eager=False)
         train_grams = bloom_prune(
             train_grams, "gram", bloom, m_bits, k=_BLOOM_K)
     hits = (train_grams.join(F.broadcast(bench_grams), "gram")
@@ -115,6 +122,120 @@ def dx62_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirm join. Served rows are the plain intersection; the oracle
     runs the exact join with no bloom anywhere."""
     return _bloom_hits(spark, sf_dir, use_bloom=True)
+
+
+# ---------------------------------- sharded Bloom at >1M members (dx65)
+#
+# dx62 proves the bloom invariant in the single-bitset regime; this is
+# the LARGE-reference regime the operator's pitch names: a membership
+# set past the 2^24-bit single-shard cap, laid out by bloom_layout into
+# power-of-two shards (each its own <=2 MiB bitset, keyed by a
+# row-local hash of the value), and a confirm join run WITHOUT a
+# broadcast — the shuffle carries only bloom survivors, which is the
+# honest 100 TB plan when the member strings no longer broadcast. The
+# member set is synthesized deterministically from lineitem keys
+# (distinct (orderkey, linenumber) x _DX65_AMP suffixes: >1M members at
+# sf0.01, the driver's correctness scale, where the layout is 2 shards
+# x 2^24 bits); probes come from orders keys, ~2/3 in-set. The layout
+# is emitted as guarantee columns (qx28/qx48 convention) whose closed
+# form the oracle reproduces with exact integer math
+# (length(bin(16n-1)) == ceil(log2(16n))).
+
+_DX65_AMP = 24        # member suffixes per distinct lineitem key
+_DX65_PROBE_AMP = 36  # probe suffixes per order (s >= AMP miss by design)
+_DX65_K = 3
+
+_DX65_SQL = f"""
+    WITH m AS (
+      SELECT DISTINCT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR
+               || '-' || s::VARCHAR AS member
+      FROM lineitem CROSS JOIN (SELECT unnest(range({_DX65_AMP})) AS s)
+    ),
+    p AS (
+      SELECT o_orderpriority,
+             o_orderkey::VARCHAR || '-1-' || s::VARCHAR AS member
+      FROM orders CROSS JOIN (SELECT unnest(range({_DX65_PROBE_AMP})) AS s)
+    ),
+    layout AS (
+      SELECT n_members, e,
+             CAST(1 AS BIGINT) << least(e, 24) AS m_bits_shard,
+             CAST(1 AS BIGINT) << least(greatest(e - 24, 0), 10) AS n_shards
+      FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_members,
+               greatest(length(bin(16 * count(*) - 1)), 12) AS e
+        FROM m
+      )
+    ),
+    g AS (
+      SELECT n_members, n_shards, m_bits_shard,
+             (n_shards * m_bits_shard * 1000) // n_members AS bpe_milli,
+             (1 - exp(-((CAST({_DX65_K} AS DOUBLE) * n_members)
+                        / (n_shards * m_bits_shard)))) AS ed
+      FROM layout
+    )
+    SELECT h.o_orderpriority AS priority, h.n_hits,
+           g.n_members, g.n_shards, g.m_bits_shard, g.bpe_milli,
+           CAST(floor(g.ed * g.ed * g.ed * 1000000) AS BIGINT) AS fp_micro
+    FROM (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_hits
+      FROM p JOIN m USING (member) GROUP BY o_orderpriority
+    ) h CROSS JOIN g
+"""
+
+
+@query("dx65_sharded_bloom", sql=_DX65_SQL)
+def dx65_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-Bloom membership screen past the single-bitset cap:
+    >1M synthetic members (sf0.01) lay out as 2 shards x 2^24 bits
+    (operators/bloom.py bloom_layout — achieved bits/element and
+    implied FP rate ride along as guarantee columns), probes prune
+    through k=3 broadcast (shard, word) bit tests, and the exact
+    confirm join runs as a SHUFFLE join of the survivors — the
+    large-reference plan where the member strings must never
+    broadcast. Served counts are exactly the plain intersection's (no
+    false negatives), which is what the bloomless oracle computes."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber")
+    members = (li.select(
+        "l_orderkey", "l_linenumber",
+        F.explode(F.sequence(F.lit(0), F.lit(_DX65_AMP - 1))).alias("s"))
+        .select(F.concat_ws("-", "l_orderkey", "l_linenumber", "s")
+                .alias("member"))
+        .distinct()
+        # three consumers (sizing count, bitset build, confirm join):
+        # checkpoint once, released by the ContextCleaner afterwards
+        .localCheckpoint(eager=False))
+    n = members.count()
+    n_shards, m_bits = bloom_layout(n)
+    probe = (load_table(spark, sf_dir, "orders")
+             .select("o_orderpriority", "o_orderkey",
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(_DX65_PROBE_AMP - 1))).alias("s"))
+             .select("o_orderpriority",
+                     F.concat_ws("-", "o_orderkey", F.lit(1), "s")
+                     .alias("member")))
+    bloom = bloom_build(members, "member", m_bits,
+                        k=_DX65_K, n_shards=n_shards)
+    survivors = bloom_prune(probe, "member", bloom, m_bits,
+                            k=_DX65_K, n_shards=n_shards)
+    # shuffle_hash hint: at test scale the planner would happily
+    # broadcast SOMETHING (the survivor side estimates tiny); the hint
+    # pins the large-reference plan the face exists to prove — the
+    # confirm shuffle carries only bloom survivors, never a broadcast
+    hits = survivors.hint("shuffle_hash").join(members, "member")
+    total_bits = n_shards * m_bits
+    ed = 1.0 - math.exp(-((float(_DX65_K) * n) / total_bits))
+    return (hits.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.col("o_orderpriority").alias("priority"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.lit(n).cast("long").alias("n_members"),
+                F.lit(n_shards).cast("long").alias("n_shards"),
+                F.lit(m_bits).cast("long").alias("m_bits_shard"),
+                F.lit(total_bits * 1000 // n).cast("long").alias("bpe_milli"),
+                F.lit(math.floor(ed * ed * ed * 1000000))
+                .cast("long").alias("fp_micro")))
 
 
 # ------------------------------------------- per-group closed-form OLS

@@ -51,7 +51,7 @@ WINDOW_SIZE = 50
 # the qx format/scratch roundtrips — deterministic single-plan faces
 # the sweep covers convincingly — carry 3; plain relational q-faces 4.
 _CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 3, "vx": 2, "mm": 2,
-                    "qx": 3, "q": Q_FACE_STALENESS}
+                    "qx": 3}
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -150,8 +150,15 @@ def _risk_rank(name: str) -> int:
 
 
 def staleness_limit(name: str) -> int:
-    """Max rounds a face may go without a green driver row."""
-    if _risk_rank(name) == 6:
+    """Max rounds a face may go without a green driver row.
+
+    Rank 6 is exactly the plain-relational q-faces (``qNN_``) — every
+    other registered prefix has a _RISK_CLASS entry, so the generous
+    Q_FACE_STALENESS can only ever apply to them. An UNKNOWN future
+    prefix falls through to the tight global MAX_STALENESS: a new face
+    class should earn a looser limit explicitly (one _CLASS_STALENESS
+    entry), never inherit the loosest one by accident (ADVICE r10)."""
+    if _risk_rank(name) == 6 and re.match(r"q\d", name):
         return Q_FACE_STALENESS
     return _CLASS_STALENESS.get(name[:2], MAX_STALENESS)
 

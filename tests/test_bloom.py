@@ -11,7 +11,7 @@ import math
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators.bloom import (
-    bloom_build, bloom_prune, sized_bits,
+    _MAX_SHARDS, bloom_build, bloom_layout, bloom_prune, sized_bits,
 )
 from eth_options_data_pipeline_spark.operators.regression import group_ols
 from eth_options_data_pipeline_spark.queries.analytics19 import _bloom_hits
@@ -55,6 +55,73 @@ def test_bloom_build_is_bounded_by_words(spark):
     assert bloom.count() <= m // 64
     kept = bloom_prune(members, "gram", bloom, m)
     assert kept.count() == 10_000  # saturation never loses members
+
+
+def test_bloom_layout_honors_bits_per_element():
+    """Past the 2^24 single-shard cap the layout grows SHARDS, not a
+    degraded per-element density: achieved bits/element stays within
+    [8, 32) (half to double the 16-bit target) at every member count
+    until the shard ceiling."""
+    assert bloom_layout(1) == (1, 1 << 12)
+    assert bloom_layout(100_000) == (1, 1 << 21)
+    # the dx62 regime: still one shard
+    assert bloom_layout(1_000_000) == (1, 1 << 24)
+    # past the cap: shards double as members double
+    assert bloom_layout(1_100_000) == (2, 1 << 24)
+    assert bloom_layout(4_200_000) == (8, 1 << 24)
+    for n in (1_048_577, 3_000_000, 50_000_000, 900_000_000):
+        shards, m = bloom_layout(n)
+        if shards < _MAX_SHARDS:
+            bpe = shards * m / n
+            assert 8 <= bpe < 32, (n, shards, m, bpe)
+
+
+def test_bloom_layout_matches_single_shard_sizing():
+    """While one shard suffices, bloom_layout and sized_bits agree —
+    dx62 (sized_bits) and dx65 (bloom_layout) size identically in the
+    shared regime."""
+    for n in (0, 1, 1000, 100_000, 1_000_000):
+        shards, m = bloom_layout(n)
+        assert shards == 1 and m == sized_bits(n)
+
+
+def test_sharded_bloom_never_drops_a_member(spark):
+    """The no-false-negative contract survives sharding: members land
+    in their own shard's bitset and probes look up the same shard, so
+    every true member passes regardless of which shard it hashed to.
+    A tiny per-shard cap forces a genuinely multi-shard layout."""
+    n_shards, m = bloom_layout(3000, max_bits_per_shard=1 << 13)
+    assert n_shards >= 4  # the layout actually sharded
+    members = spark.createDataFrame(
+        [(f"member {i}",) for i in range(3000)], "gram string")
+    bloom = bloom_build(members, "gram", m, n_shards=n_shards)
+    probe = spark.createDataFrame(
+        [(f"member {i}",) for i in range(3000)]
+        + [(f"stranger {i}",) for i in range(3000)], "gram string")
+    kept = {r["gram"] for r in bloom_prune(
+        probe, "gram", bloom, m, n_shards=n_shards).collect()}
+    assert all(f"member {i}" in kept for i in range(3000))
+    # the shards kept their per-element density, so pruning still works
+    strangers_kept = sum(1 for g in kept if g.startswith("stranger"))
+    assert strangers_kept < 600
+
+
+def test_sharded_prune_equals_unsharded_truth(spark):
+    """Sharded prune + exact confirm == plain exact join — the dx65
+    invariant at unit scale, including the non-broadcast prune leg."""
+    members = spark.createDataFrame(
+        [(f"v{i}",) for i in range(0, 2000, 2)], "gram string")
+    probe = spark.createDataFrame(
+        [(f"v{i}",) for i in range(2000)], "gram string")
+    n_shards, m = bloom_layout(1000, max_bits_per_shard=1 << 12)
+    bloom = bloom_build(members, "gram", m, n_shards=n_shards)
+    for use_broadcast in (True, False):
+        survivors = bloom_prune(probe, "gram", bloom, m,
+                                n_shards=n_shards,
+                                use_broadcast=use_broadcast)
+        confirmed = {r["gram"]
+                     for r in survivors.join(members, "gram").collect()}
+        assert confirmed == {f"v{i}" for i in range(0, 2000, 2)}
 
 
 def test_dx62_bloom_path_equals_direct_path(spark, sf_small):

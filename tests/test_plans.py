@@ -517,14 +517,42 @@ def test_bloom_prefilter_probe_side_never_shuffles(all_plans):
     """dx62: the bitset lookups and the exact confirm are ALL
     broadcast-hash joins (k=3 word probes + bench-gram confirm + the
     totals join re-using broadcast), so the corpus gram stream reaches
-    its per-doc aggregate without an intermediate exchange; the only
-    hash exchanges carry grouped rows, and the bitset build side is
-    the sole bit_or aggregate."""
+    its per-doc aggregate without an intermediate exchange. The bench
+    gram set and the bitset are localCheckpoint-scoped (released by the
+    ContextCleaner, ADVICE r10), so they surface as ExistingRDD scans —
+    the bit_or build plan is pinned separately below."""
     p = all_plans["dx62_bloom_prefilter"]
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "CartesianProduct" not in p
-    assert "bit_or" in p
+    assert "ExistingRDD" in p  # the checkpoint-scoped bitset/gram set
     assert "SortMergeJoin" not in p
+
+
+def test_bloom_build_is_single_bit_or_aggregate(spark):
+    """The bitset build plan (pinned here because dx62 checkpoints it
+    away): one partial+final bit_or aggregate, map-side combinable —
+    the only exchange carries partial words."""
+    from eth_options_data_pipeline_spark.operators.bloom import bloom_build
+
+    members = spark.range(100).select(
+        F.col("id").cast("string").alias("gram"))
+    p = plan(bloom_build(members, "gram", 1 << 12))
+    assert "bit_or" in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p
+
+
+def test_sharded_bloom_confirm_is_shuffle_not_broadcast(all_plans):
+    """dx65: the k=3 bitset probes broadcast (shard, word) lookups —
+    the probe stream never shuffles during the prune — but the exact
+    confirm join is pinned to a SHUFFLE hash join: the large-reference
+    regime's plan, where member strings must never broadcast. The
+    bit_or bitset build is visible (members checkpoint, bitset not)."""
+    p = all_plans["dx65_sharded_bloom"]
+    assert "ShuffledHashJoin" in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "bit_or" in p
+    assert "CartesianProduct" not in p
 
 
 def test_pergroup_ols_is_one_pass_partial_agg(all_plans):
