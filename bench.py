@@ -42,6 +42,36 @@ CONSTRUCTION_HEAVY = {
 }
 
 
+# Nominal quiet-box timings for the calibration probes (measured r11).
+# The probes are constant work, so their drift IS host drift: any bench
+# whose probe readings sit well above these carries host inflation in
+# every per-face number, and cross-round adjudications should cite the
+# probe ratio instead of prose (VERDICT r10 item 2).
+_CAL_SPIN_NOMINAL_S = 0.80   # 20M-iteration single-core python loop
+_CAL_SPARK_NOMINAL_S = 0.25  # sum over spark.range(200M) on local[32]
+
+
+def calibration_probe(spark) -> dict:
+    """Constant-work host-speed sample: single-core python spin +
+    a fixed all-core Spark range aggregation. Run at bench start AND
+    end; the pair turns 'the box was slow' into a number."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    py_spin = time.perf_counter() - t0
+    # compile the probe expression untimed so the first probe of a
+    # session doesn't carry one-off codegen cost
+    spark.range(1_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    spark_range = time.perf_counter() - t0
+    return {"py_spin_s": round(py_spin, 3),
+            "spark_range_s": round(spark_range, 3),
+            "py_spin_vs_nominal": round(py_spin / _CAL_SPIN_NOMINAL_S, 2),
+            "spark_vs_nominal": round(spark_range / _CAL_SPARK_NOMINAL_S, 2)}
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -61,6 +91,8 @@ def main() -> None:
     from eth_options_data_pipeline_spark.sources import load_tables
     for df in load_tables(spark, "/root/testdata/sf0.001").values():
         df.limit(10).collect()
+
+    cal_start = calibration_probe(spark)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {name: [] for name in REGISTRY}
@@ -86,6 +118,15 @@ def main() -> None:
     # (a longer line gets truncated mid-JSON and recorded unparsed)
     timings = {name: round(median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+    cal_end = calibration_probe(spark)
+    # drift rule (replaces the r10 prose adjudication): a bench run is
+    # HOST-INFLATED if either probe reads >= 1.4x nominal at start or
+    # end; cross-round per-face comparisons against an inflated run
+    # must normalize by the probe ratio or be discarded.
+    inflated = max(cal_start["py_spin_vs_nominal"],
+                   cal_end["py_spin_vs_nominal"],
+                   cal_start["spark_vs_nominal"],
+                   cal_end["spark_vs_nominal"]) >= 1.4
     detail = {
         "metric": "corpus_total_runtime",
         "value": total,
@@ -93,6 +134,16 @@ def main() -> None:
         "queries": timings,
         "queries_min": {name: round(min(ts), 4) for name, ts in runs.items()},
         "construction_heavy": sorted(CONSTRUCTION_HEAVY & set(timings)),
+        "calibration": {
+            "start": cal_start,
+            "end": cal_end,
+            "nominal": {"py_spin_s": _CAL_SPIN_NOMINAL_S,
+                        "spark_range_s": _CAL_SPARK_NOMINAL_S},
+            "host_inflated": inflated,
+            "rule": ("probe >= 1.4x nominal at start or end => per-face "
+                     "numbers carry host inflation; normalize by the "
+                     "probe ratio before cross-round comparison"),
+        },
         "notes": {
             "_environment": (
                 "r10: the same box measured the identical 119-face code "

@@ -110,3 +110,67 @@ def span_dup_pairs(postings: DataFrame, n: int = DEFAULT_N,
              (F.max("run") + F.lit(n - 1)).alias("longest_run_words"))
         .where(F.col("matched_grams") >= min_matched)
     )
+
+
+def dup_spans_per_doc(postings: DataFrame, n: int = DEFAULT_N,
+                      min_words: int = DEFAULT_N,
+                      max_df: int = 20) -> DataFrame:
+    """Per-document duplicated WORD SPANS — the ExactSubstr deletion
+    list (Lee et al. 2022: remove every substring of >= k tokens that
+    appears twice in the corpus). ``span_dup_pairs`` reports pair
+    statistics; this extracts, for each document, the merged word
+    intervals ``[s, e]`` (1-based, inclusive) that are verbatim-shared
+    (>= ``min_words`` words) with ANY other document — i.e. exactly
+    the ranges the published recipe cuts.
+
+    Pipeline: df-gated postings self-join (both directions, so each
+    side of a pair gets its spans) -> per-(doc, partner, diagonal)
+    islands -> island ``[min(pa), max(pa) + n - 1]`` intervals kept at
+    >= ``min_words`` -> distinct intervals per doc -> overlap merge
+    via the running-max-of-ends gaps-and-islands (a second window,
+    per doc, over at most doc-length interval rows).
+
+    Scale shape matches ``span_dup_pairs``: digest-only shuffles, df
+    gate bounds fan-out, and every window partitions by document (the
+    merge) or (doc, partner, diagonal) (the islands) — never global.
+    """
+    min_run = max(min_words - n + 1, 1)
+    kept = (
+        postings.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("g")
+    )
+    occ = postings.join(kept, "g")
+    a = occ.select("g", "doc_id", F.col("pos").alias("pa"))
+    b = occ.select("g", F.col("doc_id").alias("other"),
+                   F.col("pos").alias("pb"))
+    matches = (a.join(b, "g")
+               .where(F.col("doc_id") != F.col("other"))
+               .select("doc_id", "other",
+                       (F.col("pa") - F.col("pb")).alias("diag"), "pa"))
+    win = Window.partitionBy("doc_id", "other", "diag").orderBy("pa")
+    islands = matches.withColumn(
+        "island", F.col("pa") - F.row_number().over(win))
+    intervals = (
+        islands.groupBy("doc_id", "other", "diag", "island")
+        .agg(F.min("pa").alias("s"),
+             (F.max("pa") + F.lit(n - 1)).alias("e"),
+             F.count(F.lit(1)).alias("run"))
+        .where(F.col("run") >= min_run)
+        .select("doc_id", "s", "e")
+        .distinct()
+    )
+    mwin = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        mwin.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = intervals.withColumn(
+        "newgrp",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+         .otherwise(0))
+    grouped = flagged.withColumn(
+        "gid", F.sum("newgrp").over(
+            mwin.rowsBetween(Window.unboundedPreceding, 0)))
+    return (grouped.groupBy("doc_id", "gid")
+            .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+            .select("doc_id", "s", "e"))

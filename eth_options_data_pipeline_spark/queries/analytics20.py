@@ -1,0 +1,484 @@
+"""Round-11 faces: IVFADC approximate nearest neighbor (vx07) and
+ExactSubstr deletion lists (dx64).
+
+vx07 composes the two existing ANN scale kernels into the standard
+large-scale index (Faiss IVFADC, Jegou et al. 2011 "Product
+Quantization for Nearest Neighbor Search"): vx04's IVF coarse
+quantizer prunes the search to nprobe inverted lists, and vx06's
+product-quantization codes compress what remains — crucially the PQ
+codebook is trained on (and the ADC scan runs over) RESIDUALS
+``v - coarse_centroid(v)``, which is what makes the composition more
+accurate than either kernel alone. At 100 TB: the coarse centroids
+(16 rows) and PQ codebook (M*k rows) broadcast; the code table is
+M bytes/vector partitioned by coarse cell so probed lists prune at
+the scan; the per-(query, cell) lookup table is nprobe*M*k tiny rows
+broadcast; ADC distances accumulate as integer nano-units
+(order-independent, engine-exact); raw embeddings are touched again
+only for the top-POOL exact rerank.
+
+dx64 closes the last published dedup modality (VERDICT r10 missing
+list #2): ExactSubstr (Lee et al. 2022) removes every substring of
+>= k tokens that appears twice in the corpus. dx47 reports per-PAIR
+shared-run statistics; dx64 emits the per-DOCUMENT deletion list the
+recipe actually cuts — merged duplicated word intervals from ANY
+partner — summarized per document (span count, duplicated words,
+longest span, duplication ratio). The kernel is
+operators/ngram_spans.dup_spans_per_doc: df-gated digest self-join,
+per-(doc, partner, diagonal) islands, interval extraction, then an
+overlap merge via running-max-of-ends — every window per-document,
+never global.
+
+No counterpart in the reference (row-oriented options pipeline,
+main.py:43-351); extends the similarity-search family
+(brute vx01 / LSH vx05 / IVF vx04 / PQ vx06) and the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators import vectors as vx
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+_KC = 16       # coarse centroids (IVF cells; seeds vec_id < 16)
+_NPROBE = 2    # probed cells per query
+_M = 4         # PQ subspaces
+_DSUB = 16     # dims per subspace (4 x 16 = 64)
+_K = 8         # codewords per subspace (seeds vec_id < 8)
+_NQ = 3        # queries: vec_id < 3
+_POOL = 10     # ADC candidate pool per query
+_TOPK = 3      # final exact-reranked neighbors
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    d = f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+    return f"list_dot_product({d}, {d})"
+
+
+def _vx07_sql() -> str:
+    l2 = _l2sq_sql
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cseeds AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {_KC}),
+    ca1 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, s.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {l2('v.e', 's.c')}, s.cell) AS _rk
+        FROM emb v CROSS JOIN cseeds s)
+      WHERE _rk = 1
+    ),
+    coarse AS (
+      SELECT cell, list(mu ORDER BY pos) AS c
+      FROM (
+        SELECT cell, pos, round(avg(v), 9) AS mu
+        FROM (SELECT cell, unnest(e) AS v,
+                     generate_subscripts(e, 1) AS pos FROM ca1)
+        GROUP BY cell, pos)
+      GROUP BY cell
+    ),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, s.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {l2('v.e', 's.c')}, s.cell) AS _rk
+        FROM emb v CROSS JOIN coarse s)
+      WHERE _rk = 1
+    ),
+    res AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(list_zip(a.e, co.c), x -> x[1] - x[2]) AS r
+      FROM assigned a JOIN coarse co ON co.cell = a.cell
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             r[m * {_DSUB} + 1 : m * {_DSUB} + {_DSUB}] AS sv
+      FROM res, (SELECT unnest(range({_M})) AS m)
+    ),
+    pseeds AS (
+      SELECT m, vec_id AS code, sv AS c FROM sub WHERE vec_id < {_K}
+    ),
+    pa1 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, k.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2('s.sv', 'k.c')}, k.code) AS _rk
+        FROM sub s JOIN pseeds k ON k.m = s.m)
+      WHERE _rk = 1
+    ),
+    pqcb AS (
+      SELECT m, code, list(mu ORDER BY pos) AS c
+      FROM (
+        SELECT pa1.m, pa1.code, pos, round(avg(v), 9) AS mu
+        FROM pa1
+        JOIN sub ON sub.vec_id = pa1.vec_id AND sub.m = pa1.m,
+             LATERAL (SELECT unnest(sub.sv) AS v,
+                             generate_subscripts(sub.sv, 1) AS pos) u
+        GROUP BY pa1.m, pa1.code, pos)
+      GROUP BY m, code
+    ),
+    codes AS (
+      SELECT s.vec_id, a.cell, s.m, s.code FROM (
+        SELECT s.vec_id, s.m, k.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2('s.sv', 'k.c')}, k.code) AS _rk
+        FROM sub s JOIN pqcb k ON k.m = s.m) s
+      JOIN assigned a ON a.vec_id = s.vec_id
+      WHERE s._rk = 1
+    ),
+    qcells AS (
+      SELECT q_id, qe, cell, c FROM (
+        SELECT q.vec_id AS q_id, q.e AS qe, s.cell, s.c,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {l2('q.e', 's.c')}, s.cell) AS _rk
+        FROM emb q CROSS JOIN coarse s
+        WHERE q.vec_id < {_NQ})
+      WHERE _rk <= {_NPROBE}
+    ),
+    qsub AS (
+      SELECT q_id, cell, m,
+             qr[m * {_DSUB} + 1 : m * {_DSUB} + {_DSUB}] AS sv
+      FROM (SELECT q_id, cell,
+                   list_transform(list_zip(qe, c), x -> x[1] - x[2]) AS qr
+            FROM qcells),
+           (SELECT unnest(range({_M})) AS m)
+    ),
+    lut AS (
+      SELECT q.q_id, q.cell, k.m, k.code,
+             CAST(round({l2('q.sv', 'k.c')} * 1000000000) AS BIGINT)
+               AS dsq_nano
+      FROM qsub q JOIN pqcb k ON k.m = q.m
+    ),
+    adc AS (
+      SELECT l.q_id, c.vec_id AS cand_id, c.cell,
+             CAST(sum(l.dsq_nano) AS BIGINT) AS adc_nano
+      FROM codes c
+      JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
+      WHERE c.vec_id <> l.q_id
+      GROUP BY l.q_id, c.vec_id, c.cell
+    ),
+    pool AS (
+      SELECT q_id, cand_id, cell, adc_nano FROM (
+        SELECT q_id, cand_id, cell, adc_nano,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_nano, cand_id) AS _rk
+        FROM adc)
+      WHERE _rk <= {_POOL}
+    )
+    SELECT q_id, cand_id, CAST(cell AS BIGINT) AS cell,
+           round(adc_nano / 1000000000.0, 6) AS approx_dsq,
+           cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT p.q_id, p.cand_id, p.cell, p.adc_nano,
+             round({vx.cosine_sql('ce.e', 'qe.e')}, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.q_id
+               ORDER BY {vx.cosine_sql('ce.e', 'qe.e')} DESC, p.cand_id) AS rk
+      FROM pool p
+      JOIN emb qe ON qe.vec_id = p.q_id
+      JOIN emb ce ON ce.vec_id = p.cand_id)
+    WHERE rk <= {_TOPK}
+    """
+
+
+def _l2sq(a, b):
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return vx.dot(d, d)
+
+
+@query("vx07_ivfadc", sql=_vx07_sql())
+def vx07_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: IVF coarse cells (vx04's 16-centroid rounded-Lloyd
+    recipe) + product-quantization of the RESIDUALS v - centroid(v)
+    (vx06's codebook recipe, trained on residual subvectors). Queries
+    probe their 2 nearest cells; a per-(query, cell) LUT of residual
+    subdistances (nprobe*M*k rows, broadcast) drives the ADC scan,
+    which joins the M-byte code table ON THE CELL KEY — candidates
+    outside probed lists never enter the join (at scale: code table
+    partitioned by cell, lists prune at the scan). Integer nano-unit
+    ADC sums; exact cosine rerank of the top pool."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def l2(a, b):
+        return _l2sq(a, b)
+
+    def coarse_assign(df, cents):
+        j = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_d", l2(F.col("e"), F.col("c")))
+        key = F.struct(F.col("_d"), F.col("cell"))
+        return (j.groupBy("vec_id")
+                .agg(F.min_by(F.col("cell"), key).alias("cell"),
+                     F.first("e").alias("e"))
+                .select("vec_id", "e", "cell"))
+
+    cseeds = emb.where(F.col("vec_id") < _KC).select(
+        F.col("vec_id").alias("cell"), F.col("e").alias("c"))
+    ca1 = coarse_assign(emb, cseeds)
+    coarse = (ca1.select("cell", F.posexplode("e").alias("pos", "v"))
+              .groupBy("cell", "pos").agg(F.round(F.avg("v"), 9).alias("mu"))
+              .groupBy("cell")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("pos", "mu"))).alias("_pm"))
+              .select("cell", F.transform("_pm", lambda s: s["mu"]).alias("c")))
+    assigned = coarse_assign(emb, coarse)
+    res = (assigned.join(F.broadcast(coarse), "cell")
+           .select("vec_id", "cell",
+                   F.zip_with("e", "c", lambda x, y: x - y).alias("r")))
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_M - 1))).alias("m")
+    sub = res.select("vec_id", "r", ms).select(
+        "vec_id", "m",
+        F.slice(F.col("r"), F.col("m") * _DSUB + 1, _DSUB).alias("sv"))
+
+    def pq_assign(svdf, cb):
+        j = svdf.join(F.broadcast(cb), "m").withColumn(
+            "_d", l2(F.col("sv"), F.col("c")))
+        key = F.struct(F.col("_d"), F.col("code"))
+        return (j.groupBy("vec_id", "m")
+                .agg(F.min_by(F.col("code"), key).alias("code")))
+
+    pseeds = (sub.where(F.col("vec_id") < _K)
+              .select("m", F.col("vec_id").alias("code"),
+                      F.col("sv").alias("c")))
+    pa1 = pq_assign(sub, pseeds)
+    pqcb = (pa1.join(sub, ["vec_id", "m"])
+            .select("m", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "code", "pos")
+            .agg(F.round(F.avg("v"), 9).alias("mu"))
+            .groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("pos", "mu"))).alias("_pm"))
+            .select("m", "code",
+                    F.transform("_pm", lambda s: s["mu"]).alias("c")))
+    codes = (pq_assign(sub, pqcb)
+             .join(assigned.select("vec_id", "cell"), "vec_id"))
+
+    qcells = (emb.where(F.col("vec_id") < _NQ)
+              .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+              .crossJoin(F.broadcast(coarse))
+              .withColumn("_d", l2(F.col("qe"), F.col("c")))
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy("q_id").orderBy("_d", "cell")))
+              .where(F.col("_rk") <= _NPROBE)
+              .select("q_id", "cell",
+                      F.zip_with("qe", "c", lambda x, y: x - y).alias("qr")))
+    qsub = qcells.select("q_id", "cell", "qr", ms).select(
+        "q_id", "cell", "m",
+        F.slice(F.col("qr"), F.col("m") * _DSUB + 1, _DSUB).alias("sv"))
+    lut = (qsub.join(F.broadcast(pqcb), "m")
+           .select("q_id", "cell", "m", "code",
+                   F.round(l2(F.col("sv"), F.col("c")) * 1e9)
+                    .cast("long").alias("dsq_nano")))
+    adc = (codes.join(F.broadcast(lut), ["cell", "m", "code"])
+           .where(F.col("vec_id") != F.col("q_id"))
+           .groupBy("q_id", F.col("vec_id").alias("cand_id"), "cell")
+           .agg(F.sum("dsq_nano").cast("long").alias("adc_nano")))
+    w = Window.partitionBy("q_id").orderBy("adc_nano", "cand_id")
+    pool = (adc.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= _POOL).drop("_rk"))
+    qe = emb.select(F.col("vec_id").alias("q_id"), F.col("e").alias("q_e"))
+    ce = emb.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("c_e"))
+    rer = (pool.join(F.broadcast(qe), "q_id").join(ce, "cand_id")
+           .withColumn("_cos", vx.cosine(F.col("c_e"), F.col("q_e"))))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), "cand_id")
+    return (rer.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= _TOPK)
+            .select("q_id", "cand_id", F.col("cell").cast("long").alias("cell"),
+                    F.round(F.col("adc_nano") / 1e9, 6).alias("approx_dsq"),
+                    F.round(F.col("_cos"), 6).alias("cos_sim"),
+                    F.col("rk").cast("long").alias("rk")))
+
+
+# --------------------------------- ExactSubstr deletion lists (dx64)
+
+_ES_N = 5          # anchor gram width (words)
+_ES_MIN_WORDS = 7  # minimum duplicated span length to cut (words)
+_ES_MAX_DF = 20    # anchor document-frequency gate (dx47 convention)
+
+_DX64_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    grams AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(w[pos:pos+{_ES_N - 1}], ' ')) AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - {_ES_N - 1}, 0))) AS pos
+            FROM docs)
+    ),
+    kept AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_ES_MAX_DF}
+    ),
+    occ AS (SELECT grams.* FROM grams JOIN kept USING (g)),
+    m AS (
+      SELECT a.doc_id, b.doc_id AS other, a.pos - b.pos AS diag, a.pos AS pa
+      FROM occ a JOIN occ b ON b.g = a.g AND a.doc_id <> b.doc_id
+    ),
+    islands AS (
+      SELECT doc_id, other, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_id, other, diag
+                                     ORDER BY pa) AS island
+      FROM m
+    ),
+    intervals AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_id, min(pa) AS s, max(pa) + {_ES_N - 1} AS e,
+               count(*) AS run
+        FROM islands GROUP BY doc_id, other, diag, island)
+      WHERE run >= {_ES_MIN_WORDS - _ES_N + 1}
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(
+                    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM intervals
+    ),
+    merged AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM (SELECT doc_id, s, e,
+                   sum(newgrp) OVER (PARTITION BY doc_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS gid
+            FROM flagged)
+      GROUP BY doc_id, gid
+    )
+    SELECT m.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(m.e - m.s + 1) AS BIGINT) AS dup_words,
+           CAST(max(m.e - m.s + 1) AS BIGINT) AS longest_span_words,
+           CAST(t.total_words AS BIGINT) AS total_words,
+           round(sum(m.e - m.s + 1) / CAST(t.total_words AS DOUBLE), 6)
+             AS dup_ratio
+    FROM merged m
+    JOIN (SELECT doc_id, len(w) AS total_words FROM docs) t USING (doc_id)
+    GROUP BY m.doc_id, t.total_words
+"""
+
+
+@query("dx64_exact_substr", sql=_DX64_SQL)
+def dx64_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr deletion lists, summarized per document: how many
+    merged duplicated spans (>= 7 verbatim words shared with any other
+    document), how many words they cover, the longest one, and the
+    duplication ratio. operators/ngram_spans.dup_spans_per_doc does
+    the extraction (df-gated digest joins, per-doc windows only)."""
+    from eth_options_data_pipeline_spark.operators.ngram_spans import (
+        dup_spans_per_doc, ngram_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dup_spans_per_doc(
+        ngram_postings(docs, n=_ES_N),
+        n=_ES_N, min_words=_ES_MIN_WORDS, max_df=_ES_MAX_DF)
+    totals = (docs
+              .where(F.col("text").isNotNull() & (F.length("text") > 0))
+              .select("doc_id",
+                      F.size(F.split("text", " ")).cast("long")
+                      .alias("total_words")))
+    span_len = F.col("e") - F.col("s") + 1
+    return (spans.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(span_len).alias("dup_words"),
+                 F.max(span_len).alias("longest_span_words"))
+            .join(totals, "doc_id")
+            .select("doc_id",
+                    F.col("n_spans").cast("long").alias("n_spans"),
+                    F.col("dup_words").cast("long").alias("dup_words"),
+                    F.col("longest_span_words").cast("long")
+                     .alias("longest_span_words"),
+                    "total_words",
+                    F.round(F.col("dup_words") / F.col("total_words"), 6)
+                     .alias("dup_ratio")))
+
+
+# ------------------------------ streaming budget selection (sx11)
+#
+# The streaming twin of cx04's budget-selection stage (the half of
+# the r09 streaming plan that sx09's containment screen didn't cover):
+# per-quality-bucket token partials maintained through idempotent
+# batch_id landings, the selected set served from state. Selection is
+# a GLOBAL statistic (a late high-quality arrival evicts the lowest
+# selected doc), so serve-from-state is the only retroactively-correct
+# emission — the module doc in streaming/budget_stream.py carries the
+# argument. The oracle replays the selection as one global running sum
+# over the distinct corpus; stream == batch is the invariant.
+
+_SX11_BUDGET = 15_000   # whitespace tokens (~half the 500-doc corpus)
+_SX11_BATCHES = 3
+_SX11_REDELIVER_MOD = 7  # doc_id % 7 == 0 docs re-delivered in slice 3
+
+_SX11_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS quality,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cum AS (
+      SELECT doc_id, quality, toks,
+             sum(toks) OVER (ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, quality, toks, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= {_SX11_BUDGET}
+"""
+
+
+@query("sx11_budget_stream", sql=_SX11_SQL)
+def sx11_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming budget selection, served: three document
+    micro-batches (slice = doc_id % 3, with the doc_id % 7 == 0 docs
+    RE-DELIVERED in the last slice) maintain the per-bucket token
+    partials and doc index through foreachBatch landings (availableNow
+    + checkpoint); the served selection must equal the batch
+    select_to_budget over the distinct corpus. Eager at construction
+    (sx07/sx09 pattern), per-session scratch, stream runs once."""
+    import os
+    import tempfile
+
+    from eth_options_data_pipeline_spark.queries.analytics16 import (
+        _stage_slices,
+    )
+    from eth_options_data_pipeline_spark.streaming.budget_stream import (
+        StreamingBudgetSelection,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    stats = (docs.where(F.col("text").isNotNull())
+             .select("doc_id",
+                     F.col("n_chars").cast("long").alias("quality"),
+                     F.size(F.split("text", " ")).cast("long")
+                     .alias("toks")))
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"budgetstream_face_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)))
+    arrivals = os.path.join(scratch, "in")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    done = os.path.join(scratch, "_done")
+    sel = StreamingBudgetSelection(state, budget=_SX11_BUDGET)
+    if not os.path.isdir(arrivals):
+        def _write(staging: str) -> None:
+            for i in range(_SX11_BATCHES):
+                batch = stats.where(F.col("doc_id") % _SX11_BATCHES == i)
+                if i == _SX11_BATCHES - 1:
+                    batch = batch.unionByName(stats.where(
+                        F.col("doc_id") % _SX11_REDELIVER_MOD == 0))
+                batch.coalesce(1).write.mode("append").parquet(staging)
+        _stage_slices(_write, arrivals)
+    if not os.path.isdir(done):
+        stream = (spark.readStream.schema(stats.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(arrivals))
+        q = sel.start(stream, ckpt)
+        if not q.awaitTermination(300):
+            raise TimeoutError("sx11 budget stream did not finish")
+        os.makedirs(done, exist_ok=True)
+    return sel.selected(spark)

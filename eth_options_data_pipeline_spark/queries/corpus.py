@@ -66,50 +66,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q02_band_filter_project",
-    sql="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-    FROM lineitem
-    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
-    """,
-)
-def q02_band_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 numeric-range predicate + P6 projection (strike band,
-    reference main.py:83-87). Both filter and the 4-column projection
-    push down to the parquet scan (PushedFilters / ReadSchema)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.where(
-        strike_band(F.col("l_quantity"), F.lit(15.0), 100.0 / 3)  # 15*(1±1/3) = [10, 20]
-        & (F.col("l_returnflag") == "R")
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-
-
-@query(
-    "q03_falsy_guard",
-    sql="""
-    SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
-    FROM events
-    WHERE value IS NOT NULL AND value <> 0
-      AND event_type IS NOT NULL AND event_type <> ''
-      AND user_id IS NOT NULL AND user_id <> 0
-      AND event_id IS NOT NULL
-    GROUP BY event_type
-    """,
-)
-def q03_falsy_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 falsy-guard: the reference rejects '' and 0, not just NULL
-    (Python truthiness, main.py:164-166; SURVEY §7.4 trap 7)."""
-    ev = t(spark, sf_dir, "events")
-    guarded = ev.where(
-        null_guard(F.col("event_type").cast("string"), F.col("user_id"),
-                   F.col("event_type"), F.col("value"))
-        & F.col("event_id").isNotNull()
-    )
-    return guarded.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
+# q02_band_filter_project and q03_falsy_guard retired r11 (VERDICT r10
+# item 7, capacity consolidation): q21_options_pipeline's composition
+# exercises the identical strike_band (P3) and null_guard (P2)
+# operators inside its oracle-checked dataflow, and the filter/
+# projection pushdown evidence moved to an operator-level plan test
+# (tests/test_plans.py::test_filter_and_projection_pushdown).
 
 
 @query(
@@ -393,23 +355,9 @@ def q11_symbol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q12_case_when",
-    sql="""
-    SELECT CASE WHEN l_returnflag = 'R' THEN 'Returned' ELSE 'Kept' END AS disposition,
-           l_linestatus, count(*) AS cnt
-    FROM lineitem GROUP BY disposition, l_linestatus
-    """,
-)
-def q12_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 CASE expression ('Call'/'Put' mapping, main.py:196)."""
-    li = t(spark, sf_dir, "lineitem")
-    disp = F.when(F.col("l_returnflag") == "R", F.lit("Returned")).otherwise(F.lit("Kept"))
-    return (
-        li.select(disp.alias("disposition"), "l_linestatus")
-        .groupBy("disposition", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+# q12_case_when retired r11 (VERDICT r10 item 7): F4's CASE mapping is
+# oracle-checked inside q21_options_pipeline (the 'Call'/'Put'
+# disposition column, main.py:196) every time that face runs.
 
 
 @query(

@@ -5,11 +5,14 @@ Everything here is md5-derived, so even the probabilistic operators
 the randomness is a deterministic function of content on both engines.
 
 Round-2 consolidation: the two shuffle-free per-doc signature queries
-(former dx06_minhash_signatures + dx08_simhash) are one battery,
-``dx06_signatures``; the two ANN top-k faces (former vx01_cosine_topk +
-vx02_ann_lsh) are ``vx01_ann_topk`` with a ``method`` tag; the two
-recall evaluations (former vx05_ann_recall + vx06_ann_multiprobe_recall)
-are ``vx05_ann_recall`` with a ``method`` tag.
+(former dx06_minhash_signatures + dx08_simhash) became one battery,
+``dx06_signatures`` — retired again in r11 (VERDICT r10 item 7) into
+the unregistered ``signature_battery`` surface, since dx07/dx10 keep
+both signature kernels driver-checked inside their own plans; the two
+ANN top-k faces (former vx01_cosine_topk + vx02_ann_lsh) are
+``vx01_ann_topk`` with a ``method`` tag; the two recall evaluations
+(former vx05_ann_recall + vx06_ann_multiprobe_recall) are
+``vx05_ann_recall`` with a ``method`` tag.
 """
 
 from __future__ import annotations
@@ -29,24 +32,18 @@ _MH_COLS_SQL = ",\n             ".join(
 )
 
 
-@query(
-    "dx06_signatures",
-    sql=f"""
-    WITH sh AS (SELECT doc_id, text, {_SH} AS sh FROM documents),
-    h AS (SELECT doc_id, sh, {tx.word_hashes_sql('text')} AS hs FROM sh)
-    SELECT doc_id,
-             {_MH_COLS_SQL},
-             {tx.simhash_terms_sql('hs')} AS simhash
-    FROM h
-    """,
-)
-def dx06_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-dedup signature battery — MinHash (k=8) over distinct
-    word-3-gram shingles plus a 32-bit SimHash (md5-prefix word hashes,
-    majority vote per bit), in ONE shuffle-free per-row projection: the
-    document body is read once and never exploded, the 100 TB signature
-    stage. Former dx06_minhash_signatures + dx08_simhash."""
-    docs = load_table(spark, sf_dir, "documents")
+# dx06_signatures retired r11 (VERDICT r10 item 7): the per-row
+# signature projection it exposed is the FIRST STAGE of dx07's
+# oracle-checked plan (same minhash_signature exprs) and of dx10's
+# (same simhash expr), so both signature kernels stay driver-checked;
+# the shuffle-free plan shape is pinned by
+# tests/test_plans.py::test_signature_ops_are_shuffle_free over the
+# same operator composition.
+def signature_battery(docs) -> "DataFrame":
+    """MinHash (k=8) over distinct word-3-gram shingles plus a 32-bit
+    SimHash, in ONE shuffle-free per-row projection — the 100 TB
+    signature stage, kept as the operator-level surface (used by the
+    plan test above and available to pipelines directly)."""
     sh = docs.select("doc_id", "text", tx.word_shingles(F.col("text")).alias("sh"))
     mh = tx.minhash_signature(F.col("sh"))
     return sh.select(

@@ -39,19 +39,24 @@ Q_FACE_STALENESS = 4
 WINDOW_SIZE = 50
 
 # Per-class staleness limits (round-10 capacity refinement, extending
-# VERDICT r09 item 3's q-face demotion). Rationale: any face at
-# post-window staleness >= MAX_STALENESS enters the local sf0.01
-# driver-scale sweep (tests/test_corpus_oracle.py uses the GLOBAL
-# limit on purpose), which runs at the driver's own scale — so between
-# driver rows the marginal risk of one extra round is environmental,
-# not computational. The tight limit stays on the classes hardest to
+# VERDICT r09 item 3's q-face demotion; dx/qx widened 3 -> 4 in r11
+# alongside the face consolidation, VERDICT r10 item 7). Rationale:
+# any dx/qx/vx/cx face at post-window staleness >= MAX_STALENESS
+# enters the local sf0.01 driver-scale sweep
+# (tests/test_corpus_oracle.py), which runs at the driver's own scale
+# every local run — so between driver rows the marginal risk of extra
+# rounds is environmental, not computational, for any deterministic
+# batch face. The tight limit stays on the classes hardest to
 # re-verify locally: sx (streaming replays with scratch/checkpoint
 # state), cx (multi-kernel compositions), vx (rounding-sensitive
 # numeric kernels), mm (Arrow FFI plumbing). The batch dx kernels and
 # the qx format/scratch roundtrips — deterministic single-plan faces
-# the sweep covers convincingly — carry 3; plain relational q-faces 4.
-_CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 3, "vx": 2, "mm": 2,
-                    "qx": 3}
+# the sweep covers convincingly, at driver scale, every run while they
+# wait — carry 4, the same window the plain relational q-faces get
+# (whose sweep membership r11 dropped precisely because they have no
+# scale-sensitive guarantee to re-check).
+_CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 4, "vx": 2, "mm": 2,
+                    "qx": 4}
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1,13 +1,21 @@
 """Every oracle-backed corpus query must match DuckDB exactly at
 sf0.001 (the driver runs the same comparison at sf0.01), plus a
-driver-scale sf0.01 sweep over the faces at the freshness-policy
-staleness limit and the §2 regression core (see _driver_scale_names —
-roughly +2-3 min of wall time over the sf0.001-only suite; set
-RUN_SF001_SWEEP=1 for the full registry sf0.01 sweep, ~+5 min)."""
+driver-scale sf0.01 sweep over the SCALE-SENSITIVE faces at the
+freshness-policy staleness limit and the §2 regression core (see
+_driver_scale_names — roughly +1-2 min of wall time over the
+sf0.001-only suite; set RUN_SF001_SWEEP=1 for the full registry
+sf0.01 sweep, ~+5 min).
+
+Coverage delta since r11: plain-relational q-faces no longer enter
+the sf0.01 sweep at their staleness limit — an exact-relational plan
+has no scale-dependent guarantee to break (the dx36 lesson the sweep
+exists for), and each q-face keeps its every-run sf0.001 parity row
+plus a driver-scale row at most 4 rounds old."""
 
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -76,16 +84,26 @@ def _driver_scale_names():
     if os.environ.get("RUN_SF001_SWEEP"):
         return ORACLE_QUERIES
     # Deliberately the GLOBAL MAX_STALENESS, not the per-class limit:
-    # the plain-relational q-faces' demotion to staleness 4 (VERDICT
-    # r09 item 3) is justified BY this sweep — once any face is 2+
-    # rounds past its driver row it earns the local sf0.01 check,
-    # so a q-face waiting out rounds 2..4 stays driver-scale-covered
-    # the whole time.
+    # the sketch/stream/vector faces' demotion windows are justified BY
+    # this sweep — once such a face is 2+ rounds past its driver row it
+    # earns the local sf0.01 check.
+    #
+    # Coverage delta (r11 suite-budget trim, VERDICT r10 item 1):
+    # plain-relational q-faces are EXCLUDED from the driver-scale
+    # sweep even at their staleness limit. Rationale: the dx36 lesson
+    # this sweep exists for — guarantees that hold at sf0.001 but
+    # break above (sketch saturation, sample sizes, df caps, bucket
+    # caps) — cannot bite an exact-relational plan: a q-face computes
+    # the same exact SQL at every scale, its sf0.001 parity row (every
+    # local run) plus its r<=4-stale driver row at sf0.01 already pin
+    # both engines at both scales. Scale-sensitive faces (every dx/
+    # qx/vx/cx class, which is where all sketches, caps and samples
+    # live) keep the sweep; so does the §2 regression core.
     at_limit = {
         name
         for name, _lr, stale, _inw in wp.age_table(
             list(REGISTRY), qmod._WINDOW_PRIORITY)
-        if stale >= wp.MAX_STALENESS
+        if stale >= wp.MAX_STALENESS and not re.match(r"q\d", name)
     }
     keep = at_limit | set(qmod.REGRESSION_CORE)
     return [n for n in ORACLE_QUERIES if n in keep]

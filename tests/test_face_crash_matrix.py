@@ -236,3 +236,62 @@ def test_sx10_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
     want = _rows(analytics18.sx10_stream_quantiles(spark, sf))
     shutil.rmtree(os.path.join(_scratch(spark, "squant_face", sf), "_done"))
     assert _rows(analytics18.sx10_stream_quantiles(spark, sf)) == want
+
+
+# ------------------- round-11 face: sx11 (budget selection) -------------------
+
+def _sx11_want(spark, sf_dir):
+    """Batch truth: select_to_budget over the distinct corpus, same
+    column order as the served face."""
+    from eth_options_data_pipeline_spark.operators.selection import (
+        select_to_budget,
+    )
+    from eth_options_data_pipeline_spark.queries.analytics20 import (
+        _SX11_BUDGET,
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    stats = (docs.where(F.col("text").isNotNull())
+             .select("doc_id",
+                     F.col("n_chars").cast("long").alias("quality"),
+                     F.size(F.split("text", " ")).cast("long").alias("toks")))
+    sel = select_to_budget(stats, "quality", "toks", _SX11_BUDGET)
+    return _rows(sel.select("doc_id", "quality", "toks",
+                            F.col("cum_tokens").cast("long")))
+
+
+def test_sx11_mid_stream_crash_resumes_from_checkpoint(
+        spark, sf_small, tmp_path, monkeypatch):
+    from eth_options_data_pipeline_spark.queries import analytics20
+    from eth_options_data_pipeline_spark.streaming.budget_stream import (
+        StreamingBudgetSelection,
+    )
+    sf = _linked_sf(tmp_path, sf_small, "sx11streamcrash")
+    real = StreamingBudgetSelection._process_batch
+
+    def crashing(self, batch_df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected crash at batch 1")
+        real(self, batch_df, batch_id)
+
+    monkeypatch.setattr(StreamingBudgetSelection, "_process_batch", crashing)
+    with pytest.raises(Exception):
+        analytics20.sx11_budget_stream(spark, sf)
+    monkeypatch.setattr(StreamingBudgetSelection, "_process_batch", real)
+    got = _rows(analytics20.sx11_budget_stream(spark, sf)
+                .select("doc_id", "quality", "toks", "cum_tokens"))
+    assert got == _sx11_want(spark, sf)
+
+
+def test_sx11_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
+    from eth_options_data_pipeline_spark.queries import analytics20
+    sf = _linked_sf(tmp_path, sf_small, "sx11donecrash")
+    want = _sx11_want(spark, sf)
+    sel = analytics20.sx11_budget_stream(spark, sf).select(
+        "doc_id", "quality", "toks", "cum_tokens")
+    assert _rows(sel) == want
+    shutil.rmtree(os.path.join(
+        _scratch(spark, "budgetstream_face", sf), "_done"))
+    again = analytics20.sx11_budget_stream(spark, sf).select(
+        "doc_id", "quality", "toks", "cum_tokens")
+    assert _rows(again) == want

@@ -72,3 +72,76 @@ def test_min_matched_threshold(spark):
     assert span_dup_pairs(postings, n=5, min_matched=3).collect() == []
     hit = span_dup_pairs(postings, n=5, min_matched=2).collect()
     assert len(hit) == 1 and hit[0].longest_run_words == 6
+
+
+# ------------------------- per-doc deletion lists (dup_spans_per_doc)
+
+def _spans(spark, rows, min_words=7, max_df=20):
+    from eth_options_data_pipeline_spark.operators.ngram_spans import (
+        dup_spans_per_doc,
+    )
+    docs = _docs(spark, rows)
+    out = dup_spans_per_doc(ngram_postings(docs, n=5), n=5,
+                            min_words=min_words, max_df=max_df).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r.doc_id, []).append((r.s, r.e))
+    return {d: sorted(v) for d, v in spans.items()}
+
+
+def test_identical_docs_whole_doc_is_one_span(spark):
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    spans = _spans(spark, [(1, text), (2, text)])
+    # everything is duplicated: ONE merged span covering all 10 words,
+    # on both sides of the pair
+    assert spans == {1: [(1, 10)], 2: [(1, 10)]}
+
+
+def test_overlapping_islands_merge_into_one_span(spark):
+    # doc 1 shares words 1..9 with doc 2 and words 6..14 with doc 3:
+    # two different partners, overlapping coverage -> ONE merged
+    # deletion span 1..14 for doc 1
+    a = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    b = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    doc1 = f"{a} {b}"  # words 1..9 = a, 10..18 = b... b starts at 10
+    spans = _spans(spark, [
+        (1, doc1),
+        (2, f"x1 x2 {a} y1 y2"),
+        (3, f"z1 {b} z2 z3"),
+    ])
+    # doc1: span from a (1..9) and span from b (10..18) are ADJACENT
+    # (10 > 9), so they stay two spans — but dup coverage is exact
+    assert spans[1] == [(1, 9), (10, 18)]
+    assert spans[2] == [(3, 11)]
+    assert spans[3] == [(2, 10)]
+
+
+def test_truly_overlapping_intervals_merge(spark):
+    # doc 1's words 1..10 duplicated in doc 2; words 5..14 in doc 3:
+    # intervals [1,10] and [5,14] overlap -> one merged span [1,14]
+    w = [f"c{i}" for i in range(1, 19)]
+    doc1 = " ".join(w)
+    part_a = " ".join(w[0:10])    # words 1..10
+    part_b = " ".join(w[4:14])    # words 5..14
+    spans = _spans(spark, [
+        (1, doc1),
+        (2, f"pad1 pad2 {part_a}"),
+        (3, f"{part_b} tail1 tail2"),
+    ])
+    assert spans[1] == [(1, 14)]
+
+
+def test_short_span_below_min_words_is_cut(spark):
+    # exactly one shared 5-gram = 5 words < min_words=7 -> no span
+    run = "k1 k2 k3 k4 k5"
+    spans = _spans(spark, [
+        (1, f"{run} aaa bbb ccc ddd"),
+        (2, f"xxx yyy {run} zzz www"),
+    ])
+    assert spans == {}
+    # at min_words=5 the same pair DOES surface
+    spans5 = _spans(spark, [
+        (1, f"{run} aaa bbb ccc ddd"),
+        (2, f"xxx yyy {run} zzz www"),
+    ], min_words=5)
+    assert spans5[1] == [(1, 5)] and spans5[2] == [(3, 7)]

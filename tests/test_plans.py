@@ -41,7 +41,17 @@ def global_window_lines(p: str) -> list[str]:
     return out
 
 def test_filter_and_projection_pushdown(spark, sf_small):
-    df = REGISTRY["q02_band_filter_project"].fn(spark, sf_small)
+    """P3 band filter + P6 projection (the retired q02 face's plan
+    evidence, kept at operator level): both must reach the parquet
+    scan as PushedFilters / a pruned ReadSchema."""
+    from eth_options_data_pipeline_spark.operators.filters import strike_band
+    from eth_options_data_pipeline_spark.sources import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    df = li.where(
+        strike_band(F.col("l_quantity"), F.lit(15.0), 100.0 / 3)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     p = plan(df)
     assert "PushedFilters: [" in p
     assert "IsNotNull(l_quantity)" in p or "GreaterThanOrEqual(l_quantity" in p
@@ -73,13 +83,17 @@ def test_sort_limit_is_take_ordered(spark, sf_small):
 
 def test_signature_ops_are_shuffle_free(spark, sf_small):
     """MinHash signatures and SimHash are per-row projections — no
-    key-based shuffle may appear. (A single round-robin exchange is the
-    loader's small-input spreading; on real multi-split inputs it does
-    not fire.)"""
-    for name in ("dx06_signatures",):
-        p = plan(REGISTRY[name].fn(spark, sf_small))
-        assert "Exchange hashpartitioning" not in p, f"{name} plan shuffles:\n{p}"
-        assert p.count("Exchange roundrobin") <= 1
+    key-based shuffle may appear (the retired dx06 face's plan
+    evidence, kept over the same operator composition). (A single
+    round-robin exchange is the loader's small-input spreading; on
+    real multi-split inputs it does not fire.)"""
+    from eth_options_data_pipeline_spark.queries.fuzzy import signature_battery
+    from eth_options_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    p = plan(signature_battery(docs))
+    assert "Exchange hashpartitioning" not in p, f"signature plan shuffles:\n{p}"
+    assert p.count("Exchange roundrobin") <= 1
 
 
 def test_keep_last_single_shuffle(spark, sf_small):
@@ -479,12 +493,17 @@ def test_orc_roundtrip_read_partition_prunes(all_plans):
 #                  TakeOrderedAndProject already bounded
 #   dx55/dx57      rank over the top-k pair candidates / the 1-row
 #                  per-round merge pick
+#   sx11           the <=|quality-buckets|-row merged bucket-totals
+#                  table of the served prefix sum (the doc side is
+#                  partitioned by bucket — the dx16 decomposition with
+#                  statically-known ranges)
 _BOUNDED_GLOBAL_WINDOW_FACES = {
     "q08_expiry_ladder", "q09_friday_ladder",
     "dx16_select_to_budget", "cx01_corpus_pipeline",
     "cx04_token_budget_pack",
     "dx45_bm25_topk", "dx46_hybrid_rrf",
     "dx55_bpe_pairs", "dx57_bpe_train",
+    "sx11_budget_stream",
 }
 
 
@@ -552,6 +571,21 @@ def test_sharded_bloom_confirm_is_shuffle_not_broadcast(all_plans):
     assert "ShuffledHashJoin" in p, p
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "bit_or" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivfadc_scan_is_list_pruned(all_plans):
+    """vx07: the ADC scan join carries the coarse CELL in its keys —
+    only code rows in probed lists enter the join (at scale: code
+    table partitioned by cell => list pruning at the scan); distances
+    ride as integer nano-units over codes, never raw embeddings; the
+    only nested-loop joins are broadcasts of the 16-row centroid
+    table (the vx04 convention)."""
+    import re
+
+    p = all_plans["vx07_ivfadc"]
+    assert re.search(r"BroadcastHashJoin \[cell#\d+L?, m#\d+, code#", p), p
+    assert "dsq_nano" in p
     assert "CartesianProduct" not in p
 
 

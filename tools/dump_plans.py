@@ -17,14 +17,11 @@ from eth_options_data_pipeline_spark.queries import REGISTRY
 from eth_options_data_pipeline_spark.session import get_spark
 
 HEADLINERS = {
-    "q02_band_filter_project": "filter + projection pushdown reach the parquet scan "
-                               "(PushedFilters / pruned ReadSchema)",
     "q19_region_revenue": "dimension chain broadcast — the fact table never shuffles "
                           "for the joins; the only exchange is the final small groupBy",
     "q06_keep_last": "keep-last dedup: exactly one hash shuffle on the key",
     "q20_topk_per_group": "WindowGroupLimit pushes rk<=2 into the sort",
     "q16_multisort_limit": "sort+limit plans as TakeOrderedAndProject (no global sort)",
-    "dx06_signatures": "MinHash + SimHash signatures are per-row array expressions — no key shuffle",
     "dx07_minhash_lsh_pairs": "LSH bucket join shuffles band digests, never documents",
     "q21_options_pipeline": "the reference dataflow as ONE Catalyst plan (ladder is a "
                             "broadcast semi-join subtree)",
