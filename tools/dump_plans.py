@@ -90,6 +90,16 @@ HEADLINERS = {
     "dx63_pergroup_ols": "closed-form OLS per group: five exact int64 sufficient sums "
                          "in one partial+final aggregate — a single keyed exchange of "
                          "five numbers per group, the regression math post-aggregate",
+    "dx65_sharded_bloom": "sharded Bloom past the single-bitset cap: (shard, word) "
+                          "broadcast bit probes prune >1M-member lookups map-side; the "
+                          "exact confirm is a ShuffledHashJoin of survivors only — the "
+                          "large-reference plan where member strings never broadcast",
+    "vx07_ivfadc": "IVFADC: broadcast coarse centroids + PQ codebook over residuals; "
+                   "the ADC scan joins the M-byte code table ON THE CELL KEY, so only "
+                   "probed inverted lists enter the join; exact rerank on the top pool",
+    "dx64_exact_substr": "ExactSubstr deletion lists: digest-only anchor joins, "
+                         "per-(doc, partner, diagonal) island windows, per-doc interval "
+                         "merge — no global window, text never leaves the scan stage",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
