@@ -82,18 +82,27 @@ def all_plans_raw(spark, sf_small):
     means an operator API drift fails test_all_faces_compile with the
     face's NAME instead of erroring unrelated sweeps at fixture setup
     (VERDICT r07 item 5 — the dx26 lesson)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from eth_options_data_pipeline_spark.queries import REGISTRY
 
-    out: dict[str, tuple] = {}
-    for name, spec in REGISTRY.items():
+    def compile_one(item):
+        name, spec = item
         try:
             df = spec.fn(spark, sf_small)
             # the DataFrame rides along so the sf0.001 oracle-parity
             # sweep can reuse it instead of re-constructing every face
-            # (construction + analysis is ~0.3s x 111 faces)
-            out[name] = (df, df._jdf.queryExecution().executedPlan().toString(), None)
+            # (construction + analysis is ~0.3s x 120+ faces)
+            return name, (df, df._jdf.queryExecution().executedPlan().toString(), None)
         except Exception as exc:  # noqa: BLE001 — reported by name in the tripwire;
             # KeyboardInterrupt/SystemExit must abort the session, not be
             # recorded as a per-face compile failure (ADVICE r08)
-            out[name] = (None, None, exc)
-    return out
+            return name, (None, None, exc)
+
+    # 8 compile threads (r11 suite-budget cut: 57s serial -> ~15s):
+    # py4j's gateway is thread-safe, Catalyst analysis happens JVM-side
+    # per-thread, and the eager faces' scratch dirs are per-face so
+    # concurrent construction never collides. Results keyed by name, so
+    # completion order is irrelevant.
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(compile_one, REGISTRY.items()))
