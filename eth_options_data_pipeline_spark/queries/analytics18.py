@@ -217,16 +217,20 @@ def qx52_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S2 format matrix, ORC leg: partitioned ORC sink + partition-
     pruned read-back (the filter prunes to the lang=en directory
     before any ORC file is opened). Eager at construction, per-session
-    scratch overwritten on every run — an unconditional
-    mode('overwrite') write, so a crash mid-write can never leave a
-    partial tree that a later invocation silently reads as complete
-    (the hazard _stage_slices documents)."""
+    scratch written ONCE through the _stage_slices staging+rename, so
+    a crash mid-write leaves only a staging tree the next invocation
+    discards — never a partial target an isdir guard would mistake
+    for complete (ADVICE r10), and re-runs in the same session serve
+    the already-complete tree instead of rewriting it."""
     docs = load_table(spark, sf_dir, "documents")
     out = os.path.join(
         tempfile.gettempdir(),
         f"orc_rt_{spark.sparkContext.applicationId}",
         os.path.basename(os.path.normpath(sf_dir)), "t")
-    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    if not os.path.isdir(out):
+        _stage_slices(
+            lambda staging: docs.write.partitionBy("lang").orc(staging),
+            out)
     back = spark.read.orc(out).where(F.col("lang") == "en")
     return back.select(
         "doc_id", "source", "lang",

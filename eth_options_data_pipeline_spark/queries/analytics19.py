@@ -132,28 +132,35 @@ def dx62_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # power-of-two shards (each its own <=2 MiB bitset, keyed by a
 # row-local hash of the value), and a confirm join run WITHOUT a
 # broadcast — the shuffle carries only bloom survivors, which is the
-# honest 100 TB plan when the member strings no longer broadcast. The
-# member set is synthesized deterministically from lineitem keys
-# (distinct (orderkey, linenumber) x _DX65_AMP suffixes: >1M members at
-# sf0.01, the driver's correctness scale, where the layout is 2 shards
-# x 2^24 bits); probes come from orders keys, ~2/3 in-set. The layout
-# is emitted as guarantee columns (qx28/qx48 convention) whose closed
-# form the oracle reproduces with exact integer math
+# honest 100 TB plan when the member strings no longer broadcast.
+#
+# The member set models what a real blocklist is: FIXED-SIZE relative
+# to the corpus — a benchmark union or URL denylist does not grow when
+# the crawl does. It is synthesized deterministically from a pinned
+# 500-document reference slice (doc_id < _DX65_REF_DOCS, present at
+# every sf) x _DX65_PER_DOC suffixes = 1.1M members at EVERY scale, so
+# the sharded layout (2 shards x 2^24 bits) is exercised by every
+# local run AND the sf0.01 driver check, while the PROBE side (orders
+# keys x _DX65_PROBE_AMP) scales with the corpus — the actual 100 TB
+# axis. ~Half the probes are in-set (o_orderkey % 1000 < 500). The
+# layout is emitted as guarantee columns (qx28/qx48 convention) whose
+# closed form the oracle reproduces with exact integer math
 # (length(bin(16n-1)) == ceil(log2(16n))).
 
-_DX65_AMP = 24        # member suffixes per distinct lineitem key
-_DX65_PROBE_AMP = 36  # probe suffixes per order (s >= AMP miss by design)
+_DX65_REF_DOCS = 500   # pinned reference slice: doc_id < 500
+_DX65_PER_DOC = 2200   # member suffixes per reference doc (-> 1.1M)
+_DX65_PROBE_AMP = 36   # probe suffixes per order
 _DX65_K = 3
 
 _DX65_SQL = f"""
     WITH m AS (
-      SELECT DISTINCT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR
-               || '-' || s::VARCHAR AS member
-      FROM lineitem CROSS JOIN (SELECT unnest(range({_DX65_AMP})) AS s)
+      SELECT b.doc_id::VARCHAR || '-' || s::VARCHAR AS member
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {_DX65_REF_DOCS}) b
+      CROSS JOIN (SELECT unnest(range({_DX65_PER_DOC})) AS s)
     ),
     p AS (
       SELECT o_orderpriority,
-             o_orderkey::VARCHAR || '-1-' || s::VARCHAR AS member
+             (o_orderkey % 1000)::VARCHAR || '-' || s::VARCHAR AS member
       FROM orders CROSS JOIN (SELECT unnest(range({_DX65_PROBE_AMP})) AS s)
     ),
     layout AS (
@@ -186,33 +193,39 @@ _DX65_SQL = f"""
 @query("dx65_sharded_bloom", sql=_DX65_SQL)
 def dx65_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-Bloom membership screen past the single-bitset cap:
-    >1M synthetic members (sf0.01) lay out as 2 shards x 2^24 bits
+    a FIXED 1.1M-member reference set (a blocklist doesn't grow with
+    the corpus) lays out as 2 shards x 2^24 bits at every sf
     (operators/bloom.py bloom_layout — achieved bits/element and
-    implied FP rate ride along as guarantee columns), probes prune
-    through k=3 broadcast (shard, word) bit tests, and the exact
-    confirm join runs as a SHUFFLE join of the survivors — the
-    large-reference plan where the member strings must never
-    broadcast. Served counts are exactly the plain intersection's (no
-    false negatives), which is what the bloomless oracle computes."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber")
-    members = (li.select(
-        "l_orderkey", "l_linenumber",
-        F.explode(F.sequence(F.lit(0), F.lit(_DX65_AMP - 1))).alias("s"))
-        .select(F.concat_ws("-", "l_orderkey", "l_linenumber", "s")
-                .alias("member"))
-        .distinct()
-        # three consumers (sizing count, bitset build, confirm join):
-        # checkpoint once, released by the ContextCleaner afterwards
-        .localCheckpoint(eager=False))
-    n = members.count()
+    implied FP rate ride along as guarantee columns), the corpus-
+    scaled probe stream prunes through k=3 broadcast (shard, word)
+    bit tests, and the exact confirm join runs as a SHUFFLE join of
+    the survivors — the large-reference plan where the member strings
+    must never broadcast. Served counts are exactly the plain
+    intersection's (no false negatives), which is what the bloomless
+    oracle computes."""
+    # the pinned reference slice: 500 doc keys, amplified in-line to
+    # 1.1M member strings by every consumer — a pure map-side
+    # projection over a tiny base, so nothing big is ever stored,
+    # deduplicated, or checkpointed (members are distinct by
+    # construction: unique doc_id x unique suffix)
+    base = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < _DX65_REF_DOCS)
+            .select("doc_id")
+            .localCheckpoint(eager=False))
+    amp = F.explode(
+        F.sequence(F.lit(0), F.lit(_DX65_PER_DOC - 1))).alias("s")
+    members = (base.select("doc_id", amp)
+               .select(F.concat_ws("-", "doc_id", "s").alias("member")))
+    # |members| = |base| * PER_DOC exactly, so sizing needs one count
+    # of the 500-row side only
+    n = base.count() * _DX65_PER_DOC
     n_shards, m_bits = bloom_layout(n)
     probe = (load_table(spark, sf_dir, "orders")
              .select("o_orderpriority", "o_orderkey",
                      F.explode(F.sequence(
                          F.lit(0), F.lit(_DX65_PROBE_AMP - 1))).alias("s"))
              .select("o_orderpriority",
-                     F.concat_ws("-", "o_orderkey", F.lit(1), "s")
+                     F.concat_ws("-", F.col("o_orderkey") % 1000, "s")
                      .alias("member")))
     bloom = bloom_build(members, "member", m_bits,
                         k=_DX65_K, n_shards=n_shards)

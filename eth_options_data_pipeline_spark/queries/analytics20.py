@@ -222,8 +222,16 @@ def vx07_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("cell")
               .agg(F.array_sort(F.collect_list(
                   F.struct("pos", "mu"))).alias("_pm"))
-              .select("cell", F.transform("_pm", lambda s: s["mu"]).alias("c")))
-    assigned = coarse_assign(emb, coarse)
+              .select("cell", F.transform("_pm", lambda s: s["mu"]).alias("c"))
+              # localCheckpoint the tiny trained artifacts (16-row
+              # centroids, 500-row assignment, M*k-row codebook,
+              # M-rows/vector codes): each is referenced by several
+              # downstream branches, and without truncation Catalyst
+              # re-expands the whole training subtree per reference —
+              # at 100 TB these ARE the broadcast-side artifacts a real
+              # pipeline would persist after training
+              .localCheckpoint(eager=False))
+    assigned = coarse_assign(emb, coarse).localCheckpoint(eager=False)
     res = (assigned.join(F.broadcast(coarse), "cell")
            .select("vec_id", "cell",
                    F.zip_with("e", "c", lambda x, y: x - y).alias("r")))
@@ -251,9 +259,11 @@ def vx07_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_sort(F.collect_list(
                 F.struct("pos", "mu"))).alias("_pm"))
             .select("m", "code",
-                    F.transform("_pm", lambda s: s["mu"]).alias("c")))
+                    F.transform("_pm", lambda s: s["mu"]).alias("c"))
+            .localCheckpoint(eager=False))
     codes = (pq_assign(sub, pqcb)
-             .join(assigned.select("vec_id", "cell"), "vec_id"))
+             .join(assigned.select("vec_id", "cell"), "vec_id")
+             .localCheckpoint(eager=False))
 
     qcells = (emb.where(F.col("vec_id") < _NQ)
               .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
