@@ -230,3 +230,25 @@ def test_group_ols_constant_x_slope_is_null(spark):
                                "g string, x long, y long")
     row = group_ols(df, ["g"], "x", "y").collect()[0]
     assert row["slope"] is None and row["intercept"] is None
+
+
+def test_bloom_layout_matches_oracle_sql_formula():
+    """dx65's oracle reproduces bloom_layout with exact integer math:
+    e = length(bin(16n-1)) clamped at 12, bits = 1<<min(e,24),
+    shards = 1<<min(max(e-24,0),10). Sweep the formula pair across
+    member counts (including exact powers of two, where a float
+    log2 would be one ULP from flipping) so the two engines can never
+    silently disagree on the guarantee columns."""
+    import duckdb
+
+    ns = [1, 2, 255, 256, 4096, 100_000, 1_048_576, 1_048_577,
+          1_100_000, 2 ** 21, 2 ** 21 + 1, 3_000_000, 50_000_000,
+          (1 << 30) // 16, (1 << 30) // 16 + 1]
+    con = duckdb.connect()
+    for n in ns:
+        shards, m = bloom_layout(n)
+        e_sql, = con.execute(
+            f"SELECT greatest(length(bin(16 * {n} - 1)), 12)").fetchone()
+        m_sql = 1 << min(e_sql, 24)
+        shards_sql = 1 << min(max(e_sql - 24, 0), 10)
+        assert (shards_sql, m_sql) == (shards, m), (n, shards, m, e_sql)
