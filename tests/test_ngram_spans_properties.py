@@ -67,3 +67,83 @@ def test_span_pairs_match_bruteforce(spark, texts):
     }
     want = _ref(texts, N, min_matched=2, max_df=4)
     assert got == want
+
+
+def _ref_spans(texts: list[str], n: int, min_words: int, max_df: int):
+    """Brute-force dup_spans_per_doc: per doc, union every word
+    position covered by a >=min_words shared run with any other doc,
+    then read the merged intervals off the covered set."""
+    min_run = max(min_words - n + 1, 1)
+    grams = defaultdict(list)
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ") if text else []
+        for i in range(len(words) - n + 1):
+            grams[tuple(words[i:i + n])].append((doc_id, i + 1))
+    matches = defaultdict(lambda: defaultdict(list))  # doc -> (other, diag) -> [pa]
+    for occ in grams.values():
+        docs = {d for d, _ in occ}
+        if not (2 <= len(docs) <= max_df):
+            continue
+        for da, pa in occ:
+            for db, pb in occ:
+                if da != db:
+                    matches[da][(db, pa - pb)].append(pa)
+    covered = defaultdict(set)  # doc -> {word position}
+    for doc_id, diags in matches.items():
+        for pas in diags.values():
+            pas = sorted(set(pas))
+            start = prev = pas[0]
+            runs = []
+            for cur in pas[1:]:
+                if cur == prev + 1:
+                    prev = cur
+                else:
+                    runs.append((start, prev))
+                    start = prev = cur
+            runs.append((start, prev))
+            for s, e in runs:
+                if e - s + 1 >= min_run:
+                    covered[doc_id].update(range(s, e + n))  # words s..e+n-1
+    out = {}
+    for doc_id, pos in covered.items():
+        pos = sorted(pos)
+        spans = []
+        start = prev = pos[0]
+        for cur in pos[1:]:
+            if cur == prev + 1:
+                prev = cur
+            else:
+                spans.append((start, prev))
+                start = prev = cur
+        spans.append((start, prev))
+        out[doc_id] = spans
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(DOC, min_size=2, max_size=6))
+def test_dup_spans_cover_exactly_the_bruteforce_word_set(spark, texts):
+    """dx64's kernel: the merged per-doc intervals must cover exactly
+    the word positions a brute-force all-pairs run scan marks as
+    duplicated (>= min_words). Interval MERGING may join adjacent
+    spans the reference lists separately, so compare covered SETS —
+    plus non-overlap/sortedness of the emitted intervals."""
+    from eth_options_data_pipeline_spark.operators.ngram_spans import (
+        dup_spans_per_doc,
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = defaultdict(list)
+    for r in dup_spans_per_doc(ngram_postings(docs, n=N), n=N,
+                               min_words=N + 1, max_df=4).collect():
+        got[r.doc_id].append((r.s, r.e))
+    want = _ref_spans(texts, N, min_words=N + 1, max_df=4)
+    got_cov = {d: set().union(*[set(range(s, e + 1)) for s, e in v])
+               for d, v in got.items()}
+    want_cov = {d: set().union(*[set(range(s, e + 1)) for s, e in v])
+                for d, v in want.items()}
+    assert got_cov == want_cov
+    for spans in got.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # emitted intervals never overlap
