@@ -43,12 +43,12 @@ from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
 
 _KC = 16       # coarse centroids (IVF cells; seeds vec_id < 16)
-_NPROBE = 2    # probed cells per query
+_NPROBE = 3    # probed cells per query
 _M = 4         # PQ subspaces
 _DSUB = 16     # dims per subspace (4 x 16 = 64)
 _K = 8         # codewords per subspace (seeds vec_id < 8)
 _NQ = 3        # queries: vec_id < 3
-_POOL = 10     # ADC candidate pool per query
+_POOL = 40     # ADC candidate pool per query (recall-tuned: see test_vx07_recall_floor)
 _TOPK = 3      # final exact-reranked neighbors
 
 
