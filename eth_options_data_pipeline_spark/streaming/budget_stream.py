@@ -37,6 +37,10 @@ ascending bucket order IS descending quality order, and the
 same total order the batch operator uses — the served set is
 bit-identical to a from-scratch select_to_budget over every distinct
 row ever streamed, which is what sx11's oracle checks.
+
+No counterpart in the reference (row-oriented options pipeline,
+main.py:43-351); extends the training-data curation family's
+selection stage (operators/selection.py) to streams.
 """
 
 from __future__ import annotations
