@@ -71,7 +71,7 @@ def screen_batch(new_docs: DataFrame, history_docs: DataFrame,
     the candidate list — Spark prunes it to the matched side of a hash
     join; the full history is never re-shingled.
     """
-    new_sh = _shingled(new_docs, id_col, text_col).cache()
+    new_sh = _shingled(new_docs, id_col, text_col).localCheckpoint(eager=False)
     new_bands = _bands(new_sh)
 
     hist_cand = (

@@ -70,4 +70,5 @@ def overlap_matrix(df: DataFrame, group_col: str, distinct_col: str) -> DataFram
     sides and the raw table is scanned twice; with it the raw scan runs
     once and the join replays |groups| cached rows."""
     return pairwise_overlap(
-        group_sketches(df, group_col, distinct_col).cache(), group_col)
+        group_sketches(df, group_col, distinct_col)
+        .localCheckpoint(eager=False), group_col)

@@ -351,7 +351,8 @@ def dx40_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eth_options_data_pipeline_spark.operators.splits import leakage_safe_split
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh")).cache()
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))\
+        .localCheckpoint(eager=False)
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
     bands = sig.select(

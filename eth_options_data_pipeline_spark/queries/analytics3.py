@@ -137,7 +137,8 @@ def dx10_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # cached: banding + both Jaccard-verify sides re-consume the shingle
     # arrays; recomputing the per-char transform 3x dominates cost
-    csh = docs.select("doc_id", tx.char_shingles("text").alias("sh")).cache()
+    csh = docs.select("doc_id", tx.char_shingles("text").alias("sh"))\
+        .localCheckpoint(eager=False)
 
     # -- char_brute: bounded slice, all pairs. coalesce(1): the slice is
     # 60 rows; a cartesian self-join of two 32-partition sides schedules
@@ -199,7 +200,8 @@ def dx10_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row signature projection (a full pass over every word of every
     # document) is the expensive half of this branch; the cached table
     # is 16 bytes/doc
-    ssig = docs.select("doc_id", tx.simhash(F.col("text")).alias("simhash")).cache()
+    ssig = docs.select("doc_id", tx.simhash(F.col("text")).alias("simhash"))\
+        .localCheckpoint(eager=False)
     sbk = ssig.withColumn("bucket", (F.col("simhash") / 65536).cast("long"))
     sa, sc = sbk.alias("a"), sbk.alias("c")
     ham = tx.hamming32(F.col("a.simhash"), F.col("c.simhash"))

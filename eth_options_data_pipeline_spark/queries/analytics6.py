@@ -82,7 +82,7 @@ def dx12_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token stream — one materialization instead of three explodes
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
-    ).cache()
+    ).localCheckpoint(eager=False)
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tokens.select(F.countDistinct("doc_id").alias("n_docs"))

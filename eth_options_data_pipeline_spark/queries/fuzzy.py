@@ -88,7 +88,8 @@ def dx07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # cached: the candidate join and both Jaccard sides re-consume the
     # shingle arrays — recomputing the md5 transform 3x dominates cost
-    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh")).cache()
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))\
+        .localCheckpoint(eager=False)
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
     bands = sig.select(
