@@ -78,8 +78,7 @@ def dx13_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster) -> (doc_id, component, cluster_size) for every clustered
     document."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))\
-        .localCheckpoint(eager=False)
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh")).cache()
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
     bands = sig.select(

@@ -506,10 +506,10 @@ def q17_union_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeats the distinct shuffle
     y98 = o.where(
         (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
-    ).select("o_custkey").distinct().localCheckpoint(eager=False)
+    ).select("o_custkey").distinct().cache()
     y99 = o.where(
         (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
-    ).select("o_custkey").distinct().localCheckpoint(eager=False)
+    ).select("o_custkey").distinct().cache()
     both = y98.intersect(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit("set_intersect").alias("facet"), F.lit("both").alias("cohort"), "cnt")
     only98 = y98.exceptAll(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
@@ -710,7 +710,7 @@ def q21_options_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(tok, 1, 2).cast("int"),
         ),
     )
-    parsed = guarded.withColumn("expiry", expiry).localCheckpoint(eager=False)
+    parsed = guarded.withColumn("expiry", expiry).cache()
     targets = (
         parsed.select("expiry")
         .where(F.col("expiry").isNotNull() & (F.col("expiry") >= F.lit(dt.date(2000, 6, 1))))
