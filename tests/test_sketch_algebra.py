@@ -64,6 +64,9 @@ def test_single_scan_plan(spark, orders):
     subtree (which would re-scan raw data per side)."""
     df = overlap_matrix(orders, "o_orderpriority", "o_custkey")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
-    assert "hll_sketch_agg" not in plan.split("InMemoryRelation")[0], \
-        "aggregation must live below the cache, not on a join side"
+    # the sketch table is localCheckpoint-scoped (r11 cache hygiene):
+    # both join sides read the materialized ExistingRDD, so the
+    # hll_sketch_agg subtree is built ONCE and never cloned per side
+    assert "Scan ExistingRDD" in plan
+    assert "hll_sketch_agg" not in plan, \
+        "aggregation must live below the checkpoint, not on a join side"
