@@ -74,7 +74,16 @@ class StreamingBudgetSelection:
         spark = batch_df.sparkSession
         new = batch_df.dropDuplicates([self.id_col])
         if os.path.isdir(self.docs_dir):
-            seen = spark.read.parquet(self.docs_dir).select(self.id_col)
+            # Exclude THIS batch's own partition from the seen set: a
+            # replay that crashed between the docs write and the buckets
+            # write must regenerate `new` (and hence the buckets partial)
+            # identically, not anti-join its own half-landed docs away —
+            # otherwise the batch's tokens vanish from the bucket totals
+            # and selected() over-selects past the budget. batch_id is a
+            # partition column, so the != filter partition-prunes.
+            seen = (spark.read.parquet(self.docs_dir)
+                    .where(F.col("batch_id") != F.lit(batch_id))
+                    .select(self.id_col))
             new = new.join(seen, self.id_col, "left_anti")
         new = new.withColumn("bucket", self._bucket())
         (new.withColumn("batch_id", F.lit(batch_id))

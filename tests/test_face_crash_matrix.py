@@ -283,6 +283,40 @@ def test_sx11_mid_stream_crash_resumes_from_checkpoint(
     assert got == _sx11_want(spark, sf)
 
 
+def test_sx11_crash_between_docs_and_buckets_writes(
+        spark, sf_small, tmp_path, monkeypatch):
+    """The ADVICE r11 window: a batch crashes AFTER its docs partition
+    lands but BEFORE its buckets partial lands. The replay must
+    regenerate the missing partial (the anti-join excludes the batch's
+    own partition), not anti-join the batch's docs away and leave its
+    tokens permanently missing from the bucket totals."""
+    from eth_options_data_pipeline_spark.queries import analytics20
+    from eth_options_data_pipeline_spark.streaming.budget_stream import (
+        StreamingBudgetSelection,
+    )
+    sf = _linked_sf(tmp_path, sf_small, "sx11midwrite")
+    real = StreamingBudgetSelection._process_batch
+    crashed = {"done": False}
+
+    def crashing(self, batch_df, batch_id):
+        real(self, batch_df, batch_id)
+        if batch_id == 1 and not crashed["done"]:
+            # Simulate dying between the two writes: the docs
+            # partition is on disk, the buckets partial is not.
+            crashed["done"] = True
+            shutil.rmtree(os.path.join(
+                self.buckets_dir, f"batch_id={batch_id}"))
+            raise RuntimeError("injected crash after docs write")
+
+    monkeypatch.setattr(StreamingBudgetSelection, "_process_batch", crashing)
+    with pytest.raises(Exception):
+        analytics20.sx11_budget_stream(spark, sf)
+    monkeypatch.setattr(StreamingBudgetSelection, "_process_batch", real)
+    got = _rows(analytics20.sx11_budget_stream(spark, sf)
+                .select("doc_id", "quality", "toks", "cum_tokens"))
+    assert got == _sx11_want(spark, sf)
+
+
 def test_sx11_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
     from eth_options_data_pipeline_spark.queries import analytics20
     sf = _linked_sf(tmp_path, sf_small, "sx11donecrash")
