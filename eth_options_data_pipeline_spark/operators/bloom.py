@@ -95,18 +95,92 @@ def bloom_layout(n_elements: int,
 
     Closed form (mirrored by dx65's oracle SQL): let ``e`` =
     ceil(log2(16 * n)) clamped below by 12; then
-    ``m_bits = 2^min(e, 24)`` and ``n_shards = 2^max(0, e - 24)``
-    (capped at ``_MAX_SHARDS``). One shard while a single bitset
-    suffices; past that the shard count doubles as members double, so
-    achieved bits/element never drops below half the target.
+    ``m_bits = 2^min(e, 24)`` and ``n_shards = 2^max(0, e - 24)``.
+    One shard while a single bitset suffices; past that the shard
+    count doubles as members double, so achieved bits/element never
+    drops below half the target.
+
+    Raises ``ValueError`` past ``_MAX_SHARDS`` (~1e9 members at the
+    default per-shard cap) instead of silently degrading below the
+    half-target floor — the same silent-degradation failure mode this
+    function exists to fix must not reappear three orders of magnitude
+    up. Callers that genuinely need >1e9 members should raise the
+    per-shard cap (bigger executors) or shard the MEMBER SET upstream.
     """
     target = _BITS_PER_ELEMENT * max(n_elements, 1)
     e = max(target - 1, 1).bit_length()  # ceil(log2(target))
     e = max(e, _MIN_BITS.bit_length() - 1)
     cap_e = max_bits_per_shard.bit_length() - 1
-    m_bits = 1 << min(e, cap_e)
-    n_shards = min(1 << max(0, e - cap_e), _MAX_SHARDS)
-    return n_shards, m_bits
+    n_shards = 1 << max(0, e - cap_e)
+    if n_shards > _MAX_SHARDS:
+        raise ValueError(
+            f"bloom_layout: {n_elements} members need {n_shards} shards "
+            f"of {1 << cap_e} bits, past the {_MAX_SHARDS}-shard ceiling; "
+            f"bits/element would degrade below the documented half-target "
+            f"floor. Raise max_bits_per_shard or pre-shard the member set.")
+    return n_shards, 1 << min(e, cap_e)
+
+
+# Fixed-point scale for fp_micro_fixed_point: chosen so every
+# intermediate fits HUGEINT (ed_fp^3 <= 10^36 < 2^127) and 10^36/10^6
+# divides exactly.
+_FP_SCALE = 10 ** 12
+_FP_TERMS = 15
+
+
+def fp_micro_fixed_point(k: int, n_members: int, total_bits: int) -> int:
+    """floor(1e6 * (1 - e^(-k*n/m))^k') for k'=3, by a PINNED integer
+    algorithm — not libm.
+
+    The implied Bloom FP rate is a transcendental of the exact rational
+    load k*n/m; two engines' ``exp()`` can differ by 1 ulp and flip a
+    ``floor`` near an integer boundary (ADVICE r11). So the guarantee
+    column is DEFINED by this fixed-point Taylor evaluation — 15
+    alternating terms of e^(-r) at scale 10^12, floor division at each
+    step — which any engine with exact integers (Python ints, DuckDB
+    HUGEINT) reproduces bit-identically. For the layouts bloom_layout
+    emits, r = k/bpe is in (3/32, 3/8], so term 15 is < 10^-18 of the
+    scale: the series truncation is far below the emitted micro
+    resolution, and the value differs from the true transcendental by
+    at most 1 in the last emitted digit — acceptable for a guarantee
+    whose point is cross-engine determinism.
+    """
+    r_num, r_den = k * n_members, total_bits
+    t = _FP_SCALE
+    acc = _FP_SCALE  # e^(-r) accumulator, fixed-point
+    for i in range(1, _FP_TERMS + 1):
+        t = (t * r_num) // (r_den * i)
+        acc += -t if i % 2 == 1 else t
+    ed_fp = _FP_SCALE - acc  # 1 - e^(-r), fixed-point
+    return (ed_fp * ed_fp * ed_fp) // (_FP_SCALE ** 3 // 10 ** 6)
+
+
+def fp_micro_oracle_ctes(k: int) -> str:
+    """DuckDB CTE fragments reproducing ``fp_micro_fixed_point``
+    exactly (requires WITH RECURSIVE; expects a ``layout`` CTE with
+    ``n_members, n_shards, m_bits_shard``). Mirrors the Python loop
+    term-for-term in HUGEINT so the two engines can never disagree."""
+    return f"""
+    expseries AS (
+      SELECT 0 AS i,
+             CAST({_FP_SCALE} AS HUGEINT) AS t,
+             CAST({_FP_SCALE} AS HUGEINT) AS acc,
+             CAST({k} AS HUGEINT) * n_members AS r_num,
+             CAST(n_shards * m_bits_shard AS HUGEINT) AS r_den
+      FROM layout
+      UNION ALL
+      SELECT i + 1,
+             (t * r_num) // (r_den * (i + 1)),
+             acc + CASE WHEN (i + 1) % 2 = 1
+                        THEN -((t * r_num) // (r_den * (i + 1)))
+                        ELSE (t * r_num) // (r_den * (i + 1)) END,
+             r_num, r_den
+      FROM expseries WHERE i < {_FP_TERMS}
+    ),
+    edfp AS (
+      SELECT CAST({_FP_SCALE} AS HUGEINT) - acc AS ed_fp
+      FROM expseries WHERE i = {_FP_TERMS}
+    )"""
 
 
 def shard_of(col, n_shards: int):

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators.bloom import (
@@ -71,9 +72,22 @@ def test_bloom_layout_honors_bits_per_element():
     assert bloom_layout(4_200_000) == (8, 1 << 24)
     for n in (1_048_577, 3_000_000, 50_000_000, 900_000_000):
         shards, m = bloom_layout(n)
-        if shards < _MAX_SHARDS:
-            bpe = shards * m / n
-            assert 8 <= bpe < 32, (n, shards, m, bpe)
+        bpe = shards * m / n
+        assert 8 <= bpe < 32, (n, shards, m, bpe)
+
+
+def test_bloom_layout_raises_past_shard_ceiling():
+    """Past _MAX_SHARDS the layout refuses instead of silently
+    degrading below the half-target bits/element floor (ADVICE r11):
+    the largest honorable member count is 2^30 (e = 34 -> exactly 1024
+    shards); one past that raises with an actionable message."""
+    shards, m = bloom_layout(1 << 30)
+    assert shards == _MAX_SHARDS and m == 1 << 24
+    with pytest.raises(ValueError, match="shard ceiling"):
+        bloom_layout((1 << 30) + 1)
+    # a raised per-shard cap restores the honorable range
+    shards, m = bloom_layout((1 << 30) + 1, max_bits_per_shard=1 << 25)
+    assert shards * m / ((1 << 30) + 1) >= 8
 
 
 def test_bloom_layout_matches_single_shard_sizing():
@@ -252,3 +266,40 @@ def test_bloom_layout_matches_oracle_sql_formula():
         m_sql = 1 << min(e_sql, 24)
         shards_sql = 1 << min(max(e_sql - 24, 0), 10)
         assert (shards_sql, m_sql) == (shards, m), (n, shards, m, e_sql)
+
+
+def test_fp_micro_fixed_point_matches_oracle_ctes():
+    """fp_micro is DEFINED by a pinned integer recurrence (ADVICE r11:
+    libm exp() can differ by 1 ulp across platforms and flip a floor).
+    Sweep layouts across the whole honorable bits/element range [8,32)
+    and assert (a) Python == DuckDB bit-identically, and (b) both are
+    within 1 micro of the transcendental they approximate."""
+    import math
+
+    import duckdb
+
+    from eth_options_data_pipeline_spark.operators.bloom import (
+        fp_micro_fixed_point, fp_micro_oracle_ctes,
+    )
+    con = duckdb.connect()
+    k = 3
+    for n in (1, 1000, 100_000, 1_048_576, 1_100_000, 2_000_000,
+              4_200_000, 50_000_000, 1 << 30):
+        shards, m = bloom_layout(n)
+        total = shards * m
+        py = fp_micro_fixed_point(k, n, total)
+        sql = f"""
+        WITH RECURSIVE layout AS (
+          SELECT CAST({n} AS BIGINT) AS n_members,
+                 CAST({shards} AS BIGINT) AS n_shards,
+                 CAST({m} AS BIGINT) AS m_bits_shard
+        ),
+        {fp_micro_oracle_ctes(k).lstrip()}
+        SELECT CAST((ed_fp * ed_fp * ed_fp)
+                    // CAST('1000000000000000000000000000000' AS HUGEINT)
+                    AS BIGINT) FROM edfp
+        """
+        got, = con.execute(sql).fetchone()
+        assert got == py, (n, py, got)
+        true_fp = (1 - math.exp(-k * n / total)) ** 3 * 1_000_000
+        assert abs(py - true_fp) <= 1, (n, py, true_fp)
