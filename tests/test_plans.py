@@ -566,11 +566,13 @@ def test_sharded_bloom_confirm_is_shuffle_not_broadcast(all_plans):
     the probe stream never shuffles during the prune — but the exact
     confirm join is pinned to a SHUFFLE hash join: the large-reference
     regime's plan, where member strings must never broadcast. The
-    bit_or bitset build is visible (members checkpoint, bitset not)."""
+    bitset is a frozen session artifact since r12, so the face plan
+    SCANS it (parquet) instead of rebuilding it — the bit_or build
+    shape stays pinned at operator level just above."""
     p = all_plans["dx65_sharded_bloom"]
     assert "ShuffledHashJoin" in p, p
     assert p.count("BroadcastHashJoin") >= 3, p
-    assert "bit_or" in p
+    assert "bit_or" not in p  # frozen bitset: scanned, never rebuilt
     assert "CartesianProduct" not in p
 
 
