@@ -576,6 +576,36 @@ def test_sharded_bloom_confirm_is_shuffle_not_broadcast(all_plans):
     assert "CartesianProduct" not in p
 
 
+def test_kept_cache_sites_stay_cached_and_broadcast(all_plans):
+    """The r11 cache-hygiene sweep measured +0.5–2.1 s regressions on
+    q17/dx13/dx49/q21 when their pinned tables were converted from
+    cache() to localCheckpoint: an ExistingRDD has unknown stats, so
+    broadcast-decided joins flip to sort-merge (commit 7b95b4f kept
+    cache() on exactly these sites). Pin the surviving shape in plans
+    so the next well-meaning sweep turns red instead of slow:
+    InMemoryTableScan present (the cache is visible) and no
+    SortMergeJoin (the flip's symptom)."""
+    for face, min_imts in (("q17_union_set_ops", 2),
+                           ("dx49_hard_negatives", 2),
+                           ("q21_options_pipeline", 1)):
+        p = all_plans[face]
+        assert p.count("InMemoryTableScan") >= min_imts, (face, p)
+        assert "SortMergeJoin" not in p, (face, p)
+    # dx13 eagerly checkpoints its edge list at build time, so the
+    # returned plan cannot show the shingle cache — tripwire the source
+    # instead (same "red, not slow" goal).
+    import inspect
+
+    from eth_options_data_pipeline_spark.queries import clusters
+
+    src = inspect.getsource(clusters.dx13_dup_clusters)
+    assert ".cache()" in src, (
+        "dx13's shingle table must stay cache(): converting it to "
+        "localCheckpoint hid its stats from the edge-verify joins "
+        "computed eagerly at build time and regressed the face in "
+        "the r11 sweep (commit 7b95b4f)")
+
+
 def test_ivfadc_scan_is_list_pruned(all_plans):
     """vx07: the ADC scan join carries the coarse CELL in its keys —
     only code rows in probed lists enter the join (at scale: code
