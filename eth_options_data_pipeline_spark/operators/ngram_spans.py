@@ -174,3 +174,50 @@ def dup_spans_per_doc(postings: DataFrame, n: int = DEFAULT_N,
     return (grouped.groupBy("doc_id", "gid")
             .agg(F.min("s").alias("s"), F.max("e").alias("e"))
             .select("doc_id", "s", "e"))
+
+
+def cut_dup_spans(docs: DataFrame, spans: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  out_col: str = "clean_text") -> DataFrame:
+    """Apply an ExactSubstr deletion list: remove every word whose
+    1-based position falls inside any ``[s, e]`` interval of ``spans``
+    (``dup_spans_per_doc`` output) and re-join the survivors — the
+    cleaned-text leg the published recipe actually ships (Lee et al.
+    2022 cut the flagged byte ranges from the training copy).
+
+    Pure JVM: the per-doc interval list aggregates once (sorted
+    struct array, tiny — spans are merged and non-overlapping), joins
+    back on the doc id, and the cut is filter/transform/concat_ws over
+    the split words — no Python, no extra shuffle beyond the one
+    doc-keyed join. Docs with no spans pass through verbatim (left
+    join, empty-interval fallback); a fully-covered doc yields ''.
+
+    Output: the ``docs`` columns + ``total_words``, ``removed_words``,
+    ``kept_words``, ``out_col``.
+    """
+    sp = (spans.groupBy(F.col("doc_id").alias(id_col))
+          .agg(F.array_sort(F.collect_list(F.struct(
+              F.col("s").cast("long").alias("s"),
+              F.col("e").cast("long").alias("e")))).alias("_spans")))
+    w = F.split(F.col(text_col), " ")
+    positions = F.when(
+        F.size(w) >= 1, F.sequence(F.lit(1).cast("long"),
+                                   F.size(w).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    kept_idx = F.filter(
+        positions,
+        lambda i: ~F.exists(
+            spans_arr, lambda iv: (i >= iv["s"]) & (i <= iv["e"])))
+    clean = F.concat_ws(
+        " ", F.transform(kept_idx, lambda i: F.element_at(w, i.cast("int"))))
+    return (docs.join(sp, id_col, "left")
+            .withColumn("total_words", F.size(w).cast("long"))
+            .withColumn("kept_words", F.size(kept_idx).cast("long"))
+            .withColumn("removed_words",
+                        (F.col("total_words") - F.col("kept_words"))
+                        .cast("long"))
+            .withColumn(out_col, clean)
+            .drop("_spans"))

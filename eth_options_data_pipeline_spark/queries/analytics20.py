@@ -324,8 +324,10 @@ _ES_N = 5          # anchor gram width (words)
 _ES_MIN_WORDS = 7  # minimum duplicated span length to cut (words)
 _ES_MAX_DF = 20    # anchor document-frequency gate (dx47 convention)
 
-_DX64_SQL = f"""
-    WITH docs AS (
+# shared ExactSubstr CTE chain (postings -> df gate -> islands ->
+# merged per-doc intervals), reused verbatim by dx64 (summary) and
+# dx66 (apply-deletion)
+_ES_CTES = f"""docs AS (
       SELECT doc_id, string_split(text, ' ') AS w
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
     ),
@@ -374,7 +376,10 @@ _DX64_SQL = f"""
                                      ROWS UNBOUNDED PRECEDING) AS gid
             FROM flagged)
       GROUP BY doc_id, gid
-    )
+    )"""
+
+_DX64_SQL = f"""
+    WITH {_ES_CTES}
     SELECT m.doc_id,
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(m.e - m.s + 1) AS BIGINT) AS dup_words,
@@ -385,6 +390,38 @@ _DX64_SQL = f"""
     FROM merged m
     JOIN (SELECT doc_id, len(w) AS total_words FROM docs) t USING (doc_id)
     GROUP BY m.doc_id, t.total_words
+"""
+
+_DX66_SQL = f"""
+    WITH {_ES_CTES},
+    words AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, word
+      FROM (SELECT doc_id, unnest(w) AS word,
+                   generate_subscripts(w, 1) AS pos
+            FROM docs)
+    ),
+    keptw AS (
+      SELECT w.doc_id, w.pos, w.word
+      FROM words w
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = w.doc_id
+                          AND w.pos BETWEEN m.s AND m.e)
+    ),
+    clean AS (
+      SELECT doc_id,
+             string_agg(word, ' ' ORDER BY pos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS kept_words
+      FROM keptw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS total_words,
+           CAST(len(d.w) - coalesce(c.kept_words, 0) AS BIGINT)
+             AS removed_words,
+           CAST(coalesce(c.kept_words, 0) AS BIGINT) AS kept_words,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM (SELECT DISTINCT doc_id FROM merged) s
+    JOIN docs d USING (doc_id)
+    LEFT JOIN clean c ON c.doc_id = d.doc_id
 """
 
 
@@ -422,6 +459,32 @@ def dx64_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "total_words",
                     F.round(F.col("dup_words") / F.col("total_words"), 6)
                      .alias("dup_ratio")))
+
+
+@query("dx66_exactsubstr_cut", sql=_DX66_SQL)
+def dx66_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr applied: the cleaned text the published recipe
+    ships (VERDICT r11 missing #1). dx64 emits the deletion LIST;
+    this face runs operators/ngram_spans.cut_dup_spans over it —
+    per-word anti-alignment against the merged intervals, pure JVM
+    filter/transform/concat_ws, one doc-keyed join — and returns, for
+    every document that lost at least one span, the word accounting
+    plus the reconstructed clean text (string-compared against the
+    oracle's per-word anti-join + ordered string_agg)."""
+    from eth_options_data_pipeline_spark.operators.ngram_spans import (
+        cut_dup_spans, dup_spans_per_doc, ngram_postings,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .where(F.col("text").isNotNull() & (F.length("text") > 0)))
+    spans = dup_spans_per_doc(
+        ngram_postings(docs, n=_ES_N),
+        n=_ES_N, min_words=_ES_MIN_WORDS, max_df=_ES_MAX_DF)
+    cut = cut_dup_spans(docs, spans)
+    return (cut.where(F.col("removed_words") > 0)
+            .select("doc_id", "total_words", "removed_words",
+                    "kept_words", "clean_text"))
 
 
 # ------------------------------ streaming budget selection (sx11)

@@ -147,3 +147,37 @@ def test_dup_spans_cover_exactly_the_bruteforce_word_set(spark, texts):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 < s2  # emitted intervals never overlap
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(DOC, min_size=2, max_size=6))
+def test_cut_dup_spans_reconstructs_bruteforce_clean_text(spark, texts):
+    """dx66's kernel: the cleaned text must equal the brute-force
+    reconstruction — every word whose position the reference covered
+    set marks duplicated is gone, every other word survives in order,
+    docs with no spans pass through verbatim, and the word accounting
+    (total/removed/kept) is consistent."""
+    from eth_options_data_pipeline_spark.operators.ngram_spans import (
+        cut_dup_spans, dup_spans_per_doc,
+    )
+    rows = [(i, t) for i, t in enumerate(texts) if t]
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dup_spans_per_doc(ngram_postings(docs, n=N), n=N,
+                              min_words=N + 1, max_df=4)
+    got = {r.doc_id: r for r in cut_dup_spans(docs, spans).collect()}
+    covered = _ref_spans(texts, N, min_words=N + 1, max_df=4)
+    cov_sets = {d: set().union(*[set(range(s, e + 1)) for s, e in v])
+                for d, v in covered.items()}
+    assert set(got) == {i for i, _ in rows}
+    for doc_id, text in rows:
+        words = text.split(" ")
+        cov = cov_sets.get(doc_id, set())
+        want_clean = " ".join(
+            w for i, w in enumerate(words, start=1) if i not in cov)
+        r = got[doc_id]
+        assert r.clean_text == want_clean, (doc_id, r.clean_text, want_clean)
+        assert r.total_words == len(words)
+        assert r.removed_words == len(cov)
+        assert r.kept_words == len(words) - len(cov)
