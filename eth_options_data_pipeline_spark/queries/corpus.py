@@ -123,7 +123,9 @@ def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_keep_last",
     sql="""
-    SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value,
+           coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), -1.0) AS last_k_val,
+           (try_cast(event_type AS DOUBLE) IS NULL) AS cast_failed
     FROM events
     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     """,
@@ -132,7 +134,14 @@ def q06_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/A5/J1: keep-LAST-per-key dedup. pandas drop_duplicates
     keep='last' (main.py:233) and the J1 dict-overwrite (main.py:281-286)
     both need an explicit order column in Spark (SURVEY §7.4 trap 1);
-    here the total order is (ts, event_id)."""
+    here the total order is (ts, event_id).
+
+    Also carries q13's folded legs (r12 consolidation): P1
+    semi-structured field extraction (main.py:159-163) as
+    get_json_object on the kept row's props, F5 cast-with-default
+    (sentinel -1.0 — no nullable doubles in oracle output), and F6
+    coercive cast err->NULL (pd.to_numeric errors='coerce',
+    main.py:276-277) as the cast_failed flag."""
     ev = t(spark, sf_dir, "events").withColumn(
         "_ord", F.struct(F.col("ts"), F.col("event_id"))
     )
@@ -142,6 +151,11 @@ def q06_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").try_cast("double"),
+            F.lit(-1.0),
+        ).alias("last_k_val"),
+        F.col("event_type").try_cast("double").isNull().alias("cast_failed"),
     )
 
 
@@ -360,30 +374,12 @@ def q11_symbol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disposition column, main.py:196) every time that face runs.
 
 
-@query(
-    "q13_json_extract_cast",
-    sql="""
-    SELECT event_id,
-           try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
-           (try_cast(event_type AS DOUBLE) IS NULL) AS cast_failed
-    FROM events
-    WHERE try_cast(json_extract_string(props, '$.k') AS DOUBLE) > 50
-    """,
-)
-def q13_json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5/F6: semi-structured field extraction (main.py:159-163) +
-    coercive cast with error->NULL (pd.to_numeric errors='coerce',
-    main.py:276-277) as get_json_object + try_cast."""
-    ev = t(spark, sf_dir, "events")
-    k = (F.get_json_object("props", "$.k")).try_cast("double")
-    return (
-        ev.select(
-            "event_id",
-            k.alias("k_val"),
-            F.col("event_type").try_cast("double").isNull().alias("cast_failed"),
-        )
-        .where(F.col("k_val") > 50)
-    )
+# q13_json_extract_cast retired r12 (VERDICT r11 item 6): P1's
+# get_json_object extraction, F5's cast-with-default, and F6's
+# coercive err->NULL cast are oracle-checked inside q06_keep_last
+# (the last_k_val / cast_failed columns) every time that face runs;
+# the REST JSON source scan half of S1 stays covered by
+# sources_datasource tests + q29's sink/source roundtrip.
 
 
 @query(
