@@ -1,0 +1,297 @@
+"""Round-12 face: unigram-LM tokenizer training (dx67).
+
+The tokenizer family gains the second published pretraining trainer:
+BPE (dx55-dx57) merges pairs bottom-up; the unigram LM (Kudo 2018,
+SentencePiece's default) prunes a candidate vocabulary top-down under
+an EM loop. operators/unigram.py holds the kernel — fixed-iteration
+Viterbi-EM with bit-length-quantized integer log-probs, so the DuckDB
+oracle replays the training bit-identically: the same top-V lexicon,
+the same substring candidates, and per round the same forward/backward
+min-cost DP (list_reduce over each word) and the same
+any-optimal-path usage counts, unrolled once per EM round.
+
+No counterpart in the reference (row-oriented options pipeline,
+main.py:43-351); extends the tokenizer family of the
+training-data-curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators.artifacts import (
+    session_artifact,
+)
+from eth_options_data_pipeline_spark.operators.unigram import (
+    INF, top_words, train_unigram,
+)
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+_UG_WORDS = 200   # bounded training lexicon (top-V by freq, ties asc)
+_UG_MAXP = 5      # max piece length (chars)
+_UG_VOCAB = 80    # multi-char vocabulary budget per round
+_UG_ROUNDS = 2    # fixed EM rounds
+_UG_TOP = 25      # served rows
+
+
+def _ug_round_ctes(r: int) -> str:
+    """One EM round, mirrored: weights from vocab{r}, per-word
+    forward/backward min-cost DP, any-optimal-path usage, pruned
+    vocab{r+1}. Matches operators/unigram.py step for step."""
+    return f"""
+    t{r} AS (
+      SELECT length(bin(CAST(sum(cnt) AS BIGINT))) AS blt FROM vocab{r}
+    ),
+    w{r} AS (
+      SELECT piece, CAST(blt - length(bin(cnt)) AS BIGINT) AS wt
+      FROM vocab{r}, t{r}
+    ),
+    m{r} AS (
+      SELECT map(list(piece ORDER BY piece),
+                 list(wt ORDER BY piece)) AS vmap
+      FROM w{r}
+    ),
+    dp{r} AS (
+      SELECT word, freq, length(word) AS L, vmap,
+        list_reduce(
+          list_prepend([0::BIGINT],
+                       list_transform(range(1, length(word)+1), j -> [j])),
+          (acc, x) -> list_append(acc, list_min(list_transform(
+            range(greatest(x[1]-{_UG_MAXP}, 0), x[1]),
+            i -> acc[(i+1)::INT] + coalesce(
+              map_extract(vmap,
+                substr(word, (i+1)::INT, (x[1]-i)::INT))[1], {INF}))))
+        ) AS f,
+        list_reduce(
+          list_prepend([0::BIGINT],
+                       list_transform(range(1, length(word)+1), s -> [s])),
+          (acc, x) -> list_prepend(list_min(list_transform(
+            range(1, least({_UG_MAXP}, x[1])+1),
+            k -> coalesce(
+              map_extract(vmap,
+                substr(word, (length(word)-x[1]+1)::INT, k::INT))[1],
+              {INF}) + acc[k::INT])), acc)
+        ) AS b
+      FROM words, m{r}
+    ),
+    use{r} AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
+        SELECT substr(word, (i+1)::INT, (j-i)::INT) AS piece,
+               freq, f, b, vmap, i, j
+        FROM dp{r},
+             LATERAL (SELECT unnest(range(0, L)) AS i) ii,
+             LATERAL (SELECT unnest(range(1, L+1)) AS j) jj
+        WHERE j > i AND j - i <= {_UG_MAXP})
+      WHERE coalesce(map_extract(vmap, piece)[1], {INF}) < {INF}
+        AND f[(i+1)::INT] + map_extract(vmap, piece)[1]
+            + b[(j+1)::INT] = f[-1]
+      GROUP BY piece
+    ),
+    vocab{r + 1} AS (
+      SELECT s.piece, CAST(coalesce(u.usage, 0) + 1 AS BIGINT) AS cnt
+      FROM singles s LEFT JOIN use{r} u USING (piece)
+      UNION ALL
+      SELECT piece, CAST(usage + 1 AS BIGINT) AS cnt FROM (
+        SELECT piece, usage FROM use{r}
+        WHERE length(piece) >= 2 AND usage >= 1
+        ORDER BY usage DESC, piece LIMIT {_UG_VOCAB})
+    )"""
+
+
+_DX67_SQL = f"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE regexp_matches(word, '^[a-z]+$')
+        AND length(word) BETWEEN 3 AND 10
+      GROUP BY word ORDER BY freq DESC, word LIMIT {_UG_WORDS}
+    ),
+    cands AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT substr(word, i::INT, k::INT) AS piece, freq
+        FROM words,
+             LATERAL (SELECT unnest(range(1, length(word)+1)) AS i) ii,
+             LATERAL (SELECT unnest(range(1, {_UG_MAXP + 1})) AS k) kk
+        WHERE i + k - 1 <= length(word))
+      GROUP BY piece
+    ),
+    singles AS (SELECT piece, cnt FROM cands WHERE length(piece) = 1),
+    vocab0 AS (
+      SELECT piece, cnt FROM singles
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM cands WHERE length(piece) >= 2
+        ORDER BY cnt DESC, piece LIMIT {_UG_VOCAB})
+    ),
+    {",".join(_ug_round_ctes(r) for r in range(_UG_ROUNDS)).lstrip()}
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT)
+             AS rank,
+           piece, cnt, CAST(length(piece) AS BIGINT) AS piece_len
+    FROM vocab{_UG_ROUNDS}
+    ORDER BY cnt DESC, piece LIMIT {_UG_TOP}
+"""
+
+
+@query("dx67_unigram_train", sql=_DX67_SQL)
+def dx67_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (the prune-based published
+    pretraining tokenizer, beside BPE's merge-based dx57): top-200
+    word lexicon -> substring candidates -> 2 Viterbi-EM rounds with
+    bit-length integer log-probs -> top-25 trained pieces by
+    (count desc, piece). Engine-exact by construction — every DP
+    value, usage count, and prune decision is BIGINT arithmetic the
+    oracle unrolls round for round."""
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("text")
+        words = top_words(docs, n_words=_UG_WORDS, min_len=3, max_len=10)
+        vocab = train_unigram(words, rounds=_UG_ROUNDS,
+                              vocab_size=_UG_VOCAB, max_piece=_UG_MAXP)
+        rows = [(i + 1, p, c, len(p))
+                for i, (p, c) in enumerate(vocab[:_UG_TOP])]
+        return spark.createDataFrame(
+            rows, schema="rank long, piece string, cnt long, piece_len long")
+
+    # the trained vocabulary is a constant of the corpus — freeze it
+    # once per session (the vx07/dx65 train-once/serve-many split)
+    return session_artifact(
+        spark, "dx67_unigram", sf_dir, "vocab", _build).orderBy("rank")
+
+
+# ------------------------------ streaming ANN index maintenance (sx12)
+
+_SX12_TRAIN = 64   # offline quantizer training slice: vec_id < 64
+_SX12_CELLS = 16   # coarse cells
+_SX12_NPROBE = 2   # probed cells per query
+_SX12_TOPK = 3     # served neighbors
+_SX12_NQ = 3       # queries: vec_id < 3
+_SX12_BATCHES = 3
+_SX12_REDELIVER_MOD = 7
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    d = f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+    return f"list_dot_product({d}, {d})"
+
+
+def _sx12_sql() -> str:
+    from eth_options_data_pipeline_spark.operators.vectors import (
+        cosine_sql,
+    )
+    l2 = _l2sq_sql
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    train AS (SELECT vec_id, e FROM emb WHERE vec_id < {_SX12_TRAIN}),
+    seeds AS (
+      SELECT vec_id AS cell, e AS c
+      FROM (SELECT * FROM train ORDER BY vec_id LIMIT {_SX12_CELLS})
+    ),
+    a1 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, s.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {l2('v.e', 's.c')}, s.cell) AS _rk
+        FROM train v CROSS JOIN seeds s)
+      WHERE _rk = 1
+    ),
+    cents AS (
+      SELECT cell, list(mu ORDER BY pos) AS c
+      FROM (
+        SELECT cell, pos, round(avg(v), 9) AS mu
+        FROM (SELECT cell, unnest(e) AS v,
+                     generate_subscripts(e, 1) AS pos FROM a1)
+        GROUP BY cell, pos)
+      GROUP BY cell
+    ),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, s.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {l2('v.e', 's.c')}, s.cell) AS _rk
+        FROM emb v CROSS JOIN cents s)
+      WHERE _rk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < {_SX12_NQ}),
+    qcells AS (
+      SELECT q_id, qe, cell FROM (
+        SELECT q.q_id, q.qe, s.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {l2('q.qe', 's.c')}, s.cell) AS _rk
+        FROM q CROSS JOIN cents s)
+      WHERE _rk <= {_SX12_NPROBE}
+    ),
+    cand AS (
+      SELECT qc.q_id, a.vec_id AS cand_id, a.cell,
+             {cosine_sql('a.e', 'qc.qe')} AS cos_raw
+      FROM qcells qc
+      JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+    )
+    SELECT q_id, cand_id, CAST(cell AS BIGINT) AS cell,
+           round(cos_raw, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT q_id, cand_id, cell, cos_raw,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_raw DESC, cand_id) AS rk
+      FROM cand)
+    WHERE rk <= {_SX12_TOPK}
+    """
+
+
+@query("sx12_ann_stream", sql=_sx12_sql())
+def sx12_ann_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN, served: the coarse quantizer trains OFFLINE on
+    the pinned vec_id < 64 slice (frozen session artifact — the Faiss
+    train-then-insert split), three embedding micro-batches (slice =
+    vec_id % 3, the vec_id % 7 == 0 vectors RE-DELIVERED in the last
+    slice) land into (batch_id, cell)-partitioned inverted lists via
+    idempotent foreachBatch overwrites, and top-k serves from state by
+    scanning only each query's nprobe=2 probed lists (partition-column
+    pruning). Must equal the batch IVF plan over the distinct streamed
+    vectors — which is what the oracle computes."""
+    import os
+    import tempfile
+
+    from eth_options_data_pipeline_spark.queries.analytics16 import (
+        _stage_slices,
+    )
+    from eth_options_data_pipeline_spark.streaming.ann_stream import (
+        StreamingIVFIndex, quantizer_df,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = session_artifact(
+        spark, "sx12_quantizer", sf_dir, "centroids",
+        lambda: quantizer_df(emb.where(F.col("vec_id") < _SX12_TRAIN),
+                             k=_SX12_CELLS))
+    centroids = [(r["cell"], list(r["c"])) for r in cents.collect()]
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"annstream_face_{spark.sparkContext.applicationId}",
+        os.path.basename(os.path.normpath(sf_dir)))
+    arrivals = os.path.join(scratch, "in")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    done = os.path.join(scratch, "_done")
+    idx = StreamingIVFIndex(state, centroids)
+    if not os.path.isdir(arrivals):
+        def _write(staging: str) -> None:
+            for i in range(_SX12_BATCHES):
+                batch = emb.where(F.col("vec_id") % _SX12_BATCHES == i)
+                if i == _SX12_BATCHES - 1:
+                    batch = batch.unionByName(emb.where(
+                        F.col("vec_id") % _SX12_REDELIVER_MOD == 0))
+                batch.coalesce(1).write.mode("append").parquet(staging)
+        _stage_slices(_write, arrivals)
+    if not os.path.isdir(done):
+        stream = (spark.readStream.schema("vec_id bigint, e array<double>")
+                  .option("maxFilesPerTrigger", 1).parquet(arrivals))
+        q = idx.start(stream, ckpt)
+        if not q.awaitTermination(300):
+            raise TimeoutError("sx12 ann stream did not finish")
+        os.makedirs(done, exist_ok=True)
+    queries_df = emb.where(F.col("vec_id") < _SX12_NQ)
+    return idx.topk(spark, queries_df,
+                    nprobe=_SX12_NPROBE, k=_SX12_TOPK)

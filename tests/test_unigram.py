@@ -1,0 +1,113 @@
+"""Unigram-LM trainer (operators/unigram.py): the Spark Viterbi-EM
+must match an independent pure-Python reference implementation of the
+same pinned algorithm (bounded lexicon -> substring candidates ->
+bit-length-weight DP -> any-optimal-path usage -> prune), plus
+structural guarantees (alphabet always kept, vocabulary bounded,
+determinism across invocations)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from eth_options_data_pipeline_spark.operators.unigram import (
+    substring_counts, top_words, train_unigram,
+)
+
+WORD = st.text(alphabet="abc", min_size=3, max_size=8)
+DOC = st.lists(WORD, min_size=1, max_size=10).map(" ".join)
+
+INF = 10 ** 9
+
+
+def _ref_train(texts, n_words, rounds, vocab_size, max_piece,
+               min_len=3, max_len=10):
+    """Independent single-node replica of the pinned algorithm."""
+    freq = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w.isalpha() and w.islower() and min_len <= len(w) <= max_len:
+                freq[w] += 1
+    words = sorted(freq.items(), key=lambda t: (-t[1], t[0]))[:n_words]
+
+    cands = Counter()
+    for w, f in words:
+        for i in range(len(w)):
+            for k in range(1, min(max_piece, len(w) - i) + 1):
+                cands[w[i:i + k]] += f
+    singles = {p: c for p, c in cands.items() if len(p) == 1}
+    multi = sorted(((p, c) for p, c in cands.items() if len(p) >= 2),
+                   key=lambda t: (-t[1], t[0]))[:vocab_size]
+    vocab = dict(singles)
+    vocab.update(multi)
+
+    for _ in range(rounds):
+        total = sum(vocab.values())
+        blt = total.bit_length()
+        wt = {p: blt - c.bit_length() for p, c in vocab.items()}
+
+        usage = defaultdict(int)
+        for w, f in words:
+            L = len(w)
+            fwd = [0] + [INF] * L
+            for j in range(1, L + 1):
+                fwd[j] = min(
+                    fwd[i] + wt.get(w[i:j], INF)
+                    for i in range(max(j - max_piece, 0), j))
+            bwd = [INF] * L + [0]
+            for j in range(L - 1, -1, -1):
+                bwd[j] = min(
+                    wt.get(w[j:k], INF) + bwd[k]
+                    for k in range(j + 1, min(L, j + max_piece) + 1))
+            for i in range(L):
+                for j in range(i + 1, min(L, i + max_piece) + 1):
+                    p = w[i:j]
+                    if p in wt and fwd[i] + wt[p] + bwd[j] == fwd[L]:
+                        usage[p] += f
+        kept = sorted(((p, u) for p, u in usage.items()
+                       if len(p) >= 2 and u >= 1),
+                      key=lambda t: (-t[1], t[0]))[:vocab_size]
+        vocab = {p: usage.get(p, 0) + 1 for p in singles}
+        vocab.update({p: u + 1 for p, u in kept})
+    return sorted(vocab.items(), key=lambda t: (-t[1], t[0]))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(DOC, min_size=1, max_size=5))
+def test_train_matches_pure_python_replica(spark, texts):
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    words = top_words(docs, n_words=20, min_len=3, max_len=10)
+    got = train_unigram(words, rounds=2, vocab_size=10, max_piece=4)
+    want = _ref_train(texts, n_words=20, rounds=2, vocab_size=10,
+                      max_piece=4)
+    assert got == want
+
+
+def test_substring_counts_count_per_start_position(spark):
+    docs = spark.createDataFrame([("ababa ababa zzz",)], "text string")
+    words = top_words(docs, n_words=5)
+    counts = {r["piece"]: r["cnt"]
+              for r in substring_counts(words, max_piece=3).collect()}
+    # 'aba' starts at positions 1 and 3 of 'ababa' (freq 2) -> 4
+    assert counts["aba"] == 4
+    assert counts["a"] == 6 and counts["z"] == 3
+
+
+def test_trained_vocab_keeps_alphabet_and_bounds(spark):
+    docs = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("the quick brown fox naps",)], "text string")
+    words = top_words(docs, n_words=20)
+    vocab = train_unigram(words, rounds=2, vocab_size=6, max_piece=4)
+    pieces = {p for p, _ in vocab}
+    alphabet = {c for r in words.collect() for c in r["word"]}
+    assert alphabet <= pieces          # singles never pruned
+    multi = [p for p in pieces if len(p) >= 2]
+    assert len(multi) <= 6             # budget honored
+    assert all(c >= 1 for _, c in vocab)  # add-one smoothing
+
+    again = train_unigram(words, rounds=2, vocab_size=6, max_piece=4)
+    assert vocab == again              # deterministic
