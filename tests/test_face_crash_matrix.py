@@ -329,3 +329,87 @@ def test_sx11_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
     again = analytics20.sx11_budget_stream(spark, sf).select(
         "doc_id", "quality", "toks", "cum_tokens")
     assert _rows(again) == want
+
+
+# ------------------- round-12 face: sx12 (streaming ANN index) -------------------
+
+def _sx12_want(spark, sf_dir):
+    """Batch truth: the frozen-quantizer IVF top-k over the distinct
+    corpus — assign every vector with the same centroids the stream
+    froze, then probe/rank exactly as the serving path does."""
+    from eth_options_data_pipeline_spark.queries.analytics21 import (
+        _SX12_CELLS, _SX12_NPROBE, _SX12_NQ, _SX12_TOPK, _SX12_TRAIN,
+    )
+    from eth_options_data_pipeline_spark.streaming.ann_stream import (
+        StreamingIVFIndex, train_quantizer,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = train_quantizer(
+        emb.where(F.col("vec_id") < _SX12_TRAIN), k=_SX12_CELLS)
+    idx = StreamingIVFIndex(
+        os.path.join(tempfile.mkdtemp(prefix="sx12want"), "state"), cents)
+    (idx._assign(emb).withColumn("batch_id", F.lit(0))
+     .write.partitionBy("batch_id", "cell").parquet(idx.state_dir))
+    return _rows(idx.topk(spark, emb.where(F.col("vec_id") < _SX12_NQ),
+                          nprobe=_SX12_NPROBE, k=_SX12_TOPK))
+
+
+def test_sx12_mid_stream_crash_resumes_from_checkpoint(
+        spark, sf_small, tmp_path, monkeypatch):
+    from eth_options_data_pipeline_spark.queries import analytics21
+    from eth_options_data_pipeline_spark.streaming.ann_stream import (
+        StreamingIVFIndex,
+    )
+    sf = _linked_sf(tmp_path, sf_small, "sx12streamcrash")
+    real = StreamingIVFIndex._process_batch
+
+    def crashing(self, batch_df, batch_id):
+        if batch_id >= 1:
+            raise RuntimeError("injected crash at batch 1")
+        real(self, batch_df, batch_id)
+
+    monkeypatch.setattr(StreamingIVFIndex, "_process_batch", crashing)
+    with pytest.raises(Exception):
+        analytics21.sx12_ann_stream(spark, sf)
+    monkeypatch.setattr(StreamingIVFIndex, "_process_batch", real)
+    got = _rows(analytics21.sx12_ann_stream(spark, sf))
+    assert got == _sx12_want(spark, sf)
+
+
+def test_sx12_crash_after_partial_list_write_replays_idempotently(
+        spark, sf_small, tmp_path, monkeypatch):
+    """Crash AFTER batch 1's lists land but BEFORE the checkpoint
+    commits: the replayed batch must regenerate exactly its own
+    (batch_id, cell) partitions (the anti-join excludes the in-flight
+    batch), leaving the served top-k equal to the batch truth."""
+    from eth_options_data_pipeline_spark.queries import analytics21
+    from eth_options_data_pipeline_spark.streaming.ann_stream import (
+        StreamingIVFIndex,
+    )
+    sf = _linked_sf(tmp_path, sf_small, "sx12midwrite")
+    real = StreamingIVFIndex._process_batch
+    crashed = {"done": False}
+
+    def crashing(self, batch_df, batch_id):
+        real(self, batch_df, batch_id)
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after list write")
+
+    monkeypatch.setattr(StreamingIVFIndex, "_process_batch", crashing)
+    with pytest.raises(Exception):
+        analytics21.sx12_ann_stream(spark, sf)
+    monkeypatch.setattr(StreamingIVFIndex, "_process_batch", real)
+    got = _rows(analytics21.sx12_ann_stream(spark, sf))
+    assert got == _sx12_want(spark, sf)
+
+
+def test_sx12_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
+    from eth_options_data_pipeline_spark.queries import analytics21
+    sf = _linked_sf(tmp_path, sf_small, "sx12donecrash")
+    want = _sx12_want(spark, sf)
+    assert _rows(analytics21.sx12_ann_stream(spark, sf)) == want
+    shutil.rmtree(os.path.join(
+        _scratch(spark, "annstream_face", sf), "_done"))
+    assert _rows(analytics21.sx12_ann_stream(spark, sf)) == want
