@@ -532,15 +532,22 @@ def test_pq_adc_scan_touches_codes_not_embeddings(all_plans):
     assert "dsq_nano" in p
 
 
-def test_bloom_prefilter_probe_side_never_shuffles(all_plans):
-    """dx62: the bitset lookups and the exact confirm are ALL
-    broadcast-hash joins (k=3 word probes + bench-gram confirm + the
-    totals join re-using broadcast), so the corpus gram stream reaches
-    its per-doc aggregate without an intermediate exchange. The bench
-    gram set and the bitset are localCheckpoint-scoped (released by the
-    ContextCleaner, ADVICE r10), so they surface as ExistingRDD scans —
-    the bit_or build plan is pinned separately below."""
-    p = all_plans["dx62_bloom_prefilter"]
+def test_bloom_prefilter_probe_side_never_shuffles(spark, sf_small):
+    """The single-bitset broadcast-prune regime (the retired dx62
+    face, r12 — its answer-equality lives in
+    test_dx62_bloom_path_equals_direct_path and its sharded sibling is
+    the driver-green dx65): the bitset lookups and the exact confirm
+    are ALL broadcast-hash joins (k=3 word probes + bench-gram confirm
+    + the totals join re-using broadcast), so the corpus gram stream
+    reaches its per-doc aggregate without an intermediate exchange.
+    The bench gram set and the bitset are localCheckpoint-scoped
+    (released by the ContextCleaner, ADVICE r10), so they surface as
+    ExistingRDD scans — the bit_or build plan is pinned separately
+    below."""
+    from eth_options_data_pipeline_spark.queries.analytics19 import (
+        _bloom_hits,
+    )
+    p = plan(_bloom_hits(spark, sf_small, use_bloom=True))
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "CartesianProduct" not in p
     assert "ExistingRDD" in p  # the checkpoint-scoped bitset/gram set

@@ -83,10 +83,10 @@ HEADLINERS = {
     "dx61_salted_skew_join": "join-side salting: dim replicated by an in-row explode, "
                              "fact salt from row-local hash, ShuffledHashJoin on "
                              "(key, salt) — a hot key spreads across SALT_N reducers",
-    "dx62_bloom_prefilter": "Bloom pre-screen: k=3 broadcast word-lookups + bit tests "
-                            "prune the corpus gram stream map-side (no false negatives), "
-                            "so the exact confirm join sees only survivors — the probe "
-                            "side never shuffles before its per-doc aggregate",
+    "dx66_exactsubstr_cut": "ExactSubstr applied: digest-only anchor shuffles find the "
+                            "merged dup intervals, then the cut is pure in-row JVM "
+                            "(filter/transform/concat_ws over split words) after one "
+                            "doc-keyed join — text shuffles exactly once",
     "dx63_pergroup_ols": "closed-form OLS per group: five exact int64 sufficient sums "
                          "in one partial+final aggregate — a single keyed exchange of "
                          "five numbers per group, the regression math post-aggregate",
