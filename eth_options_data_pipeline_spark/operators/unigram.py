@@ -142,6 +142,68 @@ def _usage_counts(words: DataFrame, entries: list[tuple[str, int]],
             .agg(F.sum("freq").cast("long").alias("usage")))
 
 
+def apply_unigram(words: DataFrame,
+                  entries: list[tuple[str, int]],
+                  max_piece: int = 5) -> DataFrame:
+    """Segment each lexicon word under a trained (piece, weight)
+    model: the CANONICAL optimal segmentation — walk left to right,
+    at each position take the LONGEST piece that lies on an optimal
+    path (``f[i] + w + b[j] == f[L]``), a deterministic integer choice
+    both engines replay identically. Returns (word, freq, pieces).
+
+    Pure JVM: the forward/backward arrays are the training DP, and
+    the walk is one more F.aggregate fold whose state is the piece
+    array (position = total length consumed so far)."""
+    vmap = _weight_map_col(entries)
+
+    def wt(piece):
+        return F.coalesce(F.element_at(F.col("_vmap"), piece),
+                          F.lit(INF).cast("long"))
+
+    L = F.length("word")
+    mp = F.lit(max_piece)
+    fwd = F.aggregate(
+        F.sequence(F.lit(1), L),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, j: F.concat(acc, F.array(F.array_min(F.transform(
+            F.sequence(F.greatest(j - mp, F.lit(0)), j - 1,
+                       F.lit(1)),
+            lambda i: F.element_at(acc, (i + 1).cast("int"))
+            + wt(F.col("word").substr(i + 1, j - i)))))))
+    bwd = F.aggregate(
+        F.sequence(F.lit(1), L),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, s: F.concat(F.array(F.array_min(F.transform(
+            F.sequence(F.lit(1), F.least(mp, s), F.lit(1)),
+            lambda k: wt(F.col("word").substr(L - s + 1, k))
+            + F.element_at(acc, k.cast("int"))))), acc))
+
+    def consumed(acc):
+        return F.length(F.array_join(acc, ""))
+
+    def klen(acc):
+        i = consumed(acc)
+        return F.array_max(F.filter(
+            F.sequence(F.lit(1), F.least(mp, L - i), F.lit(1)),
+            lambda k: (wt(F.col("word").substr(i + 1, k)) < INF)
+            & ((F.element_at("_f", (i + 1).cast("int"))
+                + wt(F.col("word").substr(i + 1, k))
+                + F.element_at("_b", (i + k + 1).cast("int")))
+               == F.element_at("_f", F.lit(-1)))))
+
+    seg = F.aggregate(
+        F.sequence(F.lit(1), L),
+        F.array().cast("array<string>"),
+        lambda acc, _: F.when(consumed(acc) >= L, acc).otherwise(
+            F.concat(acc, F.array(
+                F.col("word").substr(consumed(acc) + 1,
+                                     klen(acc).cast("int"))))))
+    return (words.withColumn("_vmap", vmap)
+            .withColumn("_f", fwd).withColumn("_b", bwd)
+            .withColumn("pieces", seg)
+            .select("word", "freq", "pieces"))
+
+
 def train_unigram(words: DataFrame, rounds: int = 2,
                   vocab_size: int = 80,
                   max_piece: int = 5) -> list[tuple[str, int]]:

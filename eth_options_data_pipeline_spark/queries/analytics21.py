@@ -24,7 +24,7 @@ from eth_options_data_pipeline_spark.operators.artifacts import (
     session_artifact,
 )
 from eth_options_data_pipeline_spark.operators.unigram import (
-    INF, top_words, train_unigram,
+    INF, apply_unigram, top_words, train_unigram,
 )
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
@@ -144,20 +144,157 @@ def dx67_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, piece). Engine-exact by construction — every DP
     value, usage count, and prune decision is BIGINT arithmetic the
     oracle unrolls round for round."""
+    full = _unigram_model(spark, sf_dir)
+    return (full.where(F.col("rank") <= _UG_TOP)
+            .select("rank", "piece", "cnt", "piece_len")
+            .orderBy("rank"))
+
+
+def _lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return top_words(docs, n_words=_UG_WORDS, min_len=3, max_len=10)
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL trained vocabulary (rank, piece, cnt, piece_len),
+    frozen once per session (the vx07/dx65 train-once/serve-many
+    split) and shared by dx67 (serves its head) and dx68 (applies
+    it)."""
     def _build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select("text")
-        words = top_words(docs, n_words=_UG_WORDS, min_len=3, max_len=10)
-        vocab = train_unigram(words, rounds=_UG_ROUNDS,
+        vocab = train_unigram(_lexicon(spark, sf_dir),
+                              rounds=_UG_ROUNDS,
                               vocab_size=_UG_VOCAB, max_piece=_UG_MAXP)
-        rows = [(i + 1, p, c, len(p))
-                for i, (p, c) in enumerate(vocab[:_UG_TOP])]
+        rows = [(i + 1, p, c, len(p)) for i, (p, c) in enumerate(vocab)]
         return spark.createDataFrame(
             rows, schema="rank long, piece string, cnt long, piece_len long")
 
-    # the trained vocabulary is a constant of the corpus — freeze it
-    # once per session (the vx07/dx65 train-once/serve-many split)
+    return session_artifact(spark, "unigram_model", sf_dir, "vocab", _build)
+
+
+_UG_APPLY_TOP = 20
+
+# the apply-time segmentation walk, mirrored: left-to-right, at each
+# position take the LONGEST piece on an optimal path. The per-position
+# best length precomputes as the `nxt` ARRAY column (DuckDB v1.0
+# silently NULLs array_to_string/list_aggregate applied to an outer
+# lambda variable inside a list_reduce, so the fold body stays
+# single-purpose: consumed position = list_sum of piece lengths, which
+# DOES evaluate correctly, and the on-path search lives outside the
+# fold)
+_DX68_CONSUMED = "coalesce(list_sum(list_transform(acc, p -> length(p))), 0)"
+_DX68_SEG_LAMBDA = f"""(acc, x) -> CASE
+      WHEN {_DX68_CONSUMED} >= L THEN acc
+      ELSE list_append(acc, substr(word,
+        ({_DX68_CONSUMED} + 1)::INT,
+        nxt[({_DX68_CONSUMED} + 1)::INT]::INT))
+      END"""
+
+_DX68_SQL = f"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE regexp_matches(word, '^[a-z]+$')
+        AND length(word) BETWEEN 3 AND 10
+      GROUP BY word ORDER BY freq DESC, word LIMIT {_UG_WORDS}
+    ),
+    cands AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT substr(word, i::INT, k::INT) AS piece, freq
+        FROM words,
+             LATERAL (SELECT unnest(range(1, length(word)+1)) AS i) ii,
+             LATERAL (SELECT unnest(range(1, {_UG_MAXP + 1})) AS k) kk
+        WHERE i + k - 1 <= length(word))
+      GROUP BY piece
+    ),
+    singles AS (SELECT piece, cnt FROM cands WHERE length(piece) = 1),
+    vocab0 AS (
+      SELECT piece, cnt FROM singles
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM cands WHERE length(piece) >= 2
+        ORDER BY cnt DESC, piece LIMIT {_UG_VOCAB})
+    ),
+    {",".join(_ug_round_ctes(r) for r in range(_UG_ROUNDS + 1)).lstrip()},
+    dpn AS (
+      SELECT *, list_transform(range(0, L), i ->
+        coalesce(list_max(list_filter(
+          range(1, least({_UG_MAXP}, L - i) + 1),
+          k -> coalesce(map_extract(vmap,
+                 substr(word, (i+1)::INT, k::INT))[1], {INF}) < {INF}
+               AND f[(i+1)::INT]
+                   + map_extract(vmap,
+                       substr(word, (i+1)::INT, k::INT))[1]
+                   + b[(i+k+1)::INT] = f[-1])), 0)) AS nxt
+      FROM dp{_UG_ROUNDS}
+    ),
+    seg AS (
+      SELECT word, freq, len(pieces) AS n_pieces, pieces FROM (
+        SELECT word, freq,
+          list_reduce(
+            list_prepend(CAST([] AS VARCHAR[]),
+                         list_transform(range(1, L + 1), s -> [''])),
+            {_DX68_SEG_LAMBDA}) AS pieces
+        FROM dpn)
+    ),
+    applied AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS applied_cnt
+      FROM (SELECT unnest(pieces) AS piece, freq FROM seg)
+      GROUP BY piece
+    ),
+    tot AS (
+      SELECT CAST(sum(freq * n_pieces) AS BIGINT) AS total_pieces,
+             CAST(sum(freq) AS BIGINT) AS total_words
+      FROM seg
+    )
+    SELECT CAST(row_number() OVER (ORDER BY applied_cnt DESC, piece)
+                AS BIGINT) AS rank,
+           piece, applied_cnt,
+           CAST(length(piece) AS BIGINT) AS piece_len,
+           total_pieces, total_words
+    FROM applied, tot
+    ORDER BY applied_cnt DESC, piece LIMIT {_UG_APPLY_TOP}
+"""
+
+
+@query("dx68_unigram_apply", sql=_DX68_SQL)
+def dx68_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer APPLIED (the dx55/dx56 symmetry for the
+    unigram family): segment the training lexicon under the frozen
+    dx67 model — canonical longest-piece-on-an-optimal-path walk,
+    deterministic integer choices both engines replay — and serve the
+    top applied pieces by frequency-weighted usage, with the corpus
+    pieces/words totals as guarantee columns. The walk is one more
+    pure-JVM F.aggregate fold (operators/unigram.apply_unigram); the
+    oracle re-trains the same model in-CTE and replays the same walk
+    with list_reduce."""
+    full = _unigram_model(spark, sf_dir)
+
+    def _build() -> DataFrame:
+        vocab = [(r["piece"], r["cnt"]) for r in full.collect()]
+        total = sum(c for _, c in vocab)
+        blt = total.bit_length()
+        entries = sorted((p, blt - c.bit_length()) for p, c in vocab)
+        seg = apply_unigram(_lexicon(spark, sf_dir), entries,
+                            max_piece=_UG_MAXP)
+        applied = (seg.select(F.explode("pieces").alias("piece"), "freq")
+                   .groupBy("piece")
+                   .agg(F.sum("freq").cast("long").alias("applied_cnt")))
+        tot = seg.agg(
+            F.sum(F.col("freq") * F.size("pieces")).cast("long").alias("tp"),
+            F.sum("freq").cast("long").alias("tw")).collect()[0]
+        top = sorted(((r["piece"], r["applied_cnt"])
+                      for r in applied.collect()),
+                     key=lambda t: (-t[1], t[0]))[:_UG_APPLY_TOP]
+        rows = [(i + 1, p, c, len(p), tot["tp"], tot["tw"])
+                for i, (p, c) in enumerate(top)]
+        return spark.createDataFrame(
+            rows, schema="rank long, piece string, applied_cnt long, "
+                         "piece_len long, total_pieces long, "
+                         "total_words long")
+
     return session_artifact(
-        spark, "dx67_unigram", sf_dir, "vocab", _build).orderBy("rank")
+        spark, "unigram_model", sf_dir, "applied", _build).orderBy("rank")
 
 
 # ------------------------------ streaming ANN index maintenance (sx12)

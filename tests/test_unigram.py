@@ -111,3 +111,53 @@ def test_trained_vocab_keeps_alphabet_and_bounds(spark):
 
     again = train_unigram(words, rounds=2, vocab_size=6, max_piece=4)
     assert vocab == again              # deterministic
+
+
+def _ref_apply(words_freq, entries, max_piece):
+    """Replica of the canonical apply walk: longest piece on an
+    optimal path, left to right."""
+    wt = dict(entries)
+    out = {}
+    for w, f in words_freq:
+        L = len(w)
+        fwd = [0] + [INF] * L
+        for j in range(1, L + 1):
+            fwd[j] = min(fwd[i] + wt.get(w[i:j], INF)
+                         for i in range(max(j - max_piece, 0), j))
+        bwd = [INF] * L + [0]
+        for j in range(L - 1, -1, -1):
+            bwd[j] = min(wt.get(w[j:k], INF) + bwd[k]
+                         for k in range(j + 1, min(L, j + max_piece) + 1))
+        pieces, i = [], 0
+        while i < L:
+            k = max(k for k in range(1, min(max_piece, L - i) + 1)
+                    if w[i:i + k] in wt
+                    and fwd[i] + wt[w[i:i + k]] + bwd[i + k] == fwd[L])
+            pieces.append(w[i:i + k])
+            i += k
+        out[w] = (f, pieces)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(DOC, min_size=1, max_size=5))
+def test_apply_matches_pure_python_replica(spark, texts):
+    from eth_options_data_pipeline_spark.operators.unigram import (
+        apply_unigram,
+    )
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    words = top_words(docs, n_words=20, min_len=3, max_len=10)
+    words_freq = [(r["word"], r["freq"]) for r in words.collect()]
+    if not words_freq:
+        return
+    vocab = train_unigram(words, rounds=1, vocab_size=10, max_piece=4)
+    total = sum(c for _, c in vocab)
+    blt = total.bit_length()
+    entries = sorted((p, blt - c.bit_length()) for p, c in vocab)
+    got = {r["word"]: (r["freq"], list(r["pieces"]))
+           for r in apply_unigram(words, entries, max_piece=4).collect()}
+    want = _ref_apply(words_freq, entries, max_piece=4)
+    assert got == want
+    for w, (_, pieces) in got.items():
+        assert "".join(pieces) == w  # lossless segmentation
