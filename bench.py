@@ -163,6 +163,23 @@ def main() -> None:
                 "exceeds 4.0 s AND same-session siblings hold their "
                 "r09 levels (see _environment)."
             ),
+            "_r12_adjudication": (
+                "VERDICT r11 item 1 settled by the probe instrument: "
+                "the r12 regeneration read py probes 1.03/1.08x "
+                "nominal (quiet; spark probe 1.71x at start is JVM "
+                "warmup, 1.06x at end). Against the r11-final detail, "
+                "the 121 shared faces' median ratio is 1.094 (the new "
+                "in-session heavy faces' pressure); the three r11 "
+                "~1.5x movers adjudicate as host/session noise, not "
+                "regressions: dx21_contamination ratio 1.00, "
+                "dx27_url_dedup 1.14 (within 5% of the corpus "
+                "median), dx62 retired to operator level. q21/cx01/"
+                "cx02 read 1.5x against ONE prior point but sit "
+                "inside their 6-round no-code-change bands (q21: "
+                "0.99-2.47). dx65's median reflects crowded-session "
+                "pressure: its serving path isolates at ~1.4 s "
+                "post-freeze (build run discarded by the median)."
+            ),
         },
         "sf": sf_from_dir(sf_dir),
         "config": {
