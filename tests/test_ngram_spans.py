@@ -145,3 +145,39 @@ def test_short_span_below_min_words_is_cut(spark):
         (2, f"xxx yyy {run} zzz www"),
     ], min_words=5)
     assert spans5[1] == [(1, 5)] and spans5[2] == [(3, 7)]
+
+
+# --------------------------------- apply-deletion (cut_dup_spans)
+
+def test_cut_identical_docs_yield_empty_text(spark):
+    """Two identical docs: every word of each is in a dup span, so the
+    cleaned text is '' and the accounting zeroes out kept_words."""
+    from eth_options_data_pipeline_spark.operators.ngram_spans import (
+        cut_dup_spans, dup_spans_per_doc,
+    )
+    text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = _docs(spark, [(1, text), (2, text)])
+    spans = dup_spans_per_doc(ngram_postings(docs, n=5), n=5, min_words=7)
+    out = {r.doc_id: r for r in cut_dup_spans(docs, spans).collect()}
+    for d in (1, 2):
+        assert out[d].clean_text == ""
+        assert out[d].removed_words == 8 and out[d].kept_words == 0
+
+
+def test_cut_doc_without_spans_passes_through(spark):
+    from eth_options_data_pipeline_spark.operators.ngram_spans import (
+        cut_dup_spans, dup_spans_per_doc,
+    )
+    shared = "s1 s2 s3 s4 s5 s6 s7"
+    docs = _docs(spark, [
+        (1, f"{shared} tail1 tail2"),
+        (2, f"head1 {shared}"),
+        (3, "totally unrelated text with eight different words"),
+    ])
+    spans = dup_spans_per_doc(ngram_postings(docs, n=5), n=5, min_words=7)
+    out = {r.doc_id: r for r in cut_dup_spans(docs, spans).collect()}
+    assert out[3].clean_text == "totally unrelated text with eight different words"
+    assert out[3].removed_words == 0
+    # span at doc START (doc 1) and doc END (doc 2) cut cleanly
+    assert out[1].clean_text == "tail1 tail2"
+    assert out[2].clean_text == "head1"

@@ -583,6 +583,18 @@ def test_sharded_bloom_confirm_is_shuffle_not_broadcast(all_plans):
     assert "CartesianProduct" not in p
 
 
+def test_sx12_serve_prunes_to_probed_lists(all_plans):
+    """sx12: the inverted-list state is partitioned by (batch_id,
+    cell) and the serve-side join against the broadcast probe set
+    fires DYNAMIC PARTITION PRUNING on the cell column — at 100 TB
+    only the nprobe probed lists are read, not the whole index. Also
+    no sort-merge anywhere (tiny broadcast sides + window rank)."""
+    p = all_plans["sx12_ann_stream"]
+    assert "dynamicpruning" in p.lower(), p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_kept_cache_sites_stay_cached_and_broadcast(all_plans):
     """The r11 cache-hygiene sweep measured +0.5–2.1 s regressions on
     q17/dx13/dx49/q21 when their pinned tables were converted from
