@@ -164,21 +164,21 @@ def main() -> None:
                 "r09 levels (see _environment)."
             ),
             "_r12_adjudication": (
-                "VERDICT r11 item 1 settled by the probe instrument: "
-                "the r12 regeneration read py probes 1.03/1.08x "
-                "nominal (quiet; spark probe 1.71x at start is JVM "
-                "warmup, 1.06x at end). Against the r11-final detail, "
-                "the 121 shared faces' median ratio is 1.094 (the new "
-                "in-session heavy faces' pressure); the three r11 "
-                "~1.5x movers adjudicate as host/session noise, not "
-                "regressions: dx21_contamination ratio 1.00, "
-                "dx27_url_dedup 1.14 (within 5% of the corpus "
-                "median), dx62 retired to operator level. q21/cx01/"
-                "cx02 read 1.5x against ONE prior point but sit "
-                "inside their 6-round no-code-change bands (q21: "
-                "0.99-2.47). dx65's median reflects crowded-session "
-                "pressure: its serving path isolates at ~1.4 s "
-                "post-freeze (build run discarded by the median)."
+                "VERDICT r11 item 1 CLOSED with a quiet-box run: this "
+                "regeneration reads host_inflated FALSE (py probes "
+                "1.14/1.00x, spark 1.39/1.12x). The three r11 ~1.5x "
+                "movers adjudicate as box-baseline artifacts, not "
+                "regressions: against the r10 SAME-BOX quiet detail "
+                "(7cd0520) dx27_url_dedup is 0.93x and "
+                "dx21_contamination 0.90x — both FASTER than their "
+                "r10 quiet medians; the 1.015/1.208 figures the r11 "
+                "VERDICT cited came from the r10 driver box, where "
+                "those two faces read unusually low relative to the "
+                "117-face corpus median (1.05 now vs that run). dx62 "
+                "retired to operator level. dx65's remaining median "
+                "is crowded-session pressure: its serving path "
+                "isolates at ~1.4 s post-freeze (the build run is "
+                "discarded by the median)."
             ),
         },
         "sf": sf_from_dir(sf_dir),
