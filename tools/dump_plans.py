@@ -83,10 +83,12 @@ HEADLINERS = {
     "dx61_salted_skew_join": "join-side salting: dim replicated by an in-row explode, "
                              "fact salt from row-local hash, ShuffledHashJoin on "
                              "(key, salt) — a hot key spreads across SALT_N reducers",
-    "dx66_exactsubstr_cut": "ExactSubstr applied: digest-only anchor shuffles find the "
-                            "merged dup intervals, then the cut is pure in-row JVM "
-                            "(filter/transform/concat_ws over split words) after one "
-                            "doc-keyed join — text shuffles exactly once",
+    "dx66_exactsubstr_cut": "ExactSubstr applied over the session-frozen deletion list "
+                            "(the landed-once pipeline split; the list's own digest-only "
+                            "plan is pinned by operator tests): the per-doc interval "
+                            "arrays broadcast and the cut is pure in-row JVM "
+                            "(filter/transform/concat_ws over split words) — the text "
+                            "column never shuffles at all",
     "dx63_pergroup_ols": "closed-form OLS per group: five exact int64 sufficient sums "
                          "in one partial+final aggregate — a single keyed exchange of "
                          "five numbers per group, the regression math post-aggregate",
