@@ -163,9 +163,16 @@ def dx43_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel as the rerank — same operators, different stage order."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     chunks = chunk_documents(docs, chunk_tokens=_RAG_CT, overlap=_RAG_OV)
-    emb = chunks.select(
+    # materialize chunk+embed once: `corpus` is consumed by BOTH the
+    # query-panel TakeOrdered and the scored scan, and `e` is
+    # re-inlined into every dot — left lazy the per-token md5 fold ran
+    # multiple times per chunk (the dx46 fix, r12). localCheckpoint is
+    # safe here: the panel's broadcast is an explicit hint, not a
+    # stats decision.
+    emb = (chunks.select(
         "doc_id", "chunk_id", "chunk_index",
         _hash_embed(F.col("chunk_text")).alias("e"))
+        .localCheckpoint(eager=False))
     corpus = emb.where(vx.dot(F.col("e"), F.col("e")) > 0)
     qs = (
         corpus.where(F.col("chunk_index") == 0)
@@ -605,8 +612,24 @@ def dx46_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bm_rk")
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    qvec = _hash_embed(F.lit(" ".join(_BM25_TERMS)))
-    emb = docs.select("doc_id", _hash_embed(F.col("text")).alias("e"))
+    # the query embedding is a CONSTANT, but higher-order functions
+    # never constant-fold — left inline, the md5 token fold re-ran per
+    # corpus row (measured: 2.2 s of this face's 3.6 at sf0.1, and a
+    # scale killer at 100 TB). Evaluate it once on a 1-row plan and
+    # inject the VALUES as a literal array; the cosine expression tree
+    # downstream is unchanged, so oracle parity is unaffected.
+    qrow = spark.range(1).select(
+        _hash_embed(F.lit(" ".join(_BM25_TERMS))).alias("q")).first()
+    qvec = F.array(*[F.lit(float(v)) for v in qrow["q"]])
+    # materialize the corpus embedding once: `e` is referenced five
+    # times downstream (the dot(e,e) norm filter + the cosine's three
+    # dots) and CollapseProject re-inlines a once-referenced alias, so
+    # left lazy the md5 token fold ran ~5x per row (the _hash_embed
+    # docstring's re-evaluation class; dx49 makes the same move).
+    # localCheckpoint, not cache: downstream is projection/TakeOrdered
+    # only — no broadcast-decided join needs its stats (r11 lesson).
+    emb = (docs.select("doc_id", _hash_embed(F.col("text")).alias("e"))
+           .localCheckpoint(eager=False))
     sims = (
         emb.where(vx.dot(F.col("e"), F.col("e")) > 0)
         .select("doc_id",
