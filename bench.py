@@ -60,9 +60,13 @@ def calibration_probe(spark) -> dict:
     for i in range(20_000_000):
         s += i
     py_spin = time.perf_counter() - t0
-    # compile the probe expression untimed so the first probe of a
-    # session doesn't carry one-off codegen cost
-    spark.range(1_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    # warm the probe at FULL size untimed: a 1M-row warmup compiles
+    # the expression but the first 200M all-core job of a fresh
+    # session still pays thread-pool/JIT spin-up, which read as a
+    # phantom 1.4-1.7x "host inflation" at bench START on boxes whose
+    # end probe and python spin were both nominal (observed r12). The
+    # probe's job is host speed, not JVM warmup.
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
     t0 = time.perf_counter()
     spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
     spark_range = time.perf_counter() - t0
