@@ -48,7 +48,16 @@ CONSTRUCTION_HEAVY = {
 # every per-face number, and cross-round adjudications should cite the
 # probe ratio instead of prose (VERDICT r10 item 2).
 _CAL_SPIN_NOMINAL_S = 0.80   # 20M-iteration single-core python loop
-_CAL_SPARK_NOMINAL_S = 0.25  # sum over spark.range(200M) on local[32]
+_CAL_SPARK_NOMINAL_S = 0.20  # sum over spark.range(200M) on local[32]
+                             # (re-pinned r12 after the probe gained a
+                             # full-size warmup: quiet-box readings
+                             # span 0.10-0.21s, so the nominal sits at
+                             # the band's top — a 1.4x trip now means
+                             # >= 0.28s, genuinely slowed, while quiet
+                             # jitter stays ~<=1.05x. The old 0.25 was
+                             # measured with JVM spin-up folded in.
+                             # The python spin stays the sensitive
+                             # instrument for r10/r11-style slowdowns.
 
 
 def calibration_probe(spark) -> dict:
