@@ -1,0 +1,128 @@
+"""Distributed exact order statistics (quantiles) without a
+single-reducer buffer.
+
+The scale problem: Spark's exact ``percentile`` over ONE group plans a
+single ObjectHashAggregate buffer holding EVERY value — a serial
+bottleneck at test scale (it was the one face leg that did not speed
+up between a loaded and a quiet box) and an OOM at 100 TB, where no
+executor holds a column of the corpus. The sketch
+(``percentile_approx``) is the aggregation-path answer; this module is
+the exact path, used where the exact value is the point (verifying the
+sketch's rank-error contract, qx48).
+
+Plan shape — distributed selection by value bucketing:
+
+  1. one sketch pass collects ``num_buckets - 1`` approximate split
+     values (balance hints only — correctness never depends on them);
+  2. every row maps to a bucket ROW-LOCALLY: the count of split
+     values <= v (a literal-array fold, monotone in v, so buckets are
+     ordered, contiguous value ranges and equal values share a
+     bucket — no shuffle, no sampled partitioner whose boundaries
+     could re-draw between actions);
+  3. one count pass gives each bucket's size, hence every bucket's
+     global rank OFFSET (driver-side cumsum over ``num_buckets``
+     integers — bounded materialization, the ranges.py convention);
+  4. the target global ranks (two bracketing ranks per quantile,
+     ``floor(q*(n-1))`` and its successor) resolve to (bucket,
+     local-rank) pairs in Python; only the <= 2*len(qs) buckets that
+     hold a target are shuffled into a bucket-PARTITIONED ranking
+     window (never a global window) and gathered;
+  5. linear interpolation ``lo + (hi - lo) * frac`` — the
+     ``quantile_cont`` contract both Spark's ``percentile`` and
+     DuckDB implement.
+
+Every stage is parallel and every driver transfer bounded (the split
+panel, the bucket counts, the bracketing values). At 100 TB
+``num_buckets`` scales with the cluster, each bucket's ranking task
+sees ~1/num_buckets of the column, and a skewed bucket only skews its
+own task — the sketch pass can be re-run with finer splits if balance
+matters; correctness never does.
+
+NULLs are excluded (the SQL-aggregate convention); NaN would sort
+AFTER +inf in Spark's double ordering (caller's responsibility to
+scrub first — operators/clean.py f12 is the repo's scrubber).
+
+No counterpart in the reference (row-oriented options pipeline,
+main.py:43-351, holds everything in one pandas frame); distributed
+selection by range bucketing is the published exact baseline the
+GK/KLL sketch papers compare against.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(df: DataFrame, col: str, qs: list[float],
+                    num_buckets: int = 32) -> list[tuple[float, float]]:
+    """Exact linear-interpolated quantiles of ``df[col]``, computed by
+    distributed selection (no single-task value buffer anywhere).
+
+    Returns ``[(q, value), ...]`` in ``qs`` order — unrounded Python
+    floats (bounded driver materialization: the caller typically
+    re-injects them as plan literals). Raises on an empty column.
+    """
+    spark = df.sparkSession
+    vals0 = (df.select(F.col(col).cast("double").alias("v"))
+               .where(F.col("v").isNotNull()))
+
+    # balance hints: approximate split points. Low accuracy is fine —
+    # a bad split only unbalances tasks, never answers.
+    fracs = [i / num_buckets for i in range(1, num_buckets)]
+    splits = vals0.agg(
+        F.percentile_approx("v", F.lit(fracs), F.lit(100)).alias("s")
+    ).collect()[0]["s"]
+    if splits is None:
+        raise ValueError(f"exact_quantiles: no non-null values in {col}")
+    bounds = F.lit([float(s) for s in splits])
+    # bucket id = #splits <= v: row-local, monotone, deterministic
+    bucket = F.size(F.filter(bounds, lambda b: b <= F.col("v")))
+    vals = vals0.select("v", bucket.alias("bkt"))
+
+    counts = {r["bkt"]: r["cnt"] for r in
+              vals.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+                  .collect()}
+    n = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    # bracketing global ranks (1-indexed) per quantile
+    brackets: list[tuple[int, int, float]] = []
+    need: set[int] = set()
+    for q in qs:
+        pos = q * (n - 1)  # 0-indexed fractional position
+        lo = min(int(math.floor(pos)), n - 1)
+        hi = min(lo + 1, n - 1)
+        brackets.append((lo + 1, hi + 1, pos - lo))
+        need.update((lo + 1, hi + 1))
+
+    # global rank -> (bucket, local rank), pure python over the counts
+    targets = []
+    for r in sorted(need):
+        for b in sorted(counts):
+            if offsets[b] < r <= offsets[b] + counts[b]:
+                targets.append((b, r - offsets[b], r))
+                break
+    tgt = spark.createDataFrame(targets, "bkt int, rn int, grank long")
+
+    # rank ONLY the buckets holding a target (bucket-LOCAL window,
+    # never global); the broadcast panel keeps the bracketing rows
+    hot = sorted({b for b, _, _ in targets})
+    w = Window.partitionBy("bkt").orderBy("v")
+    got = {r["grank"]: r["v"] for r in
+           (vals.where(F.col("bkt").isin(hot))
+                .withColumn("rn", F.row_number().over(w))
+                .join(F.broadcast(tgt), ["bkt", "rn"])
+                .select("grank", "v")).collect()}
+
+    out = []
+    for q, (lo_r, hi_r, frac) in zip(qs, brackets):
+        v_lo, v_hi = got[lo_r], got[hi_r]
+        out.append((float(q), v_lo + (v_hi - v_lo) * frac))
+    return out

@@ -42,6 +42,9 @@ from eth_options_data_pipeline_spark.operators.incremental_agg import (
     finalize, merge_states, partial_state,
 )
 from eth_options_data_pipeline_spark.operators.mixing import temperature_mix
+from eth_options_data_pipeline_spark.operators.order_stats import (
+    exact_quantiles,
+)
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
 
@@ -218,45 +221,57 @@ _QX48_SQL = " UNION ALL ".join(
 
 @query("qx48_approx_quantiles", sql=_QX48_SQL)
 def qx48_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx with its rank-error contract checked in-plan:
-    for each q, the count of values <= the sketch's answer must sit
-    within n/accuracy (+1 for ties) of q*n. One scan builds the
-    sketch AND the exact percentiles; one more ranks the sketch
-    answers (broadcast of a 4-row panel)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    """percentile_approx with its rank-error contract checked in-plan,
+    and the exact values it is checked against computed by DISTRIBUTED
+    selection (operators/order_stats.exact_quantiles: range shuffle +
+    partition-local ranking) — never Spark's single-group exact
+    ``percentile``, whose one-task value buffer is the serial
+    bottleneck at test scale and an OOM at 100 TB. One scan builds
+    the sketch; the selection pays one count pass and one bracketing
+    gather; the returned plan is a single conditional-sum scan that
+    ranks the sketch's four answers (no per-row amplification)."""
+    # one parquet decode for the three passes (sketch, selection,
+    # rank check): the testdata files carry a single row group, so
+    # every scan re-pays a serial decode — materialize the projected
+    # column once, spread across cores, and let all passes read it
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_extendedprice")
+          .localCheckpoint(eager=True))
     qs = F.lit(_QX48_QS)
-    agg = li.agg(
+    approx_row = li.agg(
         F.percentile_approx("l_extendedprice", qs, F.lit(_QX48_ACC))
          .alias("approx"),
-        F.percentile("l_extendedprice", qs).alias("exact"),
         F.count(F.lit(1)).alias("n"),
-    )
-    panel = agg.select(
-        F.posexplode(F.arrays_zip("approx", "exact")).alias("i", "pair"),
-        "n",
-    ).select(
-        F.element_at(F.lit(_QX48_QS), F.col("i") + 1).alias("q"),
-        F.col("pair.approx").alias("approx_v"),
-        F.round(F.col("pair.exact"), 6).alias("exact_q"),
-        "n",
-    )
-    ranked = (
-        li.crossJoin(F.broadcast(panel))
-        .groupBy("q", "approx_v", "exact_q", "n")
-        .agg(F.sum(F.when(F.col("l_extendedprice") <= F.col("approx_v"), 1)
-                   .otherwise(0)).alias("rank_le"),
-             F.sum(F.when(F.col("l_extendedprice") < F.col("approx_v"), 1)
-                   .otherwise(0)).alias("rank_lt"))
-    )
-    # two-sided: the sketch's answer occupies the rank interval
-    # (rank_lt, rank_le]; the GK contract holds iff that interval
-    # intersects [q*n - eps*n, q*n + eps*n]. A one-sided rank_le
-    # check would spuriously fail on a wide tie bucket at the answer.
-    eps = F.col("n") / _QX48_ACC + 1
-    target = F.col("q") * F.col("n")
-    bound_ok = ((F.col("rank_le") >= target - eps)
-                & (F.col("rank_lt") <= target + eps))
-    return ranked.select("q", "exact_q", bound_ok.alias("bound_ok"))
+    ).collect()[0]
+    approx_vs, n = list(approx_row["approx"]), int(approx_row["n"])
+    exact = exact_quantiles(li, "l_extendedprice", _QX48_QS)
+
+    # two-sided GK contract: the sketch's answer occupies the rank
+    # interval (rank_lt, rank_le]; the bound holds iff that interval
+    # intersects [q*n - eps, q*n + eps], eps = n/accuracy (+1 for
+    # ties). A one-sided rank_le check would spuriously fail on a
+    # wide tie bucket at the answer. Both ranks for all four answers
+    # come from ONE map-side-combinable scan (8 conditional sums).
+    ranks = li.agg(*(
+        F.sum(F.when(F.col("l_extendedprice") <= F.lit(av), 1)
+              .otherwise(0)).alias(f"le{i}")
+        for i, av in enumerate(approx_vs)
+    ), *(
+        F.sum(F.when(F.col("l_extendedprice") < F.lit(av), 1)
+              .otherwise(0)).alias(f"lt{i}")
+        for i, av in enumerate(approx_vs)
+    ))
+    eps = n / _QX48_ACC + 1
+    panel = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.round(F.lit(ev), 6).alias("exact_q"),
+            ((F.col(f"le{i}") >= q * n - eps)
+             & (F.col(f"lt{i}") <= q * n + eps)).alias("bound_ok"))
+        for i, (q, ev) in enumerate(exact)
+    ]
+    return (ranks.select(F.explode(F.array(*panel)).alias("r"))
+            .select("r.q", "r.exact_q", "r.bound_ok"))
 
 
 # ----------------------------------------- schema evolution (qx49)

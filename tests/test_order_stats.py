@@ -1,0 +1,90 @@
+"""Distributed exact quantiles (operators/order_stats.py).
+
+The operator's contract: for any column, ``exact_quantiles`` returns
+the same linearly-interpolated values a single sorted list would give
+(the quantile_cont convention shared by Spark's ``percentile`` and
+DuckDB), while its plan never buffers the column in one task — range
+shuffle, partition-local ranking, bounded driver materialization
+(P partition counts + the bracketing values only).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_options_data_pipeline_spark.operators.order_stats import (
+    exact_quantiles,
+)
+
+QS = [0.0, 0.25, 0.5, 0.75, 0.95, 1.0]
+
+
+def _reference(values: list[float], q: float) -> float:
+    """Single-node quantile_cont: sort, interpolate at q*(n-1)."""
+    s = sorted(values)
+    n = len(s)
+    pos = q * (n - 1)
+    lo = min(int(math.floor(pos)), n - 1)
+    hi = min(lo + 1, n - 1)
+    return s[lo] + (s[hi] - s[lo]) * (pos - lo)
+
+
+def _check(spark, values, qs=QS, num_buckets=8):
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = exact_quantiles(df, "v", qs, num_buckets=num_buckets)
+    assert [q for q, _ in got] == [float(q) for q in qs]
+    for (q, v) in got:
+        expect = _reference(values, q)
+        assert v == pytest.approx(expect, abs=1e-9), (
+            f"q={q}: got {v}, reference {expect}")
+
+
+def test_matches_sorted_list_reference_random(spark):
+    rng = random.Random(7)
+    values = [rng.uniform(-1e4, 1e4) for _ in range(5000)]
+    _check(spark, values)
+
+
+def test_ties_heavy_column(spark):
+    rng = random.Random(11)
+    values = [float(rng.randint(0, 9)) for _ in range(3000)]
+    _check(spark, values)
+
+
+def test_fewer_rows_than_ranges(spark):
+    _check(spark, [3.0, 1.0, 2.0], num_buckets=32)
+
+
+def test_single_row_and_constant_column(spark):
+    _check(spark, [42.0], num_buckets=4)
+    _check(spark, [5.0] * 100, num_buckets=4)
+
+
+def test_nulls_excluded_and_empty_raises(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "v double")
+    got = dict(exact_quantiles(df, "v", [0.5], num_buckets=4))
+    assert got[0.5] == pytest.approx(2.0)
+    empty = df.where(F.col("v").isNull())
+    with pytest.raises(ValueError):
+        exact_quantiles(empty, "v", [0.5], num_buckets=4)
+
+
+def test_qx48_returned_plan_has_no_exact_percentile(spark, sf_small):
+    """The face's returned plan is the conditional-sum rank check —
+    the exact values were computed by distributed selection, so the
+    single-group ObjectHashAggregate percentile buffer (the 100 TB
+    scale-killer this operator replaces) must not appear anywhere in
+    it."""
+    from eth_options_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["qx48_approx_quantiles"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile(" not in plan, plan
+    rows = {r["q"]: r for r in df.collect()}
+    assert set(rows) == {0.25, 0.5, 0.75, 0.95}
+    assert all(r["bound_ok"] for r in rows.values())
