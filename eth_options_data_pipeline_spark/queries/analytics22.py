@@ -1,0 +1,86 @@
+"""Round-12 face: recursive-CTE hierarchy rollup (qx53).
+
+qx50 proved the engine's plain SQL-string surface (views + spark.sql,
+one query text shared verbatim with the oracle); this face proves the
+ITERATIVE SQL surface — ``WITH RECURSIVE``, new in Spark 4 — on the
+workload recursion exists for: walking a hierarchy whose depth is
+data-dependent and unknown at plan time. No fixed-depth unrolling
+(the dx38/dx39 oracle technique) could express it without assuming a
+maximum.
+
+The hierarchy is derived deterministically from the data: customer
+``c_custkey`` parents to ``greatest(floor(c_custkey / 4), 1)`` — a quaternary org tree
+over the contiguous TPC-H key range, the standard synthesis when the
+schema carries no explicit parent edge. Each customer's chain walks
+leaf -> root accumulating the path's account balances in EXACT CENTS
+(BIGINT — double sums would be order-sensitive across engines); the
+face serves the per-depth rollup: chain count, path-balance sum, and
+a leaf-key checksum. One query text runs verbatim on both engines
+(floor-division spelled ``CAST(floor(x/4) AS BIGINT)``, the shared
+dialect subset; sums wrapped ``CAST(... AS BIGINT)`` against DuckDB's
+HUGEINT widening).
+
+Scale shape: Spark executes the recursion as an iterative union —
+one frontier-join stage per level, so the iteration count is the
+TREE DEPTH (log4 n: ~7 at sf0.1, ~20 at 100 TB keys), never the row
+count; each level's frontier join is a plain equi-join Catalyst
+shuffles or broadcasts like any other. The anchor scans customer
+once; nothing ever materializes more than frontier x depth rows.
+
+No counterpart in the reference (row-oriented options pipeline,
+main.py:43-351 — no hierarchical data); recursion completes the SQL
+surface inventory (SURVEY.md §2.8's scalar catalogue + qx50's
+join/agg/HAVING string surface + this face's fixpoint iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from eth_options_data_pipeline_spark.queries.registry import query
+from eth_options_data_pipeline_spark.sources import load_table
+
+# ONE query text, two engines (the qx50 convention): every construct
+# below is in the dialect subset both parse identically.
+_QX53_SQL = """
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS leaf,
+             c_custkey AS cur,
+             0 AS depth,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS path_bal_c
+      FROM customer
+      UNION ALL
+      SELECT w.leaf,
+             CAST(greatest(floor(w.cur / 4), 1) AS BIGINT) AS cur,
+             w.depth + 1,
+             w.path_bal_c + CAST(round(c.c_acctbal * 100) AS BIGINT)
+      FROM walk w
+      JOIN customer c ON c.c_custkey = CAST(greatest(floor(w.cur / 4), 1) AS BIGINT)
+      WHERE w.cur > 1
+    )
+    SELECT depth,
+           count(*) AS n_chains,
+           CAST(sum(path_bal_c) AS BIGINT) AS bal_sum_c,
+           CAST(sum(leaf) AS BIGINT) AS leaf_key_sum
+    FROM walk
+    WHERE cur <= 1
+    GROUP BY depth
+"""
+
+
+@query("qx53_recursive_cte", sql=_QX53_SQL)
+def qx53_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the engine's SQL surface: register the
+    table as a temp view, run the hierarchy walk verbatim. Every
+    chain bottoms out at custkey 1 (parent = greatest(floor(key/4), 1) over the
+    contiguous key range), so ``WHERE cur <= 1`` keeps exactly one
+    completed row per leaf and the depth histogram is the tree's
+    level structure."""
+    # checkpoint the view's backing table: every recursion level joins
+    # the frontier against customer, and an unmaterialized view would
+    # re-scan (and re-spread) the parquet once per level — depth x the
+    # cost for a table the iteration never changes
+    (load_table(spark, sf_dir, "customer")
+     .localCheckpoint(eager=True)
+     .createOrReplaceTempView("customer"))
+    return spark.sql(_QX53_SQL)

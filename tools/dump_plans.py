@@ -102,6 +102,15 @@ HEADLINERS = {
     "dx64_exact_substr": "ExactSubstr deletion lists: digest-only anchor joins, "
                          "per-(doc, partner, diagonal) island windows, per-doc interval "
                          "merge — no global window, text never leaves the scan stage",
+    "qx48_approx_quantiles": "exact quantiles by distributed selection: sketch-derived "
+                             "value buckets (row-local, deterministic), bucket counts "
+                             "to rank offsets, bracketing ranks from bucket-LOCAL "
+                             "windows — no single-group percentile buffer anywhere; "
+                             "the returned plan is one conditional-sum rank-check scan",
+    "qx53_recursive_cte": "WITH RECURSIVE through the SQL surface: the hierarchy walk "
+                          "executes as an iterative UnionLoop — one frontier equi-join "
+                          "per tree LEVEL (log n iterations, never row count), the "
+                          "parent table pruned to 2 columns inside the loop body",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
