@@ -58,6 +58,26 @@ _CAL_SPARK_NOMINAL_S = 0.20  # sum over spark.range(200M) on local[32]
                              # measured with JVM spin-up folded in.
                              # The python spin stays the sensitive
                              # instrument for r10/r11-style slowdowns.
+_CAL_SHUFFLE_NOMINAL_S = 1.30  # full round-robin shuffle of 32M longs
+                             # (64-way exchange) + sum, min of 3, on
+                             # local[32]. Added late r12 after a
+                             # regeneration where BOTH compute probes
+                             # read <= 1.0x while 124 untouched faces
+                             # drifted +8.5% median (+12% total): host
+                             # drift on the shuffle/memory-bandwidth
+                             # path is invisible to compute-only
+                             # probes, and most faces are
+                             # exchange-bound. PROVENANCE: the nominal
+                             # is an ESTIMATE — the probe could only
+                             # be measured on that same degraded box
+                             # (min 1.46s across 6 runs); 1.30 backs
+                             # out the +10% face drift. Until a quiet
+                             # run re-pins it, treat the vs_nominal
+                             # ratio as approximate and prefer
+                             # PROBE-TO-PROBE comparison: every
+                             # BENCH_DETAIL now records the reading,
+                             # so two runs can be compared by their
+                             # own probe ratio without any nominal.
 
 
 def calibration_probe(spark) -> dict:
@@ -79,10 +99,32 @@ def calibration_probe(spark) -> dict:
     t0 = time.perf_counter()
     spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
     spark_range = time.perf_counter() - t0
+    # shuffle-path probe: a fixed full exchange (round-robin
+    # repartition of 8M longs, 64-way) + sum. The compute probes above
+    # miss host drift on the shuffle/memory-bandwidth path — observed
+    # r12: both read <= 1.0x nominal while every exchange-bound face
+    # drifted ~+10%. Warm once untimed (same rationale as the range
+    # probe); a single shuffle timing is noisy (~±25% run-to-run even
+    # on one box state), so time 3 and take the MIN — the capacity
+    # statistic, stable where a mean would smear scheduler jitter.
+    # 32M rows (not smaller): an 8M shuffle's run-to-run spread was
+    # ~60% on one box state, 32M's ~18% — the bigger fixed job
+    # amortizes scheduler quantization.
+    spark.range(32_000_000).repartition(64).selectExpr("sum(id)").collect()
+    shuffle_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(32_000_000).repartition(64).selectExpr(
+            "sum(id)").collect()
+        shuffle_runs.append(time.perf_counter() - t0)
+    spark_shuffle = min(shuffle_runs)
     return {"py_spin_s": round(py_spin, 3),
             "spark_range_s": round(spark_range, 3),
+            "spark_shuffle_s": round(spark_shuffle, 3),
             "py_spin_vs_nominal": round(py_spin / _CAL_SPIN_NOMINAL_S, 2),
-            "spark_vs_nominal": round(spark_range / _CAL_SPARK_NOMINAL_S, 2)}
+            "spark_vs_nominal": round(spark_range / _CAL_SPARK_NOMINAL_S, 2),
+            "shuffle_vs_nominal": round(
+                spark_shuffle / _CAL_SHUFFLE_NOMINAL_S, 2)}
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -136,10 +178,15 @@ def main() -> None:
     # HOST-INFLATED if either probe reads >= 1.4x nominal at start or
     # end; cross-round per-face comparisons against an inflated run
     # must normalize by the probe ratio or be discarded.
+    # the shuffle probe trips at a tighter 1.25x: its nominal was
+    # pinned generously (see _CAL_SHUFFLE_NOMINAL_S) and exchange-bound
+    # faces track it near-linearly, so +25% probe ~ +25% corpus.
     inflated = max(cal_start["py_spin_vs_nominal"],
                    cal_end["py_spin_vs_nominal"],
                    cal_start["spark_vs_nominal"],
-                   cal_end["spark_vs_nominal"]) >= 1.4
+                   cal_end["spark_vs_nominal"]) >= 1.4 or max(
+                   cal_start["shuffle_vs_nominal"],
+                   cal_end["shuffle_vs_nominal"]) >= 1.25
     detail = {
         "metric": "corpus_total_runtime",
         "value": total,
@@ -151,11 +198,16 @@ def main() -> None:
             "start": cal_start,
             "end": cal_end,
             "nominal": {"py_spin_s": _CAL_SPIN_NOMINAL_S,
-                        "spark_range_s": _CAL_SPARK_NOMINAL_S},
+                        "spark_range_s": _CAL_SPARK_NOMINAL_S,
+                        "spark_shuffle_s": _CAL_SHUFFLE_NOMINAL_S},
             "host_inflated": inflated,
-            "rule": ("probe >= 1.4x nominal at start or end => per-face "
+            "rule": ("compute probe >= 1.4x nominal OR shuffle probe "
+                     ">= 1.25x nominal at start or end => per-face "
                      "numbers carry host inflation; normalize by the "
-                     "probe ratio before cross-round comparison"),
+                     "probe ratio before cross-round comparison. For "
+                     "exchange-bound faces the shuffle probe is the "
+                     "relevant normalizer (r12: compute probes <= 1.0x "
+                     "while every exchange-bound face drifted ~+10%)"),
         },
         "notes": {
             "_environment": (
@@ -192,6 +244,26 @@ def main() -> None:
                 "is crowded-session pressure: its serving path "
                 "isolates at ~1.4 s post-freeze (the build run is "
                 "discarded by the median)."
+            ),
+            "_r12_late_drift_and_shuffle_probe": (
+                "A same-round regeneration (after the qx48 selection "
+                "rework and the qx53 face landed) read 157.7 s / 126 "
+                "faces while BOTH compute probes sat <= 1.0x nominal: "
+                "the 124 untouched faces moved +8.5% median (+12% "
+                "total, p10 0.94 / p90 1.33) — uniform, "
+                "code-independent, concentrated in exchange-bound "
+                "faces (dx10 3.46 -> 5.06 on zero code change). "
+                "Adjudication: host drift on the shuffle/memory-"
+                "bandwidth path, a blind spot of the compute-only "
+                "probe pair — which prompted the third calibration "
+                "probe (spark_shuffle_s: fixed 32M-row 64-way "
+                "exchange, min of 3). Its nominal is provisional "
+                "(measurable only on the degraded box; see bench.py); "
+                "prefer probe-to-probe ratios across BENCH_DETAIL "
+                "generations. The authoritative quiet figures remain "
+                "the committed 139.63 s/125 record plus isolated "
+                "quiet-box timings for the two faces added since: "
+                "qx48 2.97 -> 2.15 s (selection rework), qx53 1.8 s."
             ),
         },
         "sf": sf_from_dir(sf_dir),
