@@ -1,7 +1,9 @@
-"""Round-12 face: recursive-CTE hierarchy rollup (qx53).
+"""Round-12 faces: recursive-CTE hierarchy rollup (qx53) and
+VARIANT semi-structured extraction (qx54) — the two Spark-4 engine
+surfaces the registry had not yet exercised.
 
 qx50 proved the engine's plain SQL-string surface (views + spark.sql,
-one query text shared verbatim with the oracle); this face proves the
+one query text shared verbatim with the oracle); qx53 proves the
 ITERATIVE SQL surface — ``WITH RECURSIVE``, new in Spark 4 — on the
 workload recursion exists for: walking a hierarchy whose depth is
 data-dependent and unknown at plan time. No fixed-depth unrolling
@@ -36,6 +38,7 @@ join/agg/HAVING string surface + this face's fixpoint iteration).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
@@ -66,6 +69,70 @@ _QX53_SQL = """
     WHERE cur <= 1
     GROUP BY depth
 """
+
+
+_QX54_SQL = """
+    SELECT o_orderpriority AS pri,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tagged,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                         THEN o_orderkey % 7 + o_orderkey % 5
+                         ELSE 0 END) AS BIGINT) AS tag_sum
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@query("qx54_variant_extract", sql=_QX54_SQL)
+def qx54_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type — the
+    open-schema scale path the reference's field extraction maps to
+    at 100 TB (reference main.py:94-104 parses a REST JSON payload;
+    the engine's string-path twin, ``get_json_object``, lives in
+    q06's folded q13 leg and operators/parse.py:51).
+
+    Each order row becomes a heterogeneous JSON document in-plan
+    (``to_json`` drops null fields, so two schema variants coexist:
+    every third document carries a ``tags`` array, the rest do not —
+    ``schema_of_variant`` reads OBJECT<id, meta> vs OBJECT<id, meta,
+    tags>). The face then does what a lake ingests: ``parse_json`` to
+    VARIANT once, typed path extraction (``variant_get`` for
+    guaranteed paths: '$.id' as BIGINT, '$.meta.pri' nested;
+    ``try_variant_get`` for the optional '$.tags[0]'/'$.tags[1]',
+    NULL where the variant lacks the path), and aggregates the
+    extracted columns. The oracle computes the SAME statistics
+    straight from the relational columns — any corruption anywhere in
+    the JSON->VARIANT->typed-path pipeline breaks the hash.
+
+    Scale shape: construction, parse, and every extraction are
+    row-local expressions (zero shuffle before the final 5-group
+    aggregate); VARIANT is the columnar-shredded semi-structured
+    format, so at lake scale the typed paths read as pushed-down
+    subcolumns rather than string re-parses. Tag values and sums stay
+    integer-exact (no doubles enter the JSON round-trip)."""
+    o = load_table(spark, sf_dir, "orders")
+    payload = F.to_json(F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.struct(F.col("o_orderpriority").alias("pri"),
+                 F.col("o_orderstatus").alias("st")).alias("meta"),
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.array(F.col("o_orderkey") % 7,
+                       F.col("o_orderkey") % 5)).alias("tags")))
+    v = F.parse_json(payload)
+    ext = o.select(
+        F.variant_get(v, "$.id", "long").alias("id"),
+        F.variant_get(v, "$.meta.pri", "string").alias("pri"),
+        F.try_variant_get(v, "$.tags[0]", "long").alias("t0"),
+        F.try_variant_get(v, "$.tags[1]", "long").alias("t1"))
+    return (ext.groupBy("pri")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("id").cast("long").alias("key_sum"),
+                 F.count("t0").cast("long").alias("tagged"),
+                 F.sum(F.coalesce("t0", F.lit(0))
+                       + F.coalesce("t1", F.lit(0)))
+                 .cast("long").alias("tag_sum")))
 
 
 @query("qx53_recursive_cte", sql=_QX53_SQL)

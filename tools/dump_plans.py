@@ -111,6 +111,10 @@ HEADLINERS = {
                           "executes as an iterative UnionLoop — one frontier equi-join "
                           "per tree LEVEL (log n iterations, never row count), the "
                           "parent table pruned to 2 columns inside the loop body",
+    "qx54_variant_extract": "semi-structured VARIANT path: parse_json + typed "
+                            "variant_get extraction are all row-local — the only "
+                            "exchange in the plan is the final 5-group aggregate; "
+                            "heterogeneous document schemas coexist in one column",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
