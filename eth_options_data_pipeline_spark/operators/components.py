@@ -69,7 +69,17 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     columns (src, dst); component = min node id in the component."""
     cur = _canonical(edges).localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        nxt = _star_round(cur).localCheckpoint(eager=True)
+        # checkpoint LAZILY and let the convergence job materialize
+        # it: the symmetric-diff aggregation consumes every nxt
+        # partition, so ONE action per round both lands the new edge
+        # list and answers "changed?" (the previous eager checkpoint +
+        # separate diff job paid two scheduler round-trips per round —
+        # measurable pure overhead on the log-round loop). Lazy
+        # localCheckpoint still truncates lineage IMMEDIATELY (the
+        # plan becomes an ExistingRDD scan), which a cache() would
+        # not — uncheckpointed, the per-round plans nest and the
+        # driver OOMs generating tree strings on deep chains.
+        nxt = _star_round(cur).localCheckpoint(eager=False)
         # convergence = identical distinct edge sets. One symmetric-diff
         # job (edge in exactly one side <=> union-count 1) instead of
         # two exceptAll jobs — halves the per-round convergence cost.

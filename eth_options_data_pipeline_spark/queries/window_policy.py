@@ -58,6 +58,18 @@ WINDOW_SIZE = 50
 _CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 4, "vx": 2, "mm": 2,
                     "qx": 4}
 
+# Faces whose IMPLEMENTATION was reworked after their last driver row
+# (late r12): staleness measures age, not risk — a face rebuilt on a
+# new kernel carries first-round risk again regardless of how recently
+# its old implementation was checked, so it schedules like a
+# never-checked face (deadline 0, behind failures, ahead of every
+# merely-stale face). Curated per round by the builder; entries drop
+# off once a NEWER driver round has a green row for the face (no
+# stale-set bookkeeping — the condition is computed).
+REWORKED_AFTER_ROUND = {
+    "qx48_approx_quantiles": 11,  # exact leg -> distributed selection
+}
+
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
@@ -192,6 +204,8 @@ def computed_window(registry_names: list, core: list,
         if n in failed:
             return -1
         lr = last.get(n, 0)
+        if lr <= REWORKED_AFTER_ROUND.get(n, -1):
+            return 0  # rebuilt since its last row: first-round risk
         return lr + staleness_limit(n) if lr else 0
 
     core_in = [n for n in core if n in registry_names]

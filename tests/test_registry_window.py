@@ -148,6 +148,35 @@ def test_failed_face_reentry_is_unconditional(tmp_path):
                      victim]
 
 
+def test_reworked_face_schedules_like_never_checked(tmp_path, monkeypatch):
+    """REWORKED_AFTER_ROUND (late r12): a face rebuilt on a new kernel
+    after its last green driver row carries first-round risk again —
+    it sorts at deadline 0 (behind failures, ahead of every
+    merely-stale face), and the override expires by construction once
+    a newer round lands a green row for it."""
+    from eth_options_data_pipeline_spark.queries import window_policy as wp
+
+    victim = next(n for n in q._WINDOW_PRIORITY
+                  if n not in q.REGRESSION_CORE)
+    root = _fake_history(tmp_path, land_next=True)
+    last = wp.last_driver_round(root)[victim]
+    monkeypatch.setattr(wp, "REWORKED_AFTER_ROUND", {victim: last})
+    # zero-slack window: core + the never-checked/new faces + victim
+    never = [n for n in q.REGISTRY
+             if n not in wp.last_driver_round(root)
+             and n not in q.REGRESSION_CORE]
+    tight = wp.computed_window(list(q.REGISTRY), q.REGRESSION_CORE,
+                               size=len(q.REGRESSION_CORE) + len(never) + 1,
+                               repo_root=root)
+    assert victim in tight
+    # a green row in a LATER round than the rework expires the override
+    monkeypatch.setattr(wp, "REWORKED_AFTER_ROUND", {victim: last - 1})
+    tight2 = wp.computed_window(list(q.REGISTRY), q.REGRESSION_CORE,
+                                size=len(q.REGRESSION_CORE) + len(never) + 1,
+                                repo_root=root)
+    assert victim not in tight2
+
+
 def test_duplicate_round_spellings_union(tmp_path):
     """The r9/r09 collision, hardened: two files parsing to the same
     round number must UNION their rows (green-set union; a face is
