@@ -22,6 +22,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 SPREAD_MAX_BYTES = 1 << 30  # inputs under 1 GiB are "small"
+SPREAD_MIN_BYTES = 1 << 16  # ...but under 64 KiB they are TINY: a
+                            # 5-row dimension gains nothing from 32
+                            # partitions, and the round-robin exchange
+                            # plus 32-task scheduling is pure overhead
+                            # repeated on every face that loads it
+                            # (tiny dims are broadcast downstream
+                            # anyway, which reads one partition as
+                            # happily as thirty-two)
 
 
 def spread_small_input(df: DataFrame, path: str | None = None) -> DataFrame:
@@ -33,10 +41,14 @@ def spread_small_input(df: DataFrame, path: str | None = None) -> DataFrame:
     materialization); on a real lake the inputs exceed the threshold
     (and arrive multi-split), so the branch never fires and no extra
     shuffle is added. Catalyst still pushes filters/projections below
-    the exchange into the scan.
+    the exchange into the scan. Tiny files (< SPREAD_MIN_BYTES) stay
+    single-partition: per-row work on a few hundred rows is cheaper
+    than the exchange that would spread it.
     """
     try:
-        small = path is not None and os.path.getsize(path) < SPREAD_MAX_BYTES
+        small = (path is not None
+                 and SPREAD_MIN_BYTES <= os.path.getsize(path)
+                 < SPREAD_MAX_BYTES)
     except OSError:
         small = False
     if small:
