@@ -58,7 +58,7 @@ _CAL_SPARK_NOMINAL_S = 0.20  # sum over spark.range(200M) on local[32]
                              # measured with JVM spin-up folded in.
                              # The python spin stays the sensitive
                              # instrument for r10/r11-style slowdowns.
-_CAL_SHUFFLE_NOMINAL_S = 1.30  # full round-robin shuffle of 32M longs
+_CAL_SHUFFLE_NOMINAL_S = 1.35  # full round-robin shuffle of 32M longs
                              # (64-way exchange) + sum, min of 3, on
                              # local[32]. Added late r12 after a
                              # regeneration where BOTH compute probes
@@ -68,16 +68,21 @@ _CAL_SHUFFLE_NOMINAL_S = 1.30  # full round-robin shuffle of 32M longs
                              # path is invisible to compute-only
                              # probes, and most faces are
                              # exchange-bound. PROVENANCE: the nominal
-                             # is an ESTIMATE — the probe could only
-                             # be measured on that same degraded box
-                             # (min 1.46s across 6 runs); 1.30 backs
-                             # out the +10% face drift. Until a quiet
-                             # run re-pins it, treat the vs_nominal
-                             # ratio as approximate and prefer
-                             # PROBE-TO-PROBE comparison: every
-                             # BENCH_DETAIL now records the reading,
-                             # so two runs can be compared by their
-                             # own probe ratio without any nominal.
+                             # is an extrapolated ESTIMATE — the probe
+                             # could only be measured on degraded box
+                             # states. Two same-day observations:
+                             # faces +8.5% median <-> probe 1.46 s,
+                             # faces +20.6% <-> probe 1.59 s; linear
+                             # back-extrapolation to zero face drift
+                             # gives ~1.35 s quiet and shows the probe
+                             # UNDER-reads face drift (~1 probe point
+                             # per 1.1 face points) — hence the tight
+                             # 1.15x trip. Until a quiet run re-pins
+                             # it, treat vs_nominal as approximate and
+                             # prefer PROBE-TO-PROBE comparison: every
+                             # BENCH_DETAIL records the raw reading,
+                             # so two runs compare by their own probe
+                             # ratio without any nominal.
 
 
 def calibration_probe(spark) -> dict:
@@ -178,15 +183,17 @@ def main() -> None:
     # HOST-INFLATED if either probe reads >= 1.4x nominal at start or
     # end; cross-round per-face comparisons against an inflated run
     # must normalize by the probe ratio or be discarded.
-    # the shuffle probe trips at a tighter 1.25x: its nominal was
-    # pinned generously (see _CAL_SHUFFLE_NOMINAL_S) and exchange-bound
-    # faces track it near-linearly, so +25% probe ~ +25% corpus.
+    # the shuffle probe trips at a tight 1.15x: it UNDER-reads face
+    # drift (see _CAL_SHUFFLE_NOMINAL_S provenance — probe 1.18x was
+    # observed alongside +20.6% median face drift), so a seemingly
+    # modest probe excursion already means double-digit corpus
+    # inflation.
     inflated = max(cal_start["py_spin_vs_nominal"],
                    cal_end["py_spin_vs_nominal"],
                    cal_start["spark_vs_nominal"],
                    cal_end["spark_vs_nominal"]) >= 1.4 or max(
                    cal_start["shuffle_vs_nominal"],
-                   cal_end["shuffle_vs_nominal"]) >= 1.25
+                   cal_end["shuffle_vs_nominal"]) >= 1.15
     detail = {
         "metric": "corpus_total_runtime",
         "value": total,
@@ -202,7 +209,7 @@ def main() -> None:
                         "spark_shuffle_s": _CAL_SHUFFLE_NOMINAL_S},
             "host_inflated": inflated,
             "rule": ("compute probe >= 1.4x nominal OR shuffle probe "
-                     ">= 1.25x nominal at start or end => per-face "
+                     ">= 1.15x nominal at start or end => per-face "
                      "numbers carry host inflation; normalize by the "
                      "probe ratio before cross-round comparison. For "
                      "exchange-bound faces the shuffle probe is the "
@@ -257,13 +264,22 @@ def main() -> None:
                 "bandwidth path, a blind spot of the compute-only "
                 "probe pair — which prompted the third calibration "
                 "probe (spark_shuffle_s: fixed 32M-row 64-way "
-                "exchange, min of 3). Its nominal is provisional "
-                "(measurable only on the degraded box; see bench.py); "
-                "prefer probe-to-probe ratios across BENCH_DETAIL "
-                "generations. The authoritative quiet figures remain "
-                "the committed 139.63 s/125 record plus isolated "
-                "quiet-box timings for the two faces added since: "
-                "qx48 2.97 -> 2.15 s (selection rework), qx53 1.8 s."
+                "exchange, min of 3). A SECOND regeneration hours "
+                "later read +20.6% median on untouched faces with "
+                "the probe at 1.59 s — the two observations pin the "
+                "extrapolated quiet nominal (~1.35 s) and showed the "
+                "probe UNDER-reads face drift, so the trip is a "
+                "tight 1.15x; prefer probe-to-probe ratios across "
+                "BENCH_DETAIL generations. Both degraded records "
+                "were discarded; the committed record (139.63 s/125, "
+                "host quiet by every instrument) remains "
+                "authoritative, plus isolated quiet-box timings for "
+                "what changed since: qx48 2.97 -> 2.15 s (selection "
+                "rework), qx53 1.8 s, qx54 0.8 s, vx04 2.10 -> 0.62, "
+                "vx06 2.09 -> 0.87 (index freezes), dx13 3.7 -> 2.7, "
+                "dx40 3.0 -> 2.4 (one-action component rounds), and "
+                "0.1-0.2 s off each dim-loading face (tiny-dim "
+                "spread floor)."
             ),
         },
         "sf": sf_from_dir(sf_dir),

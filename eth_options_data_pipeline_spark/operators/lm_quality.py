@@ -108,6 +108,30 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text"
     return bigrams, unigrams.withColumnRenamed("w", "w2"), totals
 
 
+def frozen_bigram_lm(spark: SparkSession, sf_dir: str, train: DataFrame
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``train_bigram_lm`` landed once per (session, sf_dir) — the
+    train-once/serve-many artifact split (vx04/vx06/vx07/dx65
+    convention): a quality LM is trained once and scores many
+    corpora, so repeat invocations (and SIBLING faces training on the
+    same slice — dx35 and cx03 share this family) pay three parquet
+    lookups, not two tokenize passes. Counts are BIGINT, so the
+    parquet round-trip is exact and downstream log arithmetic sees
+    identical inputs."""
+    from eth_options_data_pipeline_spark.operators.artifacts import (
+        session_artifact,
+    )
+
+    bigrams, unigrams, totals = train_bigram_lm(train)
+    bg = session_artifact(spark, "lm_quality", sf_dir, "bigrams",
+                          lambda: bigrams)
+    uni = session_artifact(spark, "lm_quality", sf_dir, "unigrams",
+                           lambda: unigrams)
+    tot = session_artifact(spark, "lm_quality", sf_dir, "totals",
+                           lambda: totals)
+    return bg, uni, tot
+
+
 def score_perplexity(docs: DataFrame, bigrams: DataFrame,
                      unigrams: DataFrame, total: int | DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",

@@ -15,7 +15,7 @@ from eth_options_data_pipeline_spark.operators.incremental_dedup import (
 )
 from eth_options_data_pipeline_spark.operators.lm_quality import (
     score_perplexity,
-    train_bigram_lm,
+    frozen_bigram_lm,
 )
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
@@ -85,7 +85,8 @@ def dx35_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams pre-aggregate before the join (operators/lm_quality.py)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     train = docs.where(F.col("doc_id") % 3 != 0)
-    bigrams, unigrams, total = train_bigram_lm(train)
+    # model frozen per (session, sf_dir); shared with cx03's ensemble
+    bigrams, unigrams, total = frozen_bigram_lm(spark, sf_dir, train)
     out = score_perplexity(docs, bigrams, unigrams, total)
     return out.select(
         "doc_id", "n_tokens", F.round("log_ppl", 6).alias("log_ppl"))

@@ -519,7 +519,7 @@ def cx03_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_frozen_linear,
     )
     from eth_options_data_pipeline_spark.operators.lm_quality import (
-        score_perplexity, train_bigram_lm,
+        frozen_bigram_lm, score_perplexity,
     )
     from eth_options_data_pipeline_spark.queries.analytics12 import (
         _CLF_BIAS, _CLF_WEIGHTS,
@@ -528,8 +528,8 @@ def cx03_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     cls = score_frozen_linear(docs, _CLF_WEIGHTS, _CLF_BIAS).select(
         "doc_id", F.round("quality_prob", 6).alias("p_cls"))
-    bigrams, unigrams, total = train_bigram_lm(
-        docs.where(F.col("doc_id") % 3 != 0))
+    bigrams, unigrams, total = frozen_bigram_lm(
+        spark, sf_dir, docs.where(F.col("doc_id") % 3 != 0))
     ppl = score_perplexity(docs, bigrams, unigrams, total).select(
         "doc_id", F.round("log_ppl", 6).alias("log_ppl"))
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
