@@ -72,6 +72,8 @@ REWORKED_AFTER_ROUND = {
     "vx06_pq_adc": 11,            # codebooks/codes frozen likewise
     "dx13_dup_clusters": 11,      # components: one action per round
     "dx40_leakage_safe_split": 11,  # same components kernel change
+    "dx35_perplexity": 11,        # LM count tables frozen (shared)
+    "cx03_quality_ensemble": 11,  # consumes the same frozen LM family
 }
 
 _REPO_ROOT = os.path.dirname(
