@@ -344,25 +344,29 @@ def test_export_pipeline_stays_jvm_and_bounded(spark, sf_small):
 
 def test_quality_ensemble_plan_posture(spark, sf_small):
     """cx03: the three-component vote must keep each component's
-    proven shape — the classifier weight join and the per-doc score
-    joins BROADCAST, the only sort-merge join the bigram-model join
-    (the model is deliberately never broadcast: a web-scale bigram
-    table exceeds executor memory), zero Python, no cartesian, no
-    global window, and the documents scan count pinned (each scan is
-    a full corpus pass at 100 TB — a regression that forks another
-    consumer of the raw docs shows up here as scan count 9+). The pin
-    is 8: seven score-path scans plus the LM's lazy token-count
-    subquery, which used to be an EAGER count() pass at construction
-    time (invisible to this plan but the same corpus pass) and now
-    rides inside the one query."""
+    proven shape — the classifier weight join BROADCAST, the LM model
+    joins decided by the frozen artifact's REAL file size (tiny at
+    test scale so Catalyst broadcasts them; a web-scale bigram table
+    exceeds the threshold and falls back to sort-merge automatically —
+    size-decided beats the old estimate-decided posture), the per-doc
+    score joins sort-merge in the initial plan (two doc-count-sized
+    sides — broadcasting one was only ever viable at test scale; AQE
+    converts small ones at runtime), zero Python, no cartesian (the
+    1-row totals cross join broadcasts), no global window. The
+    documents scan count is pinned: each scan is a full corpus pass at
+    100 TB, and the LM freeze cut the two training passes out of the
+    serve plan (8 -> 6; a regression that forks another raw-docs
+    consumer shows up here as 7+)."""
     p = plan(REGISTRY["cx03_quality_ensemble"].fn(spark, sf_small))
     assert "BroadcastHashJoin" in p
-    assert p.count("SortMergeJoin") <= 1, p
+    assert p.count("SortMergeJoin") <= 2, p
+    assert "lm_quality" in p, "cx03 no longer reads the frozen LM family"
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert global_window_lines(p) == []
-    n_scans = sum(1 for ln in p.splitlines() if "FileScan parquet" in ln)
-    assert n_scans <= 8, f"documents scan count grew: {n_scans}"
+    n_scans = sum(1 for ln in p.splitlines() if "FileScan parquet" in ln
+                  and "documents" in ln)
+    assert n_scans <= 6, f"documents scan count grew: {n_scans}"
 
 
 def test_aqe_splits_skewed_join_partitions(spark, sf_small):
@@ -518,6 +522,23 @@ def test_no_unbounded_global_window_anywhere(all_plans):
             continue
         g = global_window_lines(p)
         assert not g, f"{name} plans a global window:\n{g[0]}"
+
+
+def test_frozen_index_faces_serve_without_training(all_plans):
+    """Late-r12 artifact freezes: vx04's IVF index, vx06's PQ
+    codebooks/codes, and the dx35/cx03 shared bigram-LM count tables
+    land once per session — the SERVE plan must read the artifact
+    parquet (its family name appears in the FileScan location) and
+    must not contain the Lloyd-refinement posexplode. A reverted
+    freeze would silently re-pay training on every invocation."""
+    for face, family in (("vx04_ivf_ann", "vx04_ivf"),
+                         ("vx06_pq_adc", "vx06_pq"),
+                         ("dx35_perplexity", "lm_quality"),
+                         ("cx03_quality_ensemble", "lm_quality")):
+        p = all_plans[face]
+        assert family in p, f"{face} does not read its {family} artifact"
+        if face.startswith("vx"):
+            assert "posexplode" not in p, f"{face} re-trains in serve plan"
 
 
 def test_pq_adc_scan_touches_codes_not_embeddings(all_plans):
