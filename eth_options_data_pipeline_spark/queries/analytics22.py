@@ -71,6 +71,59 @@ _QX53_SQL = """
 """
 
 
+_QX55_SQL = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                 2) AS charged
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+"""
+
+
+@query("qx55_sql_udf", sql=_QX55_SQL)
+def qx55_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 ``CREATE FUNCTION ...
+    RETURN <expr>``) — the third Spark-4 surface face: business logic
+    packaged as named SQL UDFs (``disc_price``, ``taxed``,
+    ``is_bulk``) and used in both the WHERE clause and the aggregate
+    expressions. The scale property this face pins: Catalyst INLINES
+    SQL UDF bodies into the plan — no black-box row-at-a-time call
+    boundary — so a filter written as ``is_bulk(l_quantity)`` still
+    reaches the parquet scan as a pushed-down predicate and every
+    expression stays inside whole-stage codegen
+    (tests/test_variant.py's sibling pins PushedFilters + no
+    UDF/EvalPython node). The oracle states the same query with the
+    function bodies written out — identical expression trees, so
+    doubles agree bit-for-bit before the 2-dp round.
+
+    No counterpart in the reference (row-oriented options pipeline,
+    main.py:43-351 — its helpers are Python functions applied
+    eagerly); completes the SQL surface family (qx50 strings, qx53
+    recursion, qx54 VARIANT, qx55 SQL UDFs)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION disc_price("
+              "p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION taxed("
+              "p DOUBLE, t DOUBLE) RETURNS DOUBLE RETURN p * (1 + t)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION is_bulk("
+              "q DOUBLE) RETURNS BOOLEAN RETURN q >= 30")
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                 AS revenue,
+               round(sum(taxed(disc_price(l_extendedprice, l_discount),
+                               l_tax)), 2) AS charged
+        FROM lineitem
+        WHERE is_bulk(l_quantity)
+        GROUP BY l_returnflag
+    """)
+
+
 _QX54_SQL = """
     SELECT o_orderpriority AS pri,
            count(*) AS n,

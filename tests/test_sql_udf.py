@@ -1,0 +1,40 @@
+"""qx55_sql_udf: Spark 4's SQL-defined scalar functions.
+
+Value parity rides the registry oracle sweep; these tests pin the
+scale property the face exists for — Catalyst INLINES SQL UDF bodies,
+so a predicate written as a UDF call still reaches the parquet scan
+as a pushed-down filter and no row-at-a-time call boundary appears
+anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+from eth_options_data_pipeline_spark.queries import REGISTRY
+
+
+def test_sql_udf_bodies_inline_and_push_down(spark, sf_small):
+    df = REGISTRY["qx55_sql_udf"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the is_bulk(l_quantity) WHERE clause must reach the scan
+    assert "GreaterThanOrEqual(l_quantity,30" in plan, plan
+    # no black-box call boundary: fully inlined, JVM-side
+    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    rows = {r["l_returnflag"]: r for r in df.collect()}
+    assert rows, "empty result"
+    # spot-check the inlined arithmetic on one group: charged applies
+    # the tax ON TOP of the discounted price, so charged >= revenue
+    # (taxes are non-negative in the testdata)
+    for r in rows.values():
+        assert r["charged"] >= r["revenue"]
+
+
+def test_sql_udf_redefinition_is_idempotent(spark, sf_small):
+    """Faces run repeatedly in one session (bench reps, sweeps):
+    CREATE OR REPLACE TEMPORARY FUNCTION must allow re-registration
+    with identical results."""
+    a = sorted(map(tuple, REGISTRY["qx55_sql_udf"].fn(
+        spark, sf_small).collect()))
+    b = sorted(map(tuple, REGISTRY["qx55_sql_udf"].fn(
+        spark, sf_small).collect()))
+    assert a == b

@@ -115,6 +115,11 @@ HEADLINERS = {
                             "variant_get extraction are all row-local — the only "
                             "exchange in the plan is the final 5-group aggregate; "
                             "heterogeneous document schemas coexist in one column",
+    "qx55_sql_udf": "SQL-defined scalar functions INLINE into the plan: the "
+                    "is_bulk(l_quantity) WHERE clause reaches the parquet scan "
+                    "as a pushed-down predicate, and no row-at-a-time call "
+                    "boundary appears anywhere — named business logic at zero "
+                    "plan cost",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
