@@ -74,6 +74,14 @@ REWORKED_AFTER_ROUND = {
     "dx40_leakage_safe_split": 11,  # same components kernel change
     "dx35_perplexity": 11,        # LM count tables frozen (shared)
     "cx03_quality_ensemble": 11,  # consumes the same frozen LM family
+    # Late-r12 reworks the r12 window predated (VERDICT r12 item 1):
+    # these five changed derivation path after their last driver row
+    # and must re-check at driver scale like never-checked faces.
+    "dx43_rag_retrieval": 9,      # md5-fold literal + localCheckpoint
+    "dx46_hybrid_rrf": 9,         # same corpus-embedding rework
+    "dx64_exact_substr": 11,      # serves from shared frozen del-list
+    "dx65_sharded_bloom": 11,     # bitset frozen via session_artifact
+    "vx07_ivfadc": 11,            # centroids/codebooks/codes frozen
 }
 
 _REPO_ROOT = os.path.dirname(
