@@ -58,7 +58,7 @@ _CAL_SPARK_NOMINAL_S = 0.20  # sum over spark.range(200M) on local[32]
                              # measured with JVM spin-up folded in.
                              # The python spin stays the sensitive
                              # instrument for r10/r11-style slowdowns.
-_CAL_SHUFFLE_NOMINAL_S = 1.35  # full round-robin shuffle of 32M longs
+_CAL_SHUFFLE_NOMINAL_S = 1.47  # full round-robin shuffle of 32M longs
                              # (64-way exchange) + sum, min of 3, on
                              # local[32]. Added late r12 after a
                              # regeneration where BOTH compute probes
@@ -67,22 +67,29 @@ _CAL_SHUFFLE_NOMINAL_S = 1.35  # full round-robin shuffle of 32M longs
                              # drift on the shuffle/memory-bandwidth
                              # path is invisible to compute-only
                              # probes, and most faces are
-                             # exchange-bound. PROVENANCE: the nominal
-                             # is an extrapolated ESTIMATE — the probe
-                             # could only be measured on degraded box
-                             # states. Two same-day observations:
-                             # faces +8.5% median <-> probe 1.46 s,
-                             # faces +20.6% <-> probe 1.59 s; linear
-                             # back-extrapolation to zero face drift
-                             # gives ~1.35 s quiet and shows the probe
-                             # UNDER-reads face drift (~1 probe point
-                             # per 1.1 face points) — hence the tight
-                             # 1.15x trip. Until a quiet run re-pins
-                             # it, treat vs_nominal as approximate and
-                             # prefer PROBE-TO-PROBE comparison: every
-                             # BENCH_DETAIL records the raw reading,
-                             # so two runs compare by their own probe
-                             # ratio without any nominal.
+                             # exchange-bound. PROVENANCE (re-pinned
+                             # r13 from MEASUREMENT — VERDICT r12 item
+                             # 2 / ADVICE r12): 18 probe repeats
+                             # across three sessions in windows whose
+                             # compute probes read quiet (py spin
+                             # 0.63-0.70, range <= 1.09x) floor at
+                             # 1.464-1.475 s with ~1% jitter on the
+                             # min-of-3 — the old 1.35 was a linear
+                             # back-extrapolation from two degraded
+                             # box states and sat ~9% under the real
+                             # quiet capacity. Against the measured
+                             # nominal, the r12 driver readings
+                             # (1.632/1.667 s -> 1.11/1.13x) line up
+                             # ~1:1 with the +12.4% median face drift
+                             # observed that round, so the trip sits
+                             # at 1.10x: above quiet jitter, below
+                             # any double-digit corpus inflation.
+                             # vs_nominal remains ADVISORY for
+                             # cross-box comparisons — two runs
+                             # compare best by their own recorded raw
+                             # probe readings (probe-to-probe), which
+                             # need no nominal at all.
+_CAL_SHUFFLE_TRIP = 1.10
 
 
 def calibration_probe(spark) -> dict:
@@ -183,9 +190,11 @@ def main() -> None:
     # HOST-INFLATED if either probe reads >= 1.4x nominal at start or
     # end; cross-round per-face comparisons against an inflated run
     # must normalize by the probe ratio or be discarded.
-    # the shuffle probe trips at a tight 1.15x: it UNDER-reads face
-    # drift (see _CAL_SHUFFLE_NOMINAL_S provenance — probe 1.18x was
-    # observed alongside +20.6% median face drift), so a seemingly
+    # the shuffle probe trips at a tight 1.10x against the MEASURED
+    # quiet nominal (see _CAL_SHUFFLE_NOMINAL_S provenance): quiet
+    # min-of-3 jitter is ~1%, and against the measured 1.47 s the
+    # probe excursion tracks exchange-bound face drift ~1:1 (r12
+    # driver: probe 1.11-1.13x <-> +12.4% median face drift), so a
     # modest probe excursion already means double-digit corpus
     # inflation.
     inflated = max(cal_start["py_spin_vs_nominal"],
@@ -193,7 +202,7 @@ def main() -> None:
                    cal_start["spark_vs_nominal"],
                    cal_end["spark_vs_nominal"]) >= 1.4 or max(
                    cal_start["shuffle_vs_nominal"],
-                   cal_end["shuffle_vs_nominal"]) >= 1.15
+                   cal_end["shuffle_vs_nominal"]) >= _CAL_SHUFFLE_TRIP
     detail = {
         "metric": "corpus_total_runtime",
         "value": total,
@@ -209,12 +218,18 @@ def main() -> None:
                         "spark_shuffle_s": _CAL_SHUFFLE_NOMINAL_S},
             "host_inflated": inflated,
             "rule": ("compute probe >= 1.4x nominal OR shuffle probe "
-                     ">= 1.15x nominal at start or end => per-face "
-                     "numbers carry host inflation; normalize by the "
-                     "probe ratio before cross-round comparison. For "
-                     "exchange-bound faces the shuffle probe is the "
-                     "relevant normalizer (r12: compute probes <= 1.0x "
-                     "while every exchange-bound face drifted ~+10%)"),
+                     f">= {_CAL_SHUFFLE_TRIP}x nominal at start or "
+                     "end => per-face numbers carry host inflation; "
+                     "normalize by the probe ratio before cross-round "
+                     "comparison. The shuffle nominal is MEASURED "
+                     "(r13, 18 quiet-window repeats floor at "
+                     "1.464-1.475 s), no longer the r12 "
+                     "extrapolation. For exchange-bound faces the "
+                     "shuffle probe is the relevant normalizer (r12: "
+                     "compute probes <= 1.0x while every "
+                     "exchange-bound face drifted ~+10%); across "
+                     "boxes prefer probe-to-probe raw readings over "
+                     "vs_nominal"),
         },
         "notes": {
             "_environment": (
@@ -266,10 +281,11 @@ def main() -> None:
                 "probe (spark_shuffle_s: fixed 32M-row 64-way "
                 "exchange, min of 3). A SECOND regeneration hours "
                 "later read +20.6% median on untouched faces with "
-                "the probe at 1.59 s — the two observations pin the "
-                "extrapolated quiet nominal (~1.35 s) and showed the "
-                "probe UNDER-reads face drift, so the trip is a "
-                "tight 1.15x; prefer probe-to-probe ratios across "
+                "the probe at 1.59 s; the initially extrapolated "
+                "quiet nominal (~1.35 s) was re-pinned r13 from "
+                "direct measurement to 1.47 s (quiet-window floor "
+                "1.464-1.475 s over 18 repeats), with the trip at "
+                "1.10x; prefer probe-to-probe ratios across "
                 "BENCH_DETAIL generations. Both degraded records "
                 "were discarded; the committed record (139.63 s/125, "
                 "host quiet by every instrument) remains "

@@ -108,27 +108,36 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text"
     return bigrams, unigrams.withColumnRenamed("w", "w2"), totals
 
 
-def frozen_bigram_lm(spark: SparkSession, sf_dir: str, train: DataFrame
+def frozen_bigram_lm(spark: SparkSession, sf_dir: str, train: DataFrame,
+                     slice_key: str = "mod3",
                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """``train_bigram_lm`` landed once per (session, sf_dir) — the
-    train-once/serve-many artifact split (vx04/vx06/vx07/dx65
-    convention): a quality LM is trained once and scores many
-    corpora, so repeat invocations (and SIBLING faces training on the
-    same slice — dx35 and cx03 share this family) pay three parquet
-    lookups, not two tokenize passes. Counts are BIGINT, so the
-    parquet round-trip is exact and downstream log arithmetic sees
-    identical inputs."""
+    """``train_bigram_lm`` landed once per (session, sf_dir,
+    slice_key) — the train-once/serve-many artifact split
+    (vx04/vx06/vx07/dx65 convention): a quality LM is trained once and
+    scores many corpora, so repeat invocations (and SIBLING faces
+    training on the same slice — dx35 and cx03 share this family) pay
+    three parquet lookups, not two tokenize passes. Counts are BIGINT,
+    so the parquet round-trip is exact and downstream log arithmetic
+    sees identical inputs.
+
+    ``slice_key`` names the training slice and is folded into the
+    artifact path: the cache is keyed by it, NOT by the ``train``
+    DataFrame (hashing a plan is neither cheap nor stable). A caller
+    training on anything other than the canonical ``doc_id % 3 != 0``
+    slice MUST pass a distinct key, or it would be served the first
+    caller's model (ADVICE r12). Both registered consumers (dx35,
+    cx03) use the canonical slice → the default key."""
     from eth_options_data_pipeline_spark.operators.artifacts import (
         session_artifact,
     )
 
     bigrams, unigrams, totals = train_bigram_lm(train)
-    bg = session_artifact(spark, "lm_quality", sf_dir, "bigrams",
-                          lambda: bigrams)
-    uni = session_artifact(spark, "lm_quality", sf_dir, "unigrams",
-                           lambda: unigrams)
-    tot = session_artifact(spark, "lm_quality", sf_dir, "totals",
-                           lambda: totals)
+    bg = session_artifact(spark, "lm_quality", sf_dir,
+                          f"bigrams_{slice_key}", lambda: bigrams)
+    uni = session_artifact(spark, "lm_quality", sf_dir,
+                           f"unigrams_{slice_key}", lambda: unigrams)
+    tot = session_artifact(spark, "lm_quality", sf_dir,
+                           f"totals_{slice_key}", lambda: totals)
     return bg, uni, tot
 
 

@@ -55,6 +55,10 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# row_number() is IntegerType: a RANKED bucket must stay under this
+# (module-level so the refinement loop is testable at a tiny ceiling)
+_RANK_CEILING = (1 << 31) - 1
+
 
 def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                     num_buckets: int = 32) -> list[tuple[float, float]]:
@@ -69,22 +73,46 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     vals0 = (df.select(F.col(col).cast("double").alias("v"))
                .where(F.col("v").isNotNull()))
 
-    # balance hints: approximate split points. Low accuracy is fine —
-    # a bad split only unbalances tasks, never answers.
-    fracs = [i / num_buckets for i in range(1, num_buckets)]
-    splits = vals0.agg(
-        F.percentile_approx("v", F.lit(fracs), F.lit(100)).alias("s")
-    ).collect()[0]["s"]
-    if splits is None:
-        raise ValueError(f"exact_quantiles: no non-null values in {col}")
-    bounds = F.lit([float(s) for s in splits])
-    # bucket id = #splits <= v: row-local, monotone, deterministic
-    bucket = F.size(F.filter(bounds, lambda b: b <= F.col("v")))
-    vals = vals0.select("v", bucket.alias("bkt"))
+    # Per-bucket row ceiling: row_number() is 32-bit, so a RANKED
+    # bucket must stay under 2^31 rows or the local rank overflows
+    # (ADVICE r12). The loop below refines the split panel (4x more
+    # buckets per retry) until every bucket that must be ranked fits;
+    # a bucket that CANNOT be split (min == max — equal values share a
+    # bucket by construction) needs no ranking at all, since every
+    # rank inside it resolves to that one value.
+    for attempt in range(4):
+        # balance hints: approximate split points. Low accuracy is
+        # fine — a bad split only unbalances tasks, never answers.
+        fracs = [i / num_buckets for i in range(1, num_buckets)]
+        splits = vals0.agg(
+            F.percentile_approx("v", F.lit(fracs), F.lit(100)).alias("s")
+        ).collect()[0]["s"]
+        if splits is None:
+            raise ValueError(
+                f"exact_quantiles: no non-null values in {col}")
+        bounds = F.lit(sorted({float(s) for s in splits}))
+        # bucket id = #splits <= v: row-local, monotone, deterministic
+        bucket = F.size(F.filter(bounds, lambda b: b <= F.col("v")))
+        vals = vals0.select("v", bucket.alias("bkt"))
 
-    counts = {r["bkt"]: r["cnt"] for r in
-              vals.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
-                  .collect()}
+        stats = {r["bkt"]: (r["cnt"], r["vmin"], r["vmax"]) for r in
+                 vals.groupBy("bkt").agg(
+                     F.count(F.lit(1)).alias("cnt"),
+                     F.min("v").alias("vmin"),
+                     F.max("v").alias("vmax")).collect()}
+        counts = {b: c for b, (c, _, _) in stats.items()}
+        # splittable oversized bucket -> finer panel and retry; a
+        # single-valued oversized bucket is fine (answered directly)
+        oversized = [b for b, (c, lo, hi) in stats.items()
+                     if c > _RANK_CEILING and lo < hi]
+        if not oversized:
+            break
+        num_buckets *= 4
+    else:
+        raise ValueError(
+            "exact_quantiles: a value bucket still exceeds the 2^31-1 "
+            "row_number ceiling after split refinement; raise "
+            "num_buckets for this column's distribution")
     n = sum(counts.values())
     offsets: dict[int, int] = {}
     acc = 0
@@ -102,24 +130,33 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
         brackets.append((lo + 1, hi + 1, pos - lo))
         need.update((lo + 1, hi + 1))
 
-    # global rank -> (bucket, local rank), pure python over the counts
+    # global rank -> (bucket, local rank), pure python over the counts.
+    # A single-valued bucket (vmin == vmax) resolves its ranks right
+    # here — no window needed, and it is exactly the bucket the 2^31
+    # ceiling could not bound (equal values cannot be split apart).
     targets = []
+    got: dict[int, float] = {}
     for r in sorted(need):
         for b in sorted(counts):
             if offsets[b] < r <= offsets[b] + counts[b]:
-                targets.append((b, r - offsets[b], r))
+                _, vmin, vmax = stats[b]
+                if vmin == vmax:
+                    got[r] = vmin
+                else:
+                    targets.append((b, r - offsets[b], r))
                 break
-    tgt = spark.createDataFrame(targets, "bkt int, rn int, grank long")
+    if targets:
+        tgt = spark.createDataFrame(targets, "bkt int, rn int, grank long")
 
-    # rank ONLY the buckets holding a target (bucket-LOCAL window,
-    # never global); the broadcast panel keeps the bracketing rows
-    hot = sorted({b for b, _, _ in targets})
-    w = Window.partitionBy("bkt").orderBy("v")
-    got = {r["grank"]: r["v"] for r in
-           (vals.where(F.col("bkt").isin(hot))
-                .withColumn("rn", F.row_number().over(w))
-                .join(F.broadcast(tgt), ["bkt", "rn"])
-                .select("grank", "v")).collect()}
+        # rank ONLY the buckets holding a target (bucket-LOCAL window,
+        # never global); the broadcast panel keeps the bracketing rows
+        hot = sorted({b for b, _, _ in targets})
+        w = Window.partitionBy("bkt").orderBy("v")
+        got.update({r["grank"]: r["v"] for r in
+                    (vals.where(F.col("bkt").isin(hot))
+                         .withColumn("rn", F.row_number().over(w))
+                         .join(F.broadcast(tgt), ["bkt", "rn"])
+                         .select("grank", "v")).collect()})
 
     out = []
     for q, (lo_r, hi_r, frac) in zip(qs, brackets):

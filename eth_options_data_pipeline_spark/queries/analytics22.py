@@ -96,8 +96,14 @@ def qx55_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression stays inside whole-stage codegen
     (tests/test_variant.py's sibling pins PushedFilters + no
     UDF/EvalPython node). The oracle states the same query with the
-    function bodies written out — identical expression trees, so
-    doubles agree bit-for-bit before the 2-dp round.
+    function bodies written out — the same expression per row, but
+    cross-engine parallel SUM ordering of doubles is NOT
+    bit-reproducible; parity rests on the 2-dp round absorbing the
+    low-bit accumulation drift (ADVICE r12), the same convention the
+    other double-sum faces use. Sums here are O(sf) values of
+    magnitude ~1e4, so the drift is ~1e-9 against a 0.005 rounding
+    margin — qx53's balances use exact BIGINT cents instead because
+    its recursion COMPOUNDS per-step rounding.
 
     No counterpart in the reference (row-oriented options pipeline,
     main.py:43-351 — its helpers are Python functions applied

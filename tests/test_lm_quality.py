@@ -120,3 +120,29 @@ def test_gate_keeps_the_fluent_head(spark, corpus):
         worst_kept = max(scores[i] for i in kept)
         best_dropped = min(s for i, s in scores.items() if i not in kept)
         assert worst_kept <= best_dropped
+
+
+def test_frozen_lm_slice_key_isolates_models(spark, corpus):
+    """ADVICE r12: the frozen-model cache is keyed by slice_key, so a
+    caller training on a different slice gets its OWN model, not the
+    first caller's. Distinct keys must serve distinct count tables;
+    the same key must serve the cached one."""
+    from eth_options_data_pipeline_spark.operators.lm_quality import (
+        frozen_bigram_lm,
+    )
+
+    docs, _, _ = corpus
+    small = docs.where(F.col("doc_id") < 50)
+    large = docs.where(F.col("doc_id") < 300)
+    bg_a, _, tot_a = frozen_bigram_lm(spark, SF_DIR, small,
+                                      slice_key="t_lt50")
+    bg_b, _, tot_b = frozen_bigram_lm(spark, SF_DIR, large,
+                                      slice_key="t_lt300")
+    n_a = tot_a.collect()[0]["n_total"]
+    n_b = tot_b.collect()[0]["n_total"]
+    assert n_a < n_b  # different slices -> different models
+    # same key again: served from the artifact, same totals
+    bg_a2, _, tot_a2 = frozen_bigram_lm(
+        spark, SF_DIR, docs.where(F.col("doc_id") < 0),  # ignored: cached
+        slice_key="t_lt50")
+    assert tot_a2.collect()[0]["n_total"] == n_a

@@ -64,6 +64,25 @@ def test_single_row_and_constant_column(spark):
     _check(spark, [5.0] * 100, num_buckets=4)
 
 
+def test_rank_ceiling_refines_splits_and_answers_ties(spark, monkeypatch):
+    """ADVICE r12: a ranked bucket must fit row_number()'s 32-bit
+    range. At a tiny artificial ceiling the operator must (a) refine
+    the split panel until splittable buckets fit, and (b) answer
+    single-valued buckets directly (they CANNOT be split — equal
+    values share a bucket by construction) — same values as the
+    sorted-list reference either way."""
+    from eth_options_data_pipeline_spark.operators import order_stats
+
+    monkeypatch.setattr(order_stats, "_RANK_CEILING", 40)
+    rng = random.Random(13)
+    # 300 distinct-ish values -> must refine past 2 buckets
+    values = [rng.uniform(0, 100) for _ in range(300)]
+    _check(spark, values, num_buckets=2)
+    # a giant tie block around the median -> direct-answer path
+    values = [1.0] * 10 + [5.0] * 200 + [9.0] * 10
+    _check(spark, values, num_buckets=4)
+
+
 def test_nulls_excluded_and_empty_raises(spark):
     df = spark.createDataFrame(
         [(1.0,), (None,), (2.0,), (None,), (3.0,)], "v double")

@@ -45,8 +45,19 @@ def test_recursion_plans_as_unionloop_with_pruned_loop_body(
     # the loop body's customer side must carry only the join key and
     # the balance (a pruning Project over the materialized table) —
     # a full-width feed inside an iterated join would pay 5 columns
-    # x depth. (The LogicalRDD's own schema line always lists every
-    # column; the Project above it is what the loop actually reads.)
-    import re
-
-    assert re.search(r"Project \[c_custkey#\d+L?, c_acctbal#\d+\]", plan), plan
+    # x depth. Assert the pruning PROPERTY, not one exact rendering
+    # (ADVICE r12 — the literal two-column regex broke on plan-format
+    # or projection-order drift): some Project line must reference
+    # c_custkey and c_acctbal while carrying NONE of the unused
+    # customer columns. (The LogicalRDD's own schema line always
+    # lists every column; the Project above it is what the loop
+    # actually reads.)
+    unused = ("c_name", "c_address", "c_nationkey", "c_phone",
+              "c_mktsegment", "c_comment")
+    pruned = [
+        line for line in plan.splitlines()
+        if "Project" in line and "c_custkey" in line
+        and "c_acctbal" in line
+        and not any(u in line for u in unused)
+    ]
+    assert pruned, plan
