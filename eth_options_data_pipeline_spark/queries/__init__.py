@@ -37,6 +37,7 @@ from eth_options_data_pipeline_spark.queries import analytics19  # noqa: F401,E4
 from eth_options_data_pipeline_spark.queries import analytics20  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics21  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import analytics22  # noqa: F401,E402
+from eth_options_data_pipeline_spark.queries import analytics23  # noqa: F401,E402
 from eth_options_data_pipeline_spark.queries import window_policy  # noqa: E402
 
 

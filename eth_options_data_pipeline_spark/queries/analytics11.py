@@ -178,57 +178,70 @@ _INC_SQL = f"""
 _PACK_BUDGET = 100
 _PACK_SHARDS = 8
 
-# The greedy kernel's exact state walk, replayed as a recursive CTE:
-# state after each row = (pack_seq, used); the next row opens a new
-# pack when it would overflow, and a pack closes immediately at >=
-# budget. Anchor = rn 1 per shard.
-_PACK_SQL = f"""
-    WITH RECURSIVE keyed AS (
-      SELECT CAST(doc_id AS BIGINT) AS _id,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS _tok,
-             CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
-               % {_PACK_SHARDS} AS shard,
-             md5('packo|' || CAST(doc_id AS VARCHAR)) AS okey
-      FROM documents
+
+def pack_walk_ctes(src: str, budget: int, shards: int, seed: str) -> str:
+    """The greedy packing kernel's exact state walk as a composable
+    recursive-CTE list (caller supplies ``WITH RECURSIVE``): state
+    after each row = (pack_seq, used); the next row opens a new pack
+    when it would overflow, and a pack closes immediately at >=
+    budget. Anchor = rn 1 per shard. ``src`` must expose
+    (_id BIGINT, _tok BIGINT). Shared by dx38's oracle and cx05's
+    composition (r13); seeds mirror operators/packing.pack_documents
+    ('{seed}|' shard hash, '{seed}o|' order key)."""
+    return f"""pk_keyed AS (
+      SELECT _id, _tok,
+             CAST(('0x' || substr(md5('{seed}|' || CAST(_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               % {shards} AS shard,
+             md5('{seed}o|' || CAST(_id AS VARCHAR)) AS okey
+      FROM {src}
     ),
-    base AS (
+    pk_base AS (
       SELECT shard, _id, _tok, okey,
              row_number() OVER (PARTITION BY shard ORDER BY okey, _id) AS rn
-      FROM keyed
+      FROM pk_keyed
     ),
-    walk AS (
+    pk_walk AS (
       SELECT shard, rn, _id,
              CAST(0 AS BIGINT) AS pack_seq,
              CAST(0 AS BIGINT) AS offset_in_pack,
              _tok AS pack_tokens,
-             CASE WHEN _tok >= {_PACK_BUDGET} THEN CAST(1 AS BIGINT) ELSE 0 END AS next_seq,
-             CASE WHEN _tok >= {_PACK_BUDGET} THEN CAST(0 AS BIGINT) ELSE _tok END AS next_used
-      FROM base WHERE rn = 1
+             CASE WHEN _tok >= {budget} THEN CAST(1 AS BIGINT) ELSE 0 END AS next_seq,
+             CASE WHEN _tok >= {budget} THEN CAST(0 AS BIGINT) ELSE _tok END AS next_used
+      FROM pk_base WHERE rn = 1
       UNION ALL
       SELECT b.shard, b.rn, b._id,
-             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {budget}
                   THEN w.next_seq + 1 ELSE w.next_seq END AS pack_seq,
-             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {budget}
                   THEN 0 ELSE w.next_used END AS offset_in_pack,
-             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+             CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {budget}
                   THEN b._tok ELSE w.next_used + b._tok END AS pack_tokens,
-             CASE WHEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
-                             THEN b._tok ELSE w.next_used + b._tok END) >= {_PACK_BUDGET}
-                  THEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+             CASE WHEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {budget}
+                             THEN b._tok ELSE w.next_used + b._tok END) >= {budget}
+                  THEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {budget}
                              THEN w.next_seq + 1 ELSE w.next_seq END) + 1
-                  ELSE (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                  ELSE (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {budget}
                              THEN w.next_seq + 1 ELSE w.next_seq END) END AS next_seq,
-             CASE WHEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
-                             THEN b._tok ELSE w.next_used + b._tok END) >= {_PACK_BUDGET}
+             CASE WHEN (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {budget}
+                             THEN b._tok ELSE w.next_used + b._tok END) >= {budget}
                   THEN 0
-                  ELSE (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {_PACK_BUDGET}
+                  ELSE (CASE WHEN w.next_used > 0 AND w.next_used + b._tok > {budget}
                              THEN b._tok ELSE w.next_used + b._tok END) END AS next_used
-      FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
-    )
+      FROM pk_walk w JOIN pk_base b ON b.shard = w.shard AND b.rn = w.rn + 1
+    )"""
+
+
+_PACK_SQL = f"""
+    WITH RECURSIVE pack_src AS (
+      SELECT CAST(doc_id AS BIGINT) AS _id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS _tok
+      FROM documents
+    ),
+    {pack_walk_ctes('pack_src', _PACK_BUDGET, _PACK_SHARDS, 'pack')}
     SELECT _id AS doc_id_packed, shard, pack_seq,
            shard * {1 << 40} + pack_seq AS pack_id,
            offset_in_pack, pack_tokens
-    FROM walk
+    FROM pk_walk
 """
 
 

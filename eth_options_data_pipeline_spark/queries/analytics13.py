@@ -36,7 +36,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # panel. The embedding is integer token-count hashing (dim and sign
 # from md5 bits), so every float that reaches the cosine is an exact
 # integer and the only inexact ops (sqrt, divide) are bit-identical
-# IEEE on both engines — the vx01/dx42 reproducibility technique.
+# IEEE on both engines — the vx03/dx42 reproducibility technique.
 
 _RAG_CT, _RAG_OV = 12, 4     # chunk_tokens / overlap (stride 8, as dx30)
 _RAG_DIM = 16                # hash-embedding dimensions
@@ -159,7 +159,7 @@ def dx43_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the panel is a 3-row broadcast; the only exchange is the
     per-query top-k window, which AQE sees as a WindowGroupLimit
     partial top-k. The billion-chunk scale path swaps the exact scan
-    for the LSH/IVF candidate stages (vx01/vx04) and keeps this exact
+    for the LSH/IVF candidate stages (vx05/vx04) and keeps this exact
     kernel as the rerank — same operators, different stage order."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     chunks = chunk_documents(docs, chunk_tokens=_RAG_CT, overlap=_RAG_OV)
@@ -330,8 +330,10 @@ _CX_MH_COLS = ",\n             ".join(
 _CX_BANDS = ", ".join(
     f"'{b}|' || mh{2 * b} || '|' || mh{2 * b + 1}" for b in range(tx.LSH_BANDS))
 
-_CX01_SQL = f"""
-    WITH base AS (
+# The curation stage chain as a composable CTE list (no WITH prefix,
+# no final SELECT) so cx05's end-to-end composition face reuses the
+# EXACT same SQL stages the cx01 oracle runs (r13).
+_CX01_CTES = f"""base AS (
       SELECT doc_id, text,
              len(regexp_split_to_array(trim(text), '\\s+')) AS toks
       FROM documents WHERE lang = 'en'
@@ -367,9 +369,15 @@ _CX01_SQL = f"""
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS cum_tokens
       FROM surv
-    )
-    SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens, cum_tokens
-    FROM c WHERE cum_tokens <= {_CX_BUDGET}
+    ),
+    cx_kept AS (
+      SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= {_CX_BUDGET}
+    )"""
+
+_CX01_SQL = f"""
+    WITH {_CX01_CTES}
+    SELECT doc_id, n_tokens, cum_tokens FROM cx_kept
 """
 
 
@@ -397,6 +405,16 @@ def cx01_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests only, stage 5 is the range-partitioned prefix sum. Nothing
     is collected, nothing is quadratic, and every inter-stage column
     contract is pinned by the oracle hash."""
+    return _cx01_stages(spark, sf_dir).select(
+        "doc_id", F.col("toks").cast("bigint").alias("n_tokens"),
+        "cum_tokens")
+
+
+def _cx01_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain (lang gate -> quality gate -> exact dedup ->
+    LSH screen -> budget selection) as a lazy DataFrame (doc_id, toks,
+    cum_tokens) — cx01's body, shared with cx05's end-to-end
+    composition (r13)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     base = (
@@ -424,12 +442,8 @@ def cx01_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.min("bucket_min").alias("_bm"))
         .where(F.col("_bm") == F.col("doc_id")).drop("_bm")
     )
-    return (
-        select_to_budget(surv, quality_col="toks", token_col="toks",
-                         budget=_CX_BUDGET)
-        .select("doc_id", F.col("toks").cast("bigint").alias("n_tokens"),
-                "cum_tokens")
-    )
+    return select_to_budget(surv, quality_col="toks", token_col="toks",
+                            budget=_CX_BUDGET)
 
 
 # ----------------------------------- lexical retrieval: BM25 (dx45)

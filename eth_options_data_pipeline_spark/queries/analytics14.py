@@ -218,7 +218,7 @@ def dx49_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard false-negative filter). Anchor panel is a constant-
     size broadcast; the corpus side is one linear scan + per-anchor
     WindowGroupLimit top-k — the same shape as dx43, so the billion-doc
-    path swaps in the vx01/vx04 candidate stages unchanged."""
+    path swaps in the vx05/vx04 candidate stages unchanged."""
     from pyspark.sql import Window
     from eth_options_data_pipeline_spark.operators import vectors as vx
     from eth_options_data_pipeline_spark.queries.analytics13 import _hash_embed

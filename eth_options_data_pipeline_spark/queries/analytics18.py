@@ -426,8 +426,8 @@ def sx10_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------- product-quantization ANN (vx06)
 #
-# Completes the similarity-search family (brute vx01, hyperplane-LSH
-# vx01/vx05, IVF vx04) with the memory-bound scale path: product
+# Completes the similarity-search family (brute + hyperplane-LSH
+# vx05, IVF vx04) with the memory-bound scale path: product
 # quantization. Each 64-d vector is split into M=4 subspaces of 16
 # dims; each subspace gets a k=8 codebook (seed vectors + one Lloyd
 # refinement, the vx04 recipe — means rounded to 9 dp on both engines

@@ -30,7 +30,7 @@ never global.
 
 No counterpart in the reference (row-oriented options pipeline,
 main.py:43-351); extends the similarity-search family
-(brute vx01 / LSH vx05 / IVF vx04 / PQ vx06) and the dedup family.
+(brute+LSH vx05 / IVF vx04 / PQ vx06) and the dedup family.
 """
 
 from __future__ import annotations

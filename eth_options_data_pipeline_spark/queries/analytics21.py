@@ -173,6 +173,26 @@ def _unigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UG_APPLY_TOP = 20
 
+
+def _frozen_entries(spark: SparkSession, sf_dir: str) -> list:
+    """(piece, quantized weight) literals from the frozen dx67 model —
+    the bounded model-load collect (<= vocab_size + singles rows, the
+    module's documented honest bound). Shared by dx68's apply and
+    cx05's tokenize stage (r13)."""
+    vocab = [(r["piece"], r["cnt"])
+             for r in _unigram_model(spark, sf_dir).collect()]
+    total = sum(c for _, c in vocab)
+    blt = total.bit_length()
+    return sorted((p, blt - c.bit_length()) for p, c in vocab)
+
+
+def _segmented_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each lexicon word segmented under the frozen model:
+    (word, freq, pieces) — dx68's walk, reused by cx05."""
+    return apply_unigram(_lexicon(spark, sf_dir),
+                         _frozen_entries(spark, sf_dir),
+                         max_piece=_UG_MAXP)
+
 # the apply-time segmentation walk, mirrored: left-to-right, at each
 # position take the LONGEST piece on an optimal path. The per-position
 # best length precomputes as the `nxt` ARRAY column (DuckDB v1.0
@@ -189,8 +209,11 @@ _DX68_SEG_LAMBDA = f"""(acc, x) -> CASE
         nxt[({_DX68_CONSUMED} + 1)::INT]::INT))
       END"""
 
-_DX68_SQL = f"""
-    WITH words AS (
+# The train + segment chain (lexicon -> candidates -> EM rounds ->
+# optimal-path DP arrays -> per-word segmentation) as a composable
+# CTE list ending at ``seg`` (word, freq, n_pieces, pieces) — shared
+# verbatim by dx68's oracle and cx05's end-to-end composition (r13).
+_DX68_SEG_CTES = f"""words AS (
       SELECT word, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
             FROM documents WHERE text IS NOT NULL)
@@ -236,7 +259,10 @@ _DX68_SQL = f"""
                          list_transform(range(1, L + 1), s -> [''])),
             {_DX68_SEG_LAMBDA}) AS pieces
         FROM dpn)
-    ),
+    )"""
+
+_DX68_SQL = f"""
+    WITH {_DX68_SEG_CTES},
     applied AS (
       SELECT piece, CAST(sum(freq) AS BIGINT) AS applied_cnt
       FROM (SELECT unnest(pieces) AS piece, freq FROM seg)
@@ -271,12 +297,7 @@ def dx68_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = _unigram_model(spark, sf_dir)
 
     def _build() -> DataFrame:
-        vocab = [(r["piece"], r["cnt"]) for r in full.collect()]
-        total = sum(c for _, c in vocab)
-        blt = total.bit_length()
-        entries = sorted((p, blt - c.bit_length()) for p, c in vocab)
-        seg = apply_unigram(_lexicon(spark, sf_dir), entries,
-                            max_piece=_UG_MAXP)
+        seg = _segmented_lexicon(spark, sf_dir)
         applied = (seg.select(F.explode("pieces").alias("piece"), "freq")
                    .groupBy("piece")
                    .agg(F.sum("freq").cast("long").alias("applied_cnt")))

@@ -42,7 +42,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round(sum(l_extendedprice), 2)                   AS sum_base,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
            round(avg(l_quantity), 2)                        AS avg_qty,
-           count(*)                                         AS cnt
+           count(*)                                         AS cnt,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -51,8 +54,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped scan aggregate (A3 min/max family, A4 counts; the shape
     of reference telemetry aggregates main.py:225-226,241-243). Partial
-    (map-side) aggregation + single shuffle on the group keys."""
+    (map-side) aggregation + single shuffle on the group keys.
+
+    Also carries q15's folded leg (r13 consolidation): the A4
+    success/fail/filtered conditional counters (main.py:153-155,
+    225-226) as in-plan sum(when) columns in the SAME grouped
+    aggregate — one extra expression per counter, zero extra shuffles
+    (the side-channel accumulator form stays covered by
+    tests/test_observe.py's df.observe path)."""
     li = t(spark, sf_dir, "lineitem")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
     return (
         li.where(F.col("l_shipdate") <= F.lit(dt.datetime(2000, 6, 1)))
         .groupBy("l_returnflag", "l_linestatus")
@@ -62,6 +76,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.count(F.lit(1)).alias("cnt"),
+            cnt(F.col("l_discount") > 0.05).alias("n_discounted"),
+            cnt(F.col("l_returnflag") == "R").alias("n_returned"),
+            cnt(F.col("l_quantity") >= 25).alias("n_bulk"),
         )
     )
 
@@ -123,10 +140,13 @@ def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_keep_last",
     sql="""
+    WITH tail300 AS (
+      SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 300
+    )
     SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value,
            coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), -1.0) AS last_k_val,
            (try_cast(event_type AS DOUBLE) IS NULL) AS cast_failed
-    FROM events
+    FROM tail300
     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     """,
 )
@@ -141,11 +161,20 @@ def q06_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object on the kept row's props, F5 cast-with-default
     (sentinel -1.0 — no nullable doubles in oracle output), and F6
     coercive cast err->NULL (pd.to_numeric errors='coerce',
-    main.py:276-277) as the cast_failed flag."""
-    ev = t(spark, sf_dir, "events").withColumn(
+    main.py:276-277) as the cast_failed flag.
+
+    And q10's folded leg (r13 consolidation): O2 tail-N state
+    bounding. The reference reads the LAST 300 history rows and THEN
+    builds its last-per-key dict (df.tail(300) at main.py:260 feeding
+    the dict-overwrite at :281-286) — this face now runs that exact
+    composition: tail_n(300) under the (ts, event_id) total order
+    (TakeOrderedAndProject — no global sort materialization), then
+    keep-last per user within the bounded window."""
+    ev = t(spark, sf_dir, "events")
+    bounded = tail_n(ev, 300, order_cols=("ts", "event_id")).withColumn(
         "_ord", F.struct(F.col("ts"), F.col("event_id"))
     )
-    out = keep_last(ev, keys=["user_id"], order_col="_ord")
+    out = keep_last(bounded, keys=["user_id"], order_col="_ord")
     return out.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -237,20 +266,11 @@ def q09_friday_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q10_tail_n",
-    sql="""
-    SELECT event_id, user_id, event_type, value
-    FROM events ORDER BY ts DESC, event_id DESC LIMIT 300
-    """,
-)
-def q10_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: tail(300) state bounding (main.py:260) — last N rows under
-    the (ts, event_id) total order."""
-    ev = t(spark, sf_dir, "events")
-    return tail_n(ev, 300, order_cols=("ts", "event_id")).select(
-        "event_id", "user_id", "event_type", "value"
-    )
+# q10_tail_n retired r13 (VERDICT r12 item 5, capacity consolidation):
+# O2 tail-N bounding now runs INSIDE q06_keep_last as the reference's
+# own composition (tail(300) history feed -> last-per-key dict,
+# main.py:260,281-286) — still oracle-checked there every sweep, with
+# the TakeOrderedAndProject shape pinned in tests/test_plans.py.
 
 
 @query(
@@ -437,29 +457,11 @@ def q14_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q15_conditional_counts",
-    sql="""
-    SELECT l_linestatus,
-           count(*) AS total,
-           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
-           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
-    FROM lineitem GROUP BY l_linestatus
-    """,
-)
-def q15_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: success/fail/filtered conditional counters (main.py:153-155,
-    225-226) — in-plan as sum(when), not side-channel accumulators."""
-    li = t(spark, sf_dir, "lineitem")
-    def cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0))
-    return li.groupBy("l_linestatus").agg(
-        F.count(F.lit(1)).alias("total"),
-        cnt(F.col("l_discount") > 0.05).alias("n_discounted"),
-        cnt(F.col("l_returnflag") == "R").alias("n_returned"),
-        cnt(F.col("l_quantity") >= 25).alias("n_bulk"),
-    )
+# q15_conditional_counts retired r13 (VERDICT r12 item 5, capacity
+# consolidation): its A4 sum(when) counters are folded into
+# q01_pricing_summary's grouped aggregate (same expressions, same
+# oracle check, zero extra shuffles there); the accumulator/observe
+# form of A4 telemetry stays covered by tests/test_observe.py.
 
 
 @query(

@@ -9,10 +9,13 @@ Round-2 consolidation: the two shuffle-free per-doc signature queries
 ``dx06_signatures`` — retired again in r11 (VERDICT r10 item 7) into
 the unregistered ``signature_battery`` surface, since dx07/dx10 keep
 both signature kernels driver-checked inside their own plans; the two
-ANN top-k faces (former vx01_cosine_topk + vx02_ann_lsh) are
-``vx01_ann_topk`` with a ``method`` tag; the two recall evaluations
-(former vx05_ann_recall + vx06_ann_multiprobe_recall) are
-``vx05_ann_recall`` with a ``method`` tag.
+ANN top-k faces (former vx01_cosine_topk + vx02_ann_lsh) became
+``vx01_ann_topk`` with a ``method`` tag, and the two recall
+evaluations (former vx05_ann_recall + vx06_ann_multiprobe_recall)
+became ``vx05_ann_recall``; in r13 vx01 folded into vx05 too (VERDICT
+r12 item 5) — the recall face recomputed vx01's ground-truth and
+single-probe stages anyway, and now pins each method's exact top-5
+answer list via an order-sensitive BIGINT digest.
 """
 
 from __future__ import annotations
@@ -115,83 +118,24 @@ def dx07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANES = vx.rademacher_planes()
 _BUCKET_SQL = vx.lsh_bucket_sql("embedding::DOUBLE[]", _PLANES)
 
-@query(
-    "vx01_ann_topk",
-    sql=f"""
-    WITH b AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket
-      FROM embeddings
-    ), q0 AS (SELECT e AS qe FROM b WHERE vec_id = 0),
-    brute AS (
-      SELECT 'brute' AS method, CAST(0 AS BIGINT) AS q_id, vec_id AS cand_id,
-             round({vx.cosine_sql('c.e', 'q0.qe')}, 6) AS cos_sim
-      FROM b c, q0
-      WHERE c.vec_id <> 0
-      ORDER BY cos_sim DESC, cand_id LIMIT 10
-    ), q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 3),
-    lsh AS (
-      SELECT 'lsh' AS method, q_id, vec_id AS cand_id,
-             round({vx.cosine_sql('c.e', 'q.qe')}, 6) AS cos_sim
-      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
-      QUALIFY row_number() OVER (PARTITION BY q_id
-                                 ORDER BY {vx.cosine_sql('c.e', 'q.qe')} DESC, vec_id) <= 5
-    )
-    SELECT * FROM brute UNION ALL SELECT * FROM lsh
-    """,
-)
-def vx01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k over array<float> embeddings, both index strategies in
-    one oracle face (``method`` tag):
-
-    * ``brute``: broadcast the query vector, JVM-side zip_with/aggregate
-      dot products (no Python UDF), TakeOrderedAndProject top-10 — the
-      exact-rerank / ground-truth stage (former vx01_cosine_topk);
-    * ``lsh``: deterministic Rademacher-hyperplane buckets (bit i =
-      sign of dot with plane_i) -> candidates share the query's bucket
-      -> exact cosine rerank, top-5 per query — candidate generation
-      touches only same-bucket rows, the scale path (former
-      vx02_ann_lsh)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    b = emb.withColumn("bucket", vx.lsh_bucket("e", _PLANES))
-
-    # brute-force face: query vec_id=0 against everything
-    qvec = emb.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
-    cos0 = vx.cosine(F.col("e"), F.col("qe"))
-    brute = (
-        emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec))
-        .select(F.lit("brute").alias("method"), F.lit(0).cast("long").alias("q_id"),
-                F.col("vec_id").alias("cand_id"), F.round(cos0, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), "cand_id")
-        .limit(10)
-    )
-
-    # LSH face: 3 queries, candidates restricted to the query's bucket
-    q = (
-        b.where(F.col("vec_id") < 3)
-        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket")
-    )
-    cand = q.join(
-        F.broadcast(b).alias("c"),
-        (F.col("c.bucket") == q.bucket) & (F.col("c.vec_id") != F.col("q_id")),
-    )
-    cos = vx.cosine(F.col("c.e"), F.col("qe"))
-    w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("c.vec_id"))
-    lsh = (
-        cand.select(F.lit("lsh").alias("method"), "q_id",
-                    F.col("c.vec_id").alias("cand_id"),
-                    F.round(cos, 6).alias("cos_sim"),
-                    F.row_number().over(w).alias("_rk"))
-        .where(F.col("_rk") <= 5)
-        .drop("_rk")
-    )
-    return brute.unionByName(lsh)
-
+# vx01_ann_topk retired r13 (VERDICT r12 item 5, capacity
+# consolidation): its brute top-k and bucket-LSH top-k legs are the
+# ground-truth and single_probe candidate stages vx05_ann_recall
+# already recomputes; vx05 now pins the ANSWER lists themselves via
+# order-sensitive BIGINT digests (see its docstring), so nothing the
+# retired face checked is lost. Exact 6-dp cosine VALUES stay
+# oracle-checked by vx03/vx04.
 
 _PROBE_BUCKETS_SQL = ", ".join(
     ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(vx.LSH_PLANES)]
 )
+
+# order-sensitive top-5 digest multipliers: 131^(5-rk), exact in
+# BIGINT (sum < 3e14 even at 1e6 vec_ids — no overflow at any sf)
+_DIGEST_MULTS = [294499921, 2248091, 17161, 131, 1]
+_DIGEST_CASE_SQL = ("CASE rk WHEN 1 THEN 294499921 WHEN 2 THEN 2248091 "
+                    "WHEN 3 THEN 17161 WHEN 4 THEN 131 ELSE 1 END")
+
 
 @query(
     "vx05_ann_recall",
@@ -224,38 +168,66 @@ _PROBE_BUCKETS_SQL = ", ".join(
              row_number() OVER (PARTITION BY q_id
                                 ORDER BY {vx.cosine_sql('mcand.e', 'mcand.qe')} DESC, vec_id) AS rk
       FROM mcand
-    ), m5 AS (SELECT q_id, list(vec_id) AS ids FROM multi WHERE rk <= 5 GROUP BY q_id)
-    SELECT 'single_probe' AS method, b5.q_id,
-           len(list_intersect(b5.ids, s5.ids)) / 5.0 AS recall_at_5,
-           CAST(len(s5.ids) AS BIGINT) AS n_lsh_results
-    FROM b5 JOIN s5 USING (q_id)
+    ), m5 AS (SELECT q_id, list(vec_id) AS ids FROM multi WHERE rk <= 5 GROUP BY q_id),
+    bd AS (SELECT q_id, CAST(sum(vec_id * {_DIGEST_CASE_SQL}) AS BIGINT) AS dg
+           FROM brute WHERE rk <= 5 GROUP BY q_id),
+    sd AS (SELECT q_id, CAST(sum(vec_id * {_DIGEST_CASE_SQL}) AS BIGINT) AS dg
+           FROM single WHERE rk <= 5 GROUP BY q_id),
+    md AS (SELECT q_id, CAST(sum(vec_id * {_DIGEST_CASE_SQL}) AS BIGINT) AS dg
+           FROM multi WHERE rk <= 5 GROUP BY q_id)
+    SELECT 'brute' AS method, b5.q_id,
+           1.0 AS recall_at_5,
+           CAST(len(b5.ids) AS BIGINT) AS n_results,
+           bd.dg AS topk_digest
+    FROM b5 JOIN bd USING (q_id)
+    UNION ALL
+    SELECT 'single_probe', b5.q_id,
+           len(list_intersect(b5.ids, s5.ids)) / 5.0,
+           CAST(len(s5.ids) AS BIGINT),
+           sd.dg
+    FROM b5 JOIN s5 USING (q_id) JOIN sd USING (q_id)
     UNION ALL
     SELECT 'multi_probe', b5.q_id,
            len(list_intersect(b5.ids, m5.ids)) / 5.0,
-           CAST(len(m5.ids) AS BIGINT)
-    FROM b5 JOIN m5 USING (q_id)
+           CAST(len(m5.ids) AS BIGINT),
+           md.dg
+    FROM b5 JOIN m5 USING (q_id) JOIN md USING (q_id)
     """,
 )
 def vx05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN index evaluation: recall@5 against the brute-force ground
-    truth for BOTH probing strategies (``method`` tag) — the metric that
-    decides how many hyperplanes/probes an index needs at scale.
-    Set-overlap of integer id lists: engine-exact.
+    """ANN evaluation AND answer face: recall@5 against the
+    brute-force ground truth for both probing strategies, plus an
+    order-sensitive BIGINT digest of each method's exact top-5 list
+    (sum of vec_id * 131^(5-rk) — engine-exact integer arithmetic), so
+    the oracle pins the ANSWERS themselves, not just their overlap.
+    The ``brute`` rows carry the retired vx01_ann_topk's ground-truth
+    leg (r13 fold): broadcast query vectors, JVM-side zip_with/
+    aggregate dot products, windowed top-5 — recall 1.0 by definition,
+    the digest is the check.
 
-    * ``single_probe``: candidates from the query's own bucket only
-      (former vx05_ann_recall);
+    * ``brute``: every candidate, exact cosine — the ground truth /
+      exact-rerank stage (former vx01 'brute' leg);
+    * ``single_probe``: candidates from the query's own
+      Rademacher-hyperplane bucket only (former vx01 'lsh' leg =
+      former vx05_ann_recall);
     * ``multi_probe``: the query's bucket plus every bucket at Hamming
       distance 1 — 9 of 256 cells, the standard recall lever when
       single-probe collapses (former vx06_ann_multiprobe_recall).
 
-    Measured finding on this corpus: BOTH recall ~0 — the synthetic
-    embeddings are isotropic (nearest neighbors sit near-orthogonal,
-    cos ~0.37), so bucket agreement is ~coin-flip per plane
-    (P(<=1 of 8 sign flips) ~ 0.13/neighbor) and the index prunes away
-    the true neighbors. That is precisely what this metric exists to
-    surface; the IVF index with 2-cell probing (vx04) recalls the true
-    top-1 on the same data. At scale: IVF for unclustered embeddings;
-    hyperplane LSH when the corpus is clustered."""
+    Cross-engine top-5 ordering is safe for the digest: both engines
+    fold the 32-dim dot product in the same index order (IEEE-exact
+    identical doubles — the vx03/dx42 reproducibility technique), and
+    ties break by vec_id.
+
+    Measured finding on this corpus: both probe recalls ~0 — the
+    synthetic embeddings are isotropic (nearest neighbors sit
+    near-orthogonal, cos ~0.37), so bucket agreement is ~coin-flip per
+    plane (P(<=1 of 8 sign flips) ~ 0.13/neighbor) and the index
+    prunes away the true neighbors. That is precisely what this metric
+    exists to surface; the IVF index with 2-cell probing (vx04)
+    recalls the true top-1 on the same data. At scale: IVF for
+    unclustered embeddings; hyperplane LSH when the corpus is
+    clustered."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -271,10 +243,14 @@ def vx05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk(cand, k=5):
         cos = vx.cosine(F.col("e"), F.col("qe"))
         w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
+        mult = F.element_at(F.lit(_DIGEST_MULTS), F.col("_rk"))
         return (
             cand.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k)
-            .groupBy("q_id").agg(F.collect_set("vec_id").alias("ids"))
+            .groupBy("q_id").agg(
+                F.collect_set("vec_id").alias("ids"),
+                F.sum(F.col("vec_id") * mult).cast("long").alias("dg"),
+            )
         )
 
     brute5 = topk(qfull.join(F.broadcast(b).alias("c"), F.col("c.vec_id") != F.col("q_id"))
@@ -305,15 +281,25 @@ def vx05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def face(method, lsh5):
         return (
             brute5.select("q_id", F.col("ids").alias("b_ids"))
-            .join(lsh5.select("q_id", F.col("ids").alias("l_ids")), "q_id")
+            .join(lsh5.select("q_id", F.col("ids").alias("l_ids"),
+                              F.col("dg")), "q_id")
             .select(
                 F.lit(method).alias("method"), "q_id",
                 (F.size(F.array_intersect("b_ids", "l_ids")) / 5.0).alias("recall_at_5"),
-                F.size("l_ids").cast("long").alias("n_lsh_results"),
+                F.size("l_ids").cast("long").alias("n_results"),
+                F.col("dg").alias("topk_digest"),
             )
         )
 
-    return face("single_probe", single5).unionByName(face("multi_probe", multi5))
+    brute_face = brute5.select(
+        F.lit("brute").alias("method"), "q_id",
+        F.lit(1.0).alias("recall_at_5"),
+        F.size("ids").cast("long").alias("n_results"),
+        F.col("dg").alias("topk_digest"),
+    )
+    return (brute_face
+            .unionByName(face("single_probe", single5))
+            .unionByName(face("multi_probe", multi5)))
 
 
 @query(

@@ -82,6 +82,11 @@ REWORKED_AFTER_ROUND = {
     "dx64_exact_substr": 11,      # serves from shared frozen del-list
     "dx65_sharded_bloom": 11,     # bitset frozen via session_artifact
     "vx07_ivfadc": 11,            # centroids/codebooks/codes frozen
+    # r13 reworks (consolidation folds — new kernels/legs in the
+    # surviving faces):
+    "vx05_ann_recall": 12,        # vx01 fold + top-5 answer digests
+    "q01_pricing_summary": 12,    # q15's conditional-count columns
+    "q06_keep_last": 12,          # q10's tail-N bounding composition
 }
 
 _REPO_ROOT = os.path.dirname(

@@ -97,8 +97,28 @@ def test_signature_ops_are_shuffle_free(spark, sf_small):
 
 
 def test_keep_last_single_shuffle(spark, sf_small):
-    """Keep-last dedup costs exactly one hash shuffle on the key."""
+    """The folded q10 tail-N bounding stage (r13) plans as
+    TakeOrderedAndProject — each task forwards <= 300 rows to a
+    single bounded gather, never a global sort materialization — and
+    because that gather already co-locates the bounded state, the
+    keep-last window needs NO hash shuffle at all (the unbounded
+    keep_last operator's one-shuffle shape stays pinned by
+    test_keep_last_operator_single_shuffle below)."""
     p = plan(REGISTRY["q06_keep_last"].fn(spark, sf_small))
+    assert p.count("Exchange hashpartitioning") == 0
+    assert "TakeOrderedAndProject(limit=300" in p
+
+
+def test_keep_last_operator_single_shuffle(spark):
+    """Unbounded keep-last dedup costs exactly one hash shuffle on
+    the key (the q06 face's bounded composition above elides even
+    that — this pins the general-operator contract)."""
+    from eth_options_data_pipeline_spark.operators.snapshot import keep_last
+    from pyspark.sql import functions as F
+
+    df = (spark.range(1000)
+          .select((F.col("id") % 37).alias("k"), F.col("id").alias("v")))
+    p = plan(keep_last(df, keys=["k"], order_col="v"))
     assert p.count("Exchange hashpartitioning") == 1
 
 

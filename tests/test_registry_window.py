@@ -205,9 +205,16 @@ def test_duplicate_round_spellings_union(tmp_path):
 def test_window_capacity_not_saturating():
     """VERDICT r09 item 3: the per-class staleness map must keep the
     window schedulable as the registry grows.  Steady-state load is
-    sum over non-core faces of 1/(limit+1) window slots per round; at
-    the observed +5 faces/round growth (worst case all at the tight
-    MAX_STALENESS limit) the projected saturation round must be >= 15."""
+    sum over non-core faces of 1/(limit+1) window slots per round.
+
+    Growth model (updated r13): NET registry growth per round, worst
+    case all new faces at the tight MAX_STALENESS limit. The original
+    +5/round was gross additions; since the consolidation cadence
+    started (r11) the measured NET trajectory is 123 -> 128 -> 125+1
+    = +1.5/round, because folds offset additions by design (VERDICT
+    r10 item 7, r12 item 5). Model +4/round — well above measured —
+    so the projection stays conservative while reflecting that
+    consolidation is a standing policy, not a one-off."""
     from eth_options_data_pipeline_spark.queries import window_policy as wp
 
     slots = wp.WINDOW_SIZE - len(q.REGRESSION_CORE)
@@ -216,10 +223,10 @@ def test_window_capacity_not_saturating():
         for n in q.REGISTRY if n not in q.REGRESSION_CORE
     )
     assert load <= slots, f"already saturated: load {load:.1f} > {slots}"
-    growth_per_round = 5.0 / (wp.MAX_STALENESS + 1)
+    growth_per_round = 4.0 / (wp.MAX_STALENESS + 1)
     current_round = max(wp.correctness_rounds(), default=0) + 1
     saturation_round = current_round + (slots - load) / growth_per_round
-    assert saturation_round >= 15, (
+    assert saturation_round >= 20, (
         f"window saturates at round {saturation_round:.1f} "
         f"(load {load:.1f}/{slots} slots, +{growth_per_round:.2f}/round)"
     )

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Synthesize scale-ramp test dirs (sf0.5, sf1.0) from the driver's
+sf0.1 parquet, for the VERDICT r12 item-3 scale-ramp measurement.
+
+Replication is key-remapped (ids offset per replica so joins/groups
+gain real cardinality) and, for the text/vector tables, CONTENT-
+PERTURBED per replica so the dedup/ANN workload keeps its statistical
+shape instead of gaining replica-count exact duplicates of every row:
+
+  * documents: replica r applies a word-level transform (identity /
+    reversal / rotation by r*7) — duplicate relationships WITHIN a
+    replica are preserved exactly (same transform on both sides),
+    cross-replica near-duplicates are destroyed (word 3-gram shingles
+    are direction- and phase-sensitive), so the dup-pair density per
+    document stays ~constant as sf grows — the realistic regime;
+  * embeddings: replica r swaps dimension pairs with a different
+    stride, preserving norms and the isotropic distribution without
+    creating cross-replica exact twins;
+  * relational tables: pure key offsets (dates/values unchanged —
+    grouped-agg and join cardinalities scale linearly).
+
+Dims (nation/region) are copied as-is. Output:
+/tmp/sframp/sf0.5 (5 replicas) and /tmp/sframp/sf1.0 (10 replicas).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/sframp"
+
+# key offsets: far above any sf0.1 id, per-replica stride
+DOC_STRIDE = 1_000_000
+VEC_STRIDE = 1_000_000
+ORD_STRIDE = 10_000_000
+CUST_STRIDE = 1_000_000
+PART_STRIDE = 1_000_000
+SUPP_STRIDE = 1_000_000
+EVT_STRIDE = 10_000_000
+USER_STRIDE = 1_000_000
+
+
+def _doc_text(r: int) -> str:
+    """Word-level transform for replica r (identity for r=0)."""
+    if r == 0:
+        return "text"
+    ws = "string_split(text, ' ')"
+    if r % 3 == 1:
+        return f"list_aggregate(list_reverse({ws}), 'string_agg', ' ')"
+    rot = (r * 7) % 23 + 1
+    return (f"list_aggregate(list_concat({ws}[{rot + 1}:], "
+            f"{ws}[:{rot}]), 'string_agg', ' ')")
+
+
+def _emb(r: int) -> str:
+    """Dimension-pair swap with stride r (identity for r=0):
+    swap dims (2i-1, 2i) when (i + r) % (r + 1) == 0 — cheap,
+    norm-preserving, replica-distinct."""
+    if r == 0:
+        return "embedding"
+    return (
+        "list_transform(range(1, len(embedding) + 1), i -> CASE "
+        f"WHEN (i // 2 + {r}) % 2 = 0 AND i % 2 = 1 AND i < len(embedding) "
+        "THEN embedding[(i + 1)::INT] "
+        f"WHEN (i // 2 + {r}) % 2 = 0 AND i % 2 = 0 "
+        "THEN embedding[(i - 1)::INT] "
+        "ELSE embedding[i::INT] END)::FLOAT[]"
+    )
+
+
+def build(out_dir: str, replicas: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
+
+    def rep(table: str, select_fmt) -> None:
+        parts = " UNION ALL ".join(
+            f"SELECT {select_fmt(r)} FROM "
+            f"read_parquet('{SRC}/{table}.parquet')"
+            for r in range(replicas))
+        con.execute(f"COPY ({parts}) TO '{out_dir}/{table}.parquet' "
+                    "(FORMAT PARQUET)")
+
+    rep("documents", lambda r: (
+        f"doc_id + {r * DOC_STRIDE} AS doc_id, {_doc_text(r)} AS text, "
+        "lang, source, n_chars"))
+    rep("embeddings", lambda r: (
+        f"vec_id + {r * VEC_STRIDE} AS vec_id, {_emb(r)} AS embedding, "
+        "label"))
+    rep("lineitem", lambda r: (
+        f"l_orderkey + {r * ORD_STRIDE} AS l_orderkey, "
+        f"l_partkey + {r * PART_STRIDE} AS l_partkey, "
+        f"l_suppkey + {r * SUPP_STRIDE} AS l_suppkey, "
+        "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        "l_returnflag, l_linestatus, l_shipdate"))
+    rep("orders", lambda r: (
+        f"o_orderkey + {r * ORD_STRIDE} AS o_orderkey, "
+        f"o_custkey + {r * CUST_STRIDE} AS o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"))
+    rep("customer", lambda r: (
+        f"c_custkey + {r * CUST_STRIDE} AS c_custkey, c_name, "
+        "c_nationkey, c_acctbal, c_mktsegment"))
+    rep("supplier", lambda r: (
+        f"s_suppkey + {r * SUPP_STRIDE} AS s_suppkey, s_name, "
+        "s_nationkey, s_acctbal"))
+    rep("part", lambda r: (
+        f"p_partkey + {r * PART_STRIDE} AS p_partkey, p_name, p_brand, "
+        "p_type, p_size, p_retailprice"))
+    rep("events", lambda r: (
+        f"event_id + {r * EVT_STRIDE} AS event_id, ts, "
+        f"user_id + {r * USER_STRIDE} AS user_id, event_type, value, "
+        "props"))
+    con.close()
+    print(f"built {out_dir} ({replicas} replicas)")
+
+
+if __name__ == "__main__":
+    reps = {"sf0.5": 5, "sf1.0": 10}
+    for name, n in reps.items():
+        build(os.path.join(OUT, name), n)
+    sys.exit(0)
