@@ -232,6 +232,22 @@ def main() -> None:
                      "vs_nominal"),
         },
         "notes": {
+            "_scale_ramp": (
+                "r13 (VERDICT r12 item 3): the 11 heaviest faces were "
+                "RUN at sf0.5 and sf1.0 (tools/make_ramp.py synthesizes "
+                "key-remapped, content-perturbed replicas of the "
+                "driver's sf0.1; tools/scale_ramp.py measures; full "
+                "table in RAMP_r13.json). Every face scaled "
+                "SUB-linearly over the decade — log-log exponents: "
+                "dx40 0.53, dx10 0.51, dx65 0.50, dx13 0.37, dx42 "
+                "0.36, qx48 0.34, qx28 0.28, cx05 0.06, sx05 0.03, "
+                "cx03 -0.04, dx28 -0.07 (a 10x data increase costs at "
+                "most 3.7x time; the iterative/fixed-work faces are "
+                "flat because rounds, not rows, dominate at these "
+                "sizes). No super-linear kernel; qx48's driver-side "
+                "bucket cumsum and dx65's fixed 2-shard layout both "
+                "held to sf1 measured."
+            ),
             "_environment": (
                 "r10: the same box measured the identical 119-face code "
                 "at 121.97 s (morning), 141.4 s and 162.2 s (afternoon) "

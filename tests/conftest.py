@@ -63,6 +63,23 @@ def spark():
     yield spark
 
 
+@pytest.fixture()
+def stream_parts(spark):
+    """Suite-budget lever for stateful-stream tests (r13 trim): a
+    streaming query instantiates one state-store task per
+    spark.sql.shuffle.partitions per micro-batch, and the semantics
+    under test (watermarks, timeouts, replay idempotence, crash
+    recovery) are partition-count-independent — 2 keeps the
+    multi-partition state path exercised while dropping 6 idle
+    state tasks per batch. The conf is scoped to the test: partition
+    count is read at QUERY START, so restoring it after the test
+    leaves every other plan at the session's pinned 8."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @pytest.fixture(scope="session")
 def sf_small():
     return SF_SMALL

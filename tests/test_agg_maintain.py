@@ -4,6 +4,12 @@ the state exactly."""
 
 from __future__ import annotations
 
+import pytest
+
+# r13 suite-budget trim: stateful-stream tests run their queries
+# at 2 shuffle partitions (see conftest.stream_parts)
+pytestmark = pytest.mark.usefixtures("stream_parts")
+
 import glob
 
 from pyspark.sql import functions as F

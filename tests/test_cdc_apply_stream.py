@@ -4,6 +4,12 @@ replayed batch converges (no double-application)."""
 
 from __future__ import annotations
 
+import pytest
+
+# r13 suite-budget trim: stateful-stream tests run their queries
+# at 2 shuffle partitions (see conftest.stream_parts)
+pytestmark = pytest.mark.usefixtures("stream_parts")
+
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.sources import load_table

@@ -6,6 +6,12 @@ lands idempotently."""
 
 from __future__ import annotations
 
+import pytest
+
+# r13 suite-budget trim: stateful-stream tests run their queries
+# at 2 shuffle partitions (see conftest.stream_parts)
+pytestmark = pytest.mark.usefixtures("stream_parts")
+
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators.containment import (

@@ -4,6 +4,12 @@ hourly-run model as a first-class stream source)."""
 
 from __future__ import annotations
 
+import pytest
+
+# r13 suite-budget trim: stateful-stream tests run their queries
+# at 2 shuffle partitions (see conftest.stream_parts)
+pytestmark = pytest.mark.usefixtures("stream_parts")
+
 from eth_options_data_pipeline_spark.sources_datasource import TickerDataSource
 
 

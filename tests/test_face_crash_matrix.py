@@ -29,6 +29,10 @@ import shutil
 import tempfile
 
 import pytest
+
+# r13 suite-budget trim: stateful-stream tests run their queries
+# at 2 shuffle partitions (see conftest.stream_parts)
+pytestmark = pytest.mark.usefixtures("stream_parts")
 from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators.incremental_agg import (
@@ -108,14 +112,10 @@ def test_sx07_mid_stream_crash_resumes_from_checkpoint(
     monkeypatch.setattr(StreamingAggMaintenance, "_process_batch", real)
     # no _done marker was written; the rerun resumes the stream from
     # the checkpoint (batch 0 committed, 1..2 replayed) and serves exact
-    got = _rows(analytics16.sx07_agg_maintain_stream(spark, sf))
-    assert got == _sx07_want(spark, sf)
-
-
-def test_sx07_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
-    sf = _linked_sf(tmp_path, sf_small, "sx07donecrash")
     want = _sx07_want(spark, sf)
     assert _rows(analytics16.sx07_agg_maintain_stream(spark, sf)) == want
+    # crash point (d) over the SAME completed lineage (r13 suite trim):
+    # lose the done marker, the replay must serve identical rows
     shutil.rmtree(os.path.join(_scratch(spark, "aggmaint_face", sf), "_done"))
     assert _rows(analytics16.sx07_agg_maintain_stream(spark, sf)) == want
 
@@ -161,14 +161,9 @@ def test_sx08_mid_stream_crash_replays_merge_convergently(
     monkeypatch.setattr(StreamingCdcApply, "_process_batch", real)
     # batch 1 was applied but never committed -> the rerun REPLAYS it;
     # merge_upsert converges (same-key updates rewrite the same rows)
-    got = _rows(analytics16.sx08_cdc_apply_stream(spark, sf))
-    assert got == _sx08_want(spark, sf)
-
-
-def test_sx08_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
-    sf = _linked_sf(tmp_path, sf_small, "sx08donecrash")
     want = _sx08_want(spark, sf)
     assert _rows(analytics16.sx08_cdc_apply_stream(spark, sf)) == want
+    # crash point (d) over the SAME converged lineage (r13 suite trim)
     shutil.rmtree(os.path.join(_scratch(spark, "cdc_face", sf), "_done"))
     assert _rows(analytics16.sx08_cdc_apply_stream(spark, sf)) == want
 
@@ -183,8 +178,13 @@ def _sx09_want(spark, sf_dir):
     return _rows(containment_pairs(docs))
 
 
-def test_sx09_mid_stream_crash_resumes_from_checkpoint(
+def test_sx09_crash_matrix_single_lineage(
         spark, sf_small, tmp_path, monkeypatch):
+    """Scenarios (c) mid-stream crash/resume and (d) done-marker
+    replay, walked over ONE scratch lineage (r13 suite trim: the
+    resume run's completed state IS the done-marker scenario's
+    precondition, so chaining them saves a full face run with zero
+    scenario loss)."""
     from eth_options_data_pipeline_spark.queries import analytics18
     from eth_options_data_pipeline_spark.streaming.containment_stream import (
         StreamingContainmentScreen,
@@ -199,43 +199,34 @@ def test_sx09_mid_stream_crash_resumes_from_checkpoint(
 
     monkeypatch.setattr(StreamingContainmentScreen, "_process_batch", crashing)
     with pytest.raises(Exception):
-        analytics18.sx09_containment_stream(spark, sf)
+        analytics18.sx09_containment_stream(spark, sf)     # (c) crash
     monkeypatch.setattr(StreamingContainmentScreen, "_process_batch", real)
-    got = _rows(analytics18.sx09_containment_stream(spark, sf))
-    assert got == _sx09_want(spark, sf)
-
-
-def test_sx09_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
-    from eth_options_data_pipeline_spark.queries import analytics18
-    sf = _linked_sf(tmp_path, sf_small, "sx09donecrash")
     want = _sx09_want(spark, sf)
     assert _rows(analytics18.sx09_containment_stream(spark, sf)) == want
+    # (d): same completed state, lose the done marker, replay
     shutil.rmtree(os.path.join(_scratch(spark, "contstream_face", sf), "_done"))
     assert _rows(analytics18.sx09_containment_stream(spark, sf)) == want
 
 
-def test_sx10_partial_staging_discarded_and_rebuilt(spark, sf_small, tmp_path):
+def test_sx10_crash_matrix_single_lineage(spark, sf_small, tmp_path):
+    """Scenarios (a) partial staging discarded and (d) done-marker
+    replay over ONE lineage (r13 suite trim)."""
     from eth_options_data_pipeline_spark.queries import analytics18
     sf = _linked_sf(tmp_path, sf_small, "sx10stagecrash")
     scratch = _scratch(spark, "squant_face", sf)
     staging = os.path.join(scratch, "in_staging")
     os.makedirs(staging)
     with open(os.path.join(staging, "part-junk.parquet"), "w") as f:
-        f.write("torn half-written slice")
+        f.write("torn half-written slice")                 # (a)
     first = _rows(analytics18.sx10_stream_quantiles(spark, sf))
     assert first and not os.path.isdir(staging)
     # served rows are internally consistent: cum <= tot, thresholds met
     for (permille, q, bucket, cum, tot, lo, mn, mx) in first:
         assert cum <= tot and mn <= mx
         assert cum * 1000 >= permille * tot  # cum >= ceil(permille*tot/1000)
-
-
-def test_sx10_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
-    from eth_options_data_pipeline_spark.queries import analytics18
-    sf = _linked_sf(tmp_path, sf_small, "sx10donecrash")
-    want = _rows(analytics18.sx10_stream_quantiles(spark, sf))
-    shutil.rmtree(os.path.join(_scratch(spark, "squant_face", sf), "_done"))
-    assert _rows(analytics18.sx10_stream_quantiles(spark, sf)) == want
+    # (d): lose the done marker, replay must serve identical rows
+    shutil.rmtree(os.path.join(scratch, "_done"))
+    assert _rows(analytics18.sx10_stream_quantiles(spark, sf)) == first
 
 
 # ------------------- round-11 face: sx11 (budget selection) -------------------
@@ -278,9 +269,18 @@ def test_sx11_mid_stream_crash_resumes_from_checkpoint(
     with pytest.raises(Exception):
         analytics20.sx11_budget_stream(spark, sf)
     monkeypatch.setattr(StreamingBudgetSelection, "_process_batch", real)
+    want = _sx11_want(spark, sf)
     got = _rows(analytics20.sx11_budget_stream(spark, sf)
                 .select("doc_id", "quality", "toks", "cum_tokens"))
-    assert got == _sx11_want(spark, sf)
+    assert got == want
+    # done-marker scenario over the SAME completed lineage (r13 suite
+    # trim — formerly its own test with two more face runs): lose the
+    # marker, the replay must serve identical rows
+    shutil.rmtree(os.path.join(
+        _scratch(spark, "budgetstream_face", sf), "_done"))
+    again = analytics20.sx11_budget_stream(spark, sf).select(
+        "doc_id", "quality", "toks", "cum_tokens")
+    assert _rows(again) == want
 
 
 def test_sx11_crash_between_docs_and_buckets_writes(
@@ -317,18 +317,8 @@ def test_sx11_crash_between_docs_and_buckets_writes(
     assert got == _sx11_want(spark, sf)
 
 
-def test_sx11_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
-    from eth_options_data_pipeline_spark.queries import analytics20
-    sf = _linked_sf(tmp_path, sf_small, "sx11donecrash")
-    want = _sx11_want(spark, sf)
-    sel = analytics20.sx11_budget_stream(spark, sf).select(
-        "doc_id", "quality", "toks", "cum_tokens")
-    assert _rows(sel) == want
-    shutil.rmtree(os.path.join(
-        _scratch(spark, "budgetstream_face", sf), "_done"))
-    again = analytics20.sx11_budget_stream(spark, sf).select(
-        "doc_id", "quality", "toks", "cum_tokens")
-    assert _rows(again) == want
+# (sx11's done-marker scenario rides the mid-stream lineage above —
+# r13 suite trim, zero scenario loss)
 
 
 # ------------------- round-12 face: sx12 (streaming ANN index) -------------------
@@ -355,8 +345,12 @@ def _sx12_want(spark, sf_dir):
                           nprobe=_SX12_NPROBE, k=_SX12_TOPK))
 
 
-def test_sx12_mid_stream_crash_resumes_from_checkpoint(
+def test_sx12_mid_stream_then_done_marker_single_lineage(
         spark, sf_small, tmp_path, monkeypatch):
+    """Scenarios (c) mid-stream crash/resume and (d) done-marker
+    replay over ONE scratch lineage (r13 suite trim — the resume's
+    completed state is (d)'s precondition; the batch-truth want is
+    computed once for both)."""
     from eth_options_data_pipeline_spark.queries import analytics21
     from eth_options_data_pipeline_spark.streaming.ann_stream import (
         StreamingIVFIndex,
@@ -371,10 +365,14 @@ def test_sx12_mid_stream_crash_resumes_from_checkpoint(
 
     monkeypatch.setattr(StreamingIVFIndex, "_process_batch", crashing)
     with pytest.raises(Exception):
-        analytics21.sx12_ann_stream(spark, sf)
+        analytics21.sx12_ann_stream(spark, sf)             # (c) crash
     monkeypatch.setattr(StreamingIVFIndex, "_process_batch", real)
-    got = _rows(analytics21.sx12_ann_stream(spark, sf))
-    assert got == _sx12_want(spark, sf)
+    want = _sx12_want(spark, sf)
+    assert _rows(analytics21.sx12_ann_stream(spark, sf)) == want
+    # (d): same completed state, lose the done marker, replay
+    shutil.rmtree(os.path.join(
+        _scratch(spark, "annstream_face", sf), "_done"))
+    assert _rows(analytics21.sx12_ann_stream(spark, sf)) == want
 
 
 def test_sx12_crash_after_partial_list_write_replays_idempotently(
@@ -382,7 +380,9 @@ def test_sx12_crash_after_partial_list_write_replays_idempotently(
     """Crash AFTER batch 1's lists land but BEFORE the checkpoint
     commits: the replayed batch must regenerate exactly its own
     (batch_id, cell) partitions (the anti-join excludes the in-flight
-    batch), leaving the served top-k equal to the batch truth."""
+    batch), leaving the served top-k equal to the batch truth. This
+    scenario needs its own lineage — the crash leaves orphaned list
+    partitions the other walk never creates."""
     from eth_options_data_pipeline_spark.queries import analytics21
     from eth_options_data_pipeline_spark.streaming.ann_stream import (
         StreamingIVFIndex,
@@ -403,13 +403,3 @@ def test_sx12_crash_after_partial_list_write_replays_idempotently(
     monkeypatch.setattr(StreamingIVFIndex, "_process_batch", real)
     got = _rows(analytics21.sx12_ann_stream(spark, sf))
     assert got == _sx12_want(spark, sf)
-
-
-def test_sx12_done_marker_crash_replays_idempotently(spark, sf_small, tmp_path):
-    from eth_options_data_pipeline_spark.queries import analytics21
-    sf = _linked_sf(tmp_path, sf_small, "sx12donecrash")
-    want = _sx12_want(spark, sf)
-    assert _rows(analytics21.sx12_ann_stream(spark, sf)) == want
-    shutil.rmtree(os.path.join(
-        _scratch(spark, "annstream_face", sf), "_done"))
-    assert _rows(analytics21.sx12_ann_stream(spark, sf)) == want

@@ -525,6 +525,7 @@ _BOUNDED_GLOBAL_WINDOW_FACES = {
     "q08_expiry_ladder", "q09_friday_ladder",
     "dx16_select_to_budget", "cx01_corpus_pipeline",
     "cx04_token_budget_pack",
+    "cx05_corpus_composition",  # cx01's prefix-sum stage, same bound
     "dx45_bm25_topk", "dx46_hybrid_rrf",
     "dx55_bpe_pairs", "dx57_bpe_train",
     "sx11_budget_stream",

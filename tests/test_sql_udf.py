@@ -38,3 +38,17 @@ def test_sql_udf_redefinition_is_idempotent(spark, sf_small):
     b = sorted(map(tuple, REGISTRY["qx55_sql_udf"].fn(
         spark, sf_small).collect()))
     assert a == b
+
+
+def test_sql_pipe_desugars_to_pushed_down_plan(spark, sf_small):
+    """qx56: pipe syntax is pure sugar — the |> WHERE reaches the
+    parquet scan as a pushed-down filter, the AGGREGATE plans
+    partial/final, and the post-aggregate |> WHERE becomes a plain
+    filter over the aggregate (no extra exchange, no Python)."""
+    df = REGISTRY["qx56_sql_pipe"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_quantity,30" in plan, plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # partial aggregation before the group-key exchange
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan

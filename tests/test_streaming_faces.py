@@ -3,6 +3,12 @@ windows, dedup-within-watermark."""
 
 from __future__ import annotations
 
+import pytest
+
+# r13 suite-budget trim: stateful-stream tests run their queries
+# at 2 shuffle partitions (see conftest.stream_parts)
+pytestmark = pytest.mark.usefixtures("stream_parts")
+
 import datetime as dt
 
 from pyspark.sql import functions as F

@@ -74,7 +74,10 @@ def _ref_train(texts, n_words, rounds, vocab_size, max_piece,
     return sorted(vocab.items(), key=lambda t: (-t[1], t[0]))
 
 
-@settings(max_examples=8, deadline=None,
+# max_examples 8 -> 5 (r13 suite trim): the replica property
+# has been stable since r12 and each example is a full Spark
+# EM train; 5 keeps multi-doc/multi-round coverage
+@settings(max_examples=5, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(texts=st.lists(DOC, min_size=1, max_size=5))
 def test_train_matches_pure_python_replica(spark, texts):
@@ -139,7 +142,10 @@ def _ref_apply(words_freq, entries, max_piece):
     return out
 
 
-@settings(max_examples=8, deadline=None,
+# max_examples 8 -> 5 (r13 suite trim): the replica property
+# has been stable since r12 and each example is a full Spark
+# EM train; 5 keeps multi-doc/multi-round coverage
+@settings(max_examples=5, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(texts=st.lists(DOC, min_size=1, max_size=5))
 def test_apply_matches_pure_python_replica(spark, texts):
