@@ -236,13 +236,15 @@ def main() -> None:
                 "r13 (VERDICT r12 item 3): the 11 heaviest faces were "
                 "RUN at sf0.5 and sf1.0 (tools/make_ramp.py synthesizes "
                 "key-remapped, content-perturbed replicas of the "
-                "driver's sf0.1; tools/scale_ramp.py measures; full "
+                "driver's sf0.1 — replica-distinct word tags and "
+                "norm-preserving dimension rotations, invariants "
+                "asserted at build; tools/scale_ramp.py measures; full "
                 "table in RAMP_r13.json). Every face scaled "
                 "SUB-linearly over the decade — log-log exponents: "
-                "dx40 0.53, dx10 0.51, dx65 0.50, dx13 0.37, dx42 "
-                "0.36, qx48 0.34, qx28 0.28, cx05 0.06, sx05 0.03, "
-                "cx03 -0.04, dx28 -0.07 (a 10x data increase costs at "
-                "most 3.7x time; the iterative/fixed-work faces are "
+                "dx10 0.58, dx42 0.47, dx65 0.36, qx48 0.26, cx03 "
+                "0.20, dx13 0.17, qx28 0.16, dx40 0.16, cx05 0.12, "
+                "sx05 0.07, dx28 0.07 (a 10x data increase costs at "
+                "most 4x time; the iterative/fixed-work faces are "
                 "flat because rounds, not rows, dominate at these "
                 "sizes). No super-linear kernel; qx48's driver-side "
                 "bucket cumsum and dx65's fixed 2-shard layout both "

@@ -82,10 +82,16 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     # rank inside it resolves to that one value.
     for attempt in range(4):
         # balance hints: approximate split points. Low accuracy is
-        # fine — a bad split only unbalances tasks, never answers.
+        # fine — a bad split only unbalances tasks, never answers —
+        # but it must SCALE with the panel (r13 review): a fixed
+        # accuracy of 100 caps the sketch's resolution at ~n/100
+        # ranks, so refinement retries beyond ~100 buckets would
+        # collapse to the same effective panel and never subdivide an
+        # oversized bucket.
         fracs = [i / num_buckets for i in range(1, num_buckets)]
+        acc = max(100, 4 * num_buckets)
         splits = vals0.agg(
-            F.percentile_approx("v", F.lit(fracs), F.lit(100)).alias("s")
+            F.percentile_approx("v", F.lit(fracs), F.lit(acc)).alias("s")
         ).collect()[0]["s"]
         if splits is None:
             raise ValueError(

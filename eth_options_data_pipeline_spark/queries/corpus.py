@@ -44,7 +44,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round(avg(l_quantity), 2)                        AS avg_qty,
            count(*)                                         AS cnt,
            CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
-           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
            CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
@@ -59,7 +59,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Also carries q15's folded leg (r13 consolidation): the A4
     success/fail/filtered conditional counters (main.py:153-155,
     225-226) as in-plan sum(when) columns in the SAME grouped
-    aggregate — one extra expression per counter, zero extra shuffles
+    aggregate — one extra expression per counter, zero extra shuffles;
+    the returned-flag counter became the tax-band counter here since
+    q01 already groups BY l_returnflag (the fold must count something
+    the group key does not determine — r13 review)
     (the side-channel accumulator form stays covered by
     tests/test_observe.py's df.observe path)."""
     li = t(spark, sf_dir, "lineitem")
@@ -77,7 +80,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.count(F.lit(1)).alias("cnt"),
             cnt(F.col("l_discount") > 0.05).alias("n_discounted"),
-            cnt(F.col("l_returnflag") == "R").alias("n_returned"),
+            cnt(F.col("l_tax") > 0.04).alias("n_taxed"),
             cnt(F.col("l_quantity") >= 25).alias("n_bulk"),
         )
     )

@@ -19,14 +19,16 @@ from eth_options_data_pipeline_spark.session import get_spark
 HEADLINERS = {
     "q19_region_revenue": "dimension chain broadcast — the fact table never shuffles "
                           "for the joins; the only exchange is the final small groupBy",
-    "q06_keep_last": "keep-last dedup: exactly one hash shuffle on the key",
+    "q06_keep_last": "tail-300 bounded gather (TakeOrderedAndProject) feeds keep-last; "
+                     "the bounded state elides the dedup shuffle entirely",
     "q20_topk_per_group": "WindowGroupLimit pushes rk<=2 into the sort",
     "q16_multisort_limit": "sort+limit plans as TakeOrderedAndProject (no global sort)",
     "dx07_minhash_lsh_pairs": "LSH bucket join shuffles band digests, never documents",
     "q21_options_pipeline": "the reference dataflow as ONE Catalyst plan (ladder is a "
                             "broadcast semi-join subtree)",
     "q35_correlated_scalar": "correlated subquery decorrelated to aggregate + equi-join",
-    "vx01_ann_topk": "ANN candidate generation via broadcast bucket join + rerank window",
+    "vx05_ann_recall": "ANN ground truth + both probe strategies via broadcast bucket "
+                       "joins + rerank windows; answers pinned by ordered digests",
     "q45_asof_join": "as-of join via union + ordered window: one shuffle + one sort "
                      "regardless of per-key density (no nested-loop range join)",
     "dx10_neardup_pairs": "LSH banding with the giant-bucket cap: candidate pairs stay "

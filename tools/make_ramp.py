@@ -5,17 +5,24 @@ sf0.1 parquet, for the VERDICT r12 item-3 scale-ramp measurement.
 Replication is key-remapped (ids offset per replica so joins/groups
 gain real cardinality) and, for the text/vector tables, CONTENT-
 PERTURBED per replica so the dedup/ANN workload keeps its statistical
-shape instead of gaining replica-count exact duplicates of every row:
+shape instead of gaining replica-count exact duplicates of every row
+(transforms redesigned after r13 review — the first draft's word
+reversal repeated every third replica and its "dimension swap"
+duplicated dims):
 
-  * documents: replica r applies a word-level transform (identity /
-    reversal / rotation by r*7) — duplicate relationships WITHIN a
-    replica are preserved exactly (same transform on both sides),
-    cross-replica near-duplicates are destroyed (word 3-gram shingles
-    are direction- and phase-sensitive), so the dup-pair density per
-    document stays ~constant as sf grows — the realistic regime;
-  * embeddings: replica r swaps dimension pairs with a different
-    stride, preserving norms and the isotropic distribution without
-    creating cross-replica exact twins;
+  * documents: replica r tags every word at position i % 3 == 1 with
+    a replica-unique suffix. Any 3 consecutive words contain >= 1
+    tagged word, so EVERY word-3-gram shingle differs across replicas
+    (cross-replica candidate pairs vanish from the MinHash bands),
+    while WITHIN a replica the transform is position-deterministic:
+    exact duplicates stay exact and aligned near-duplicates keep
+    their shared shingles — dup-pair density per document stays
+    ~constant as sf grows, the realistic regime;
+  * embeddings: replica r circularly rotates the dimension order by r
+    (r < dim, so all replicas are distinct) — a fixed permutation per
+    replica, so every WITHIN-replica pairwise dot product (hence the
+    entire cosine/ANN workload structure) is preserved EXACTLY, norms
+    unchanged, while cross-replica vectors decorrelate;
   * relational tables: pure key offsets (dates/values unchanged —
     grouped-agg and join cardinalities scale linearly).
 
@@ -45,31 +52,27 @@ USER_STRIDE = 1_000_000
 
 
 def _doc_text(r: int) -> str:
-    """Word-level transform for replica r (identity for r=0)."""
+    """Word-level transform for replica r (identity for r=0): tag
+    every 3rd word (1-based positions 1, 4, 7, ...) with a
+    replica-unique suffix, so every 3-word shingle carries the tag —
+    shingle sets are pairwise disjoint ACROSS replicas, preserved
+    WITHIN one (position-deterministic: exact dups stay exact)."""
     if r == 0:
         return "text"
-    ws = "string_split(text, ' ')"
-    if r % 3 == 1:
-        return f"list_aggregate(list_reverse({ws}), 'string_agg', ' ')"
-    rot = (r * 7) % 23 + 1
-    return (f"list_aggregate(list_concat({ws}[{rot + 1}:], "
-            f"{ws}[:{rot}]), 'string_agg', ' ')")
+    return ("list_aggregate(list_transform(string_split(text, ' '), "
+            f"(w, i) -> CASE WHEN i % 3 = 1 THEN w || '{r}q' "
+            "ELSE w END), 'string_agg', ' ')")
 
 
 def _emb(r: int) -> str:
-    """Dimension-pair swap with stride r (identity for r=0):
-    swap dims (2i-1, 2i) when (i + r) % (r + 1) == 0 — cheap,
-    norm-preserving, replica-distinct."""
+    """Circular rotation of the dimension order by r (identity for
+    r=0). A fixed permutation per replica: norms and every
+    within-replica pairwise dot product are preserved EXACTLY (the
+    ANN/semdedup workload structure is the sf0.1 one, replicated),
+    and replicas are pairwise distinct for r < dim (dim=32 here)."""
     if r == 0:
         return "embedding"
-    return (
-        "list_transform(range(1, len(embedding) + 1), i -> CASE "
-        f"WHEN (i // 2 + {r}) % 2 = 0 AND i % 2 = 1 AND i < len(embedding) "
-        "THEN embedding[(i + 1)::INT] "
-        f"WHEN (i // 2 + {r}) % 2 = 0 AND i % 2 = 0 "
-        "THEN embedding[(i - 1)::INT] "
-        "ELSE embedding[i::INT] END)::FLOAT[]"
-    )
+    return (f"(embedding[{r + 1}:] || embedding[:{r}])::FLOAT[]")
 
 
 def build(out_dir: str, replicas: int) -> None:
