@@ -1,0 +1,63 @@
+"""tools/make_ramp.py transform invariants (r13 review findings).
+
+The scale-ramp evidence (RAMP_r13.json, bench notes) is only as good
+as the synthesized data's statistical contract, and the first draft
+violated it twice (repeated word-reversal replicas; a 'dimension
+swap' that duplicated dims). These tests pin the contract with
+DuckDB only — no Spark session, sub-second.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from tools.make_ramp import _doc_text, _emb
+
+
+def _one(expr: str, **params) -> object:
+    return duckdb.sql(expr).fetchone()[0]
+
+
+def test_doc_transforms_pairwise_distinct_and_shingle_disjoint():
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    outs = [_one(f"SELECT {_doc_text(r)} FROM (SELECT '{text}' AS text)")
+            for r in range(10)]
+    assert len(set(outs)) == 10  # all replicas pairwise distinct
+    # every 3-word shingle carries a tagged word -> shingle sets are
+    # pairwise DISJOINT across replicas
+    def shingles(t):
+        ws = t.split(" ")
+        return {tuple(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    for a in range(10):
+        for b in range(a + 1, 10):
+            assert not (shingles(outs[a]) & shingles(outs[b])), (a, b)
+    # word COUNT preserved (token statistics ride through)
+    assert all(len(o.split(" ")) == 10 for o in outs)
+
+
+def test_doc_transform_preserves_within_replica_exact_dups():
+    text = "one two three four five six"
+    for r in (1, 5, 9):
+        a = _one(f"SELECT {_doc_text(r)} FROM (SELECT '{text}' AS text)")
+        b = _one(f"SELECT {_doc_text(r)} FROM (SELECT '{text}' AS text)")
+        assert a == b  # position-deterministic: exact dups stay exact
+
+
+def test_emb_rotations_distinct_norm_and_dot_preserving():
+    v = list(range(1, 33))  # 32-dim
+    w = [x * 2 for x in v]
+    base = f"SELECT {v}::FLOAT[] AS embedding"
+    base_w = f"SELECT {w}::FLOAT[] AS embedding"
+    outs = [tuple(_one(f"SELECT {_emb(r)} FROM ({base})"))
+            for r in range(10)]
+    assert len(set(outs)) == 10  # pairwise distinct rotations
+    for o in outs:
+        assert sorted(o) == sorted(v)  # a permutation: norm preserved
+    # within-replica pairwise dot products preserved EXACTLY: the same
+    # rotation applies to every vector of the replica
+    for r in (1, 7):
+        ov = _one(f"SELECT {_emb(r)} FROM ({base})")
+        ow = _one(f"SELECT {_emb(r)} FROM ({base_w})")
+        dot = sum(a * b for a, b in zip(ov, ow))
+        assert dot == sum(a * b for a, b in zip(v, w))
