@@ -257,3 +257,48 @@ def qx56_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         |> WHERE n >= 10
     """)
+
+
+_QX57_SQL = """
+    SELECT p_brand,
+           count(*) AS n,
+           round(sum(p_retailprice), 2) AS retail_sum
+    FROM part
+    WHERE p_size >= 25
+    GROUP BY p_brand
+    HAVING count(*) >= 5
+"""
+
+
+@query("qx57_parameterized_sql", sql=_QX57_SQL)
+def qx57_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL + IDENTIFIER() (Spark 4) — the fifth Spark-4
+    surface face: the injection-safe templating path a SQL service
+    runs, with the table name bound through ``IDENTIFIER(:tbl)`` and
+    the predicate through a named ``:min_size`` parameter. The scale
+    property this face pins: parameters bind at PARSE time — the bound
+    predicate is an ordinary literal to Catalyst, so it still reaches
+    the parquet scan pushed down, and IDENTIFIER resolution costs
+    nothing at runtime (tests/test_sql_udf.py sibling pins
+    PushedFilters). DuckDB has no IDENTIFIER/parameter-marker syntax
+    in this harness, so the oracle states the resolved ANSI form —
+    the qx56 convention: two spellings, one result, one plan shape.
+
+    No counterpart in the reference (row-oriented options pipeline,
+    main.py:43-351 — its parameters are Python f-strings); completes
+    the Spark-4 SQL-surface family (qx50 strings, qx53 recursion,
+    qx54 VARIANT, qx55 SQL UDFs, qx56 pipe syntax, qx57 parameter
+    binding)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               count(*) AS n,
+               round(sum(p_retailprice), 2) AS retail_sum
+        FROM IDENTIFIER(:tbl)
+        WHERE p_size >= :min_size
+        GROUP BY p_brand
+        HAVING count(*) >= 5
+        """,
+        args={"tbl": "part", "min_size": 25},
+    )

@@ -52,3 +52,14 @@ def test_sql_pipe_desugars_to_pushed_down_plan(spark, sf_small):
     assert "CartesianProduct" not in plan
     # partial aggregation before the group-key exchange
     assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_parameterized_sql_binds_at_parse_time(spark, sf_small):
+    """qx57: IDENTIFIER(:tbl) resolves at parse time and the bound
+    :min_size predicate is an ordinary literal to Catalyst — pushed
+    down to the scan, no runtime indirection node, no Python."""
+    df = REGISTRY["qx57_parameterized_sql"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(p_size,25" in plan, plan
+    assert "EvalPython" not in plan
+    assert "part.parquet" in plan  # IDENTIFIER resolved to the real scan
