@@ -80,6 +80,7 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     # a bucket that CANNOT be split (min == max — equal values share a
     # bucket by construction) needs no ranking at all, since every
     # rank inside it resolves to that one value.
+    prev_max = None
     for attempt in range(4):
         # balance hints: approximate split points. Low accuracy is
         # fine — a bad split only unbalances tasks, never answers —
@@ -113,12 +114,22 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                      if c > _RANK_CEILING and lo < hi]
         if not oversized:
             break
+        # Refinement can stall (ADVICE r13): a bucket dominated by one
+        # huge tie block plus a few minority values never subdivides —
+        # percentile_approx's rank resolution (~n/(4*num_buckets))
+        # cannot place a split isolating a tiny minority. If the
+        # largest oversized bucket stopped shrinking, stop paying
+        # full-data passes; the value-level fallback below resolves
+        # such buckets exactly (ranking DISTINCT values, not rows).
+        cur_max = max(counts[b] for b in oversized)
+        if prev_max is not None and cur_max >= prev_max:
+            break
+        prev_max = cur_max
         num_buckets *= 4
-    else:
-        raise ValueError(
-            "exact_quantiles: a value bucket still exceeds the 2^31-1 "
-            "row_number ceiling after split refinement; raise "
-            "num_buckets for this column's distribution")
+    # buckets still past the ceiling after refinement: resolved by the
+    # distinct-value cumulative-count path (no row_number) below
+    unrefined = {b for b, (c, lo, hi) in stats.items()
+                 if c > _RANK_CEILING and lo < hi}
     n = sum(counts.values())
     offsets: dict[int, int] = {}
     acc = 0
@@ -141,6 +152,7 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     # here — no window needed, and it is exactly the bucket the 2^31
     # ceiling could not bound (equal values cannot be split apart).
     targets = []
+    big_targets = []
     got: dict[int, float] = {}
     for r in sorted(need):
         for b in sorted(counts):
@@ -148,6 +160,8 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                 _, vmin, vmax = stats[b]
                 if vmin == vmax:
                     got[r] = vmin
+                elif b in unrefined:
+                    big_targets.append((b, r - offsets[b], r))
                 else:
                     targets.append((b, r - offsets[b], r))
                 break
@@ -163,6 +177,34 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                          .withColumn("rn", F.row_number().over(w))
                          .join(F.broadcast(tgt), ["bkt", "rn"])
                          .select("grank", "v")).collect()})
+
+    if big_targets:
+        # Unrefinable oversized buckets (a huge tie block plus minority
+        # values): rank DISTINCT values, not rows. Per-(bucket, value)
+        # counts shrink the window partition to the bucket's distinct
+        # count — the tie block that defeated the split panel collapses
+        # to ONE row — and a running sum over it gives each value's
+        # cumulative row span [cum - c, cum]; the target's local rank
+        # selects the value whose span contains it. Counts are longs,
+        # so no 2^31 ceiling applies. (A bucket with >2^31 DISTINCT
+        # values would make this one task's sort spill-heavy, but such
+        # a bucket is exactly the one the split panel CAN subdivide,
+        # so it never reaches this path in practice.)
+        btgt = spark.createDataFrame(
+            big_targets, "bkt int, rn long, grank long")
+        hotb = sorted({b for b, _, _ in big_targets})
+        wcum = (Window.partitionBy("bkt").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        spans = (vals.where(F.col("bkt").isin(hotb))
+                     .groupBy("bkt", "v")
+                     .agg(F.count(F.lit(1)).alias("c"))
+                     .withColumn("cum", F.sum("c").over(wcum)))
+        got.update({r["grank"]: r["v"] for r in
+                    (spans.join(F.broadcast(btgt), "bkt")
+                          .where((F.col("cum") >= F.col("rn"))
+                                 & (F.col("cum") - F.col("c")
+                                    < F.col("rn")))
+                          .select("grank", "v")).collect()})
 
     out = []
     for q, (lo_r, hi_r, frac) in zip(qs, brackets):

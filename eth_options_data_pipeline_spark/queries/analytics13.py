@@ -198,64 +198,15 @@ def dx43_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -------------------------------------------- vocabulary / OOV (dx44)
-
-_VOCAB_N = 200
-
-_VOCAB_SQL = f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-               AS tok
-      FROM documents
-    ),
-    vocab AS (
-      SELECT tok FROM (
-        SELECT tok, count(*) AS cnt,
-               row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
-        FROM tok GROUP BY tok)
-      WHERE rk <= {_VOCAB_N}
-    )
-    SELECT t.doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
-           round(count(*) FILTER (WHERE v.tok IS NULL) * 1.0 / count(*), 6)
-             AS oov_rate
-    FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
-    GROUP BY t.doc_id
-"""
-
-
-@query("dx44_vocab_coverage", sql=_VOCAB_SQL)
-def dx44_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary build + coverage gate: top-200
-    tokens by (count desc, token) — the deterministic tie-break makes
-    the vocab itself engine-independent — then per-document token and
-    out-of-vocabulary counts. Shapes: the frequency pass partial-
-    aggregates tokens map-side before its one exchange; the top-N is a
-    TakeOrderedAndProject (never a full sort); the vocab is a tiny
-    broadcast hash join against the exploded corpus; the per-doc agg
-    shuffles once on doc_id. At 100 TB the explode is the dominant
-    cost and stays embarrassingly parallel; the vocab stays O(N)
-    rows regardless of corpus size."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all(
-            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias("tok"))
-    vocab = (
-        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "tok").limit(_VOCAB_N)
-        .select("tok", F.lit(True).alias("_in_vocab"))
-    )
-    return (
-        tok.join(F.broadcast(vocab), "tok", "left")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"),
-             F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"))
-        .select(
-            "doc_id", "n_tokens", "n_oov",
-            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"))
-    )
+# dx44_vocab_coverage retired r14 (VERDICT r13 item 3, capacity
+# consolidation): the top-200 vocabulary build (count desc, token
+# tie-break) and the OOV coverage gate now run INSIDE
+# dx59_vocab_growth (analytics17.py) per corpus bucket AND per gram_n
+# — same operator composition, one shuffle cheaper there (the gram
+# groupBy serves both the growth curve's min(doc_id) and the vocab's
+# count), still oracle-checked every sweep; the WindowGroupLimit
+# top-N shape is pinned in tests/test_plans.py and the coverage
+# invariants carried to tests/test_analytics13_faces.py.
 
 
 # --------------------------------- streaming exact dedup face (sx06)

@@ -351,6 +351,8 @@ def dx58_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VG_BUCKETS = 10
 
 
+_VG_VOCAB_N = 200
+
 _VG_SQL = f"""
     WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) + 1 AS denom FROM documents),
     w AS (
@@ -368,20 +370,41 @@ _VG_SQL = f"""
       SELECT 2 AS gram_n, doc_id, array_to_string(ws[i + 1 : i + 2], ' ') AS gram
       FROM (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 1, 0))) AS i FROM w)
     ),
-    first AS (
-      SELECT gram_n, gram, min(doc_id) AS first_doc FROM grams GROUP BY 1, 2
+    stats AS (
+      SELECT gram_n, gram, min(doc_id) AS first_doc,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT gram_n, gram FROM (
+        SELECT gram_n, gram,
+               row_number() OVER (PARTITION BY gram_n
+                                  ORDER BY cnt DESC, gram) AS rk
+        FROM stats)
+      WHERE rk <= {_VG_VOCAB_N}
+    ),
+    oov AS (
+      SELECT g.gram_n, CAST(g.doc_id * {_VG_BUCKETS} // denom AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_instances,
+             CAST(count(*) FILTER (WHERE v.gram IS NULL) AS BIGINT) AS n_oov
+      FROM grams g CROSS JOIN mx
+      LEFT JOIN vocab v ON v.gram_n = g.gram_n AND v.gram = g.gram
+      GROUP BY 1, 2
     ),
     newg AS (
       SELECT gram_n, CAST(first_doc * {_VG_BUCKETS} // denom AS INT) AS bucket,
              CAST(count(*) AS BIGINT) AS new_grams
-      FROM first, mx GROUP BY 1, 2
+      FROM stats, mx GROUP BY 1, 2
     ),
     base AS (
       SELECT g.gram_n, t.bucket,
-             coalesce(n.new_grams, 0) AS new_grams, t.bucket_tokens
+             coalesce(n.new_grams, 0) AS new_grams, t.bucket_tokens,
+             coalesce(o.n_instances, 0) AS n_instances,
+             coalesce(o.n_oov, 0) AS n_oov
       FROM tok t
       CROSS JOIN (SELECT 1 AS gram_n UNION ALL SELECT 2) g
       LEFT JOIN newg n ON n.gram_n = g.gram_n AND n.bucket = t.bucket
+      LEFT JOIN oov o ON o.gram_n = g.gram_n AND o.bucket = t.bucket
     )
     SELECT gram_n, bucket,
            CAST(new_grams AS BIGINT) AS new_grams,
@@ -391,18 +414,32 @@ _VG_SQL = f"""
            bucket_tokens,
            CAST(sum(bucket_tokens) OVER (PARTITION BY gram_n ORDER BY bucket
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS cum_tokens
+             AS cum_tokens,
+           CAST(n_instances AS BIGINT) AS n_instances,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CASE WHEN n_instances > 0
+                THEN round(n_oov * 1.0 / n_instances, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS oov_rate
     FROM base
 """
 
 
 @query("dx59_vocab_growth", sql=_VG_SQL)
 def dx59_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary-growth curve: per corpus bucket (doc_id order, 10
-    fixed buckets via a broadcast one-row max), new and cumulative
-    distinct uni/bigrams plus token totals. First occurrence is
-    min(doc_id) per gram — a single map-side-combinable groupBy over
-    the gram space; the cumulative sums are windows over ~20 rows."""
+    """Vocabulary-growth curve + vocabulary-coverage gate (dx44 folded
+    in, r14): per corpus bucket (doc_id order, 10 fixed buckets via a
+    broadcast one-row max), new and cumulative distinct uni/bigrams,
+    token totals, and the OOV rate against a top-200-per-gram_n vocab.
+
+    Shapes: ONE map-side-combinable groupBy over the gram space now
+    serves BOTH legs (min(doc_id) -> growth, count -> vocab ranking —
+    the fold removed dx44's separate frequency shuffle); the top-N is
+    a rank window that Catalyst bounds with WindowGroupLimit (pinned
+    in test_plans.py); the vocab is a <=400-row broadcast against the
+    exploded gram stream; the per-bucket OOV agg collapses map-side
+    to ~20 groups. The cumulative sums are windows over ~20 rows. At
+    100 TB the explode dominates and stays embarrassingly parallel;
+    the vocab stays O(N) rows regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.filter(F.split(F.trim(F.col("text")), " "),
                      lambda w: w != F.lit(""))
@@ -428,18 +465,44 @@ def dx59_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bi = w.select(F.lit(2).alias("gram_n"), "doc_id",
                   F.explode(bigrams).alias("gram"))
-    first = (uni.unionByName(bi)
-             .groupBy("gram_n", "gram")
-             .agg(F.min("doc_id").alias("first_doc")))
-    newg = (first.crossJoin(F.broadcast(denom))
+    inst = uni.unionByName(bi)
+    # ONE shuffle over the gram space serves both legs: first
+    # occurrence (growth curve) AND frequency (vocab ranking)
+    stats = (inst.groupBy("gram_n", "gram")
+             .agg(F.min("doc_id").alias("first_doc"),
+                  F.count(F.lit(1)).alias("cnt")))
+    # top-200 per gram_n by (count desc, gram) — the deterministic
+    # tie-break makes the vocab engine-independent; the rk filter
+    # bounds the window as WindowGroupLimit (no full per-key sort)
+    wv = Window.partitionBy("gram_n").orderBy(F.col("cnt").desc(), "gram")
+    vocab = (stats.withColumn("rk", F.row_number().over(wv))
+             .where(F.col("rk") <= _VG_VOCAB_N)
+             .select("gram_n", "gram", F.lit(True).alias("_in_vocab")))
+    # per-bucket OOV: <=400-row broadcast against the gram stream,
+    # then a ~20-group map-side-combinable count
+    oov = (inst.crossJoin(F.broadcast(denom))
+           .select("gram_n", bucket(F.col("doc_id")).alias("bucket"),
+                   "gram")
+           .join(F.broadcast(vocab), ["gram_n", "gram"], "left")
+           .groupBy("gram_n", "bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_instances"),
+                F.count(F.when(F.col("_in_vocab").isNull(), 1))
+                 .cast("long").alias("n_oov")))
+    newg = (stats.crossJoin(F.broadcast(denom))
             .groupBy("gram_n", bucket(F.col("first_doc")).alias("bucket"))
             .agg(F.count(F.lit(1)).cast("long").alias("new_grams")))
     gram_ns = spark.range(1, 3).select(F.col("id").cast("int").alias("gram_n"))
     base = (tok.crossJoin(F.broadcast(gram_ns))
-            .join(newg, ["gram_n", "bucket"], "left")
+            # both sides are <= gram_n x bucket (~20-row) aggregates:
+            # broadcast explicitly so the static plan never shows the
+            # SMJ that AQE would have to convert at runtime
+            .join(F.broadcast(newg), ["gram_n", "bucket"], "left")
+            .join(F.broadcast(oov), ["gram_n", "bucket"], "left")
             .select("gram_n", "bucket",
                     F.coalesce("new_grams", F.lit(0)).cast("long").alias("new_grams"),
-                    "bucket_tokens"))
+                    "bucket_tokens",
+                    F.coalesce("n_instances", F.lit(0)).cast("long").alias("n_instances"),
+                    F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov")))
     cw = (Window.partitionBy("gram_n").orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return base.select(
@@ -447,6 +510,10 @@ def dx59_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_grams").over(cw).cast("long").alias("cum_grams"),
         "bucket_tokens",
         F.sum("bucket_tokens").over(cw).cast("long").alias("cum_tokens"),
+        "n_instances", "n_oov",
+        F.when(F.col("n_instances") > 0,
+               F.round(F.col("n_oov") / F.col("n_instances"), 6))
+         .otherwise(F.lit(0.0)).alias("oov_rate"),
     )
 
 

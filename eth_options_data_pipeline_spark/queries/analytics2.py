@@ -227,26 +227,70 @@ def qx28_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q29_sink_roundtrip",
     sql="""
-    SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem WHERE l_linestatus = 'F'
-    GROUP BY l_returnflag
+    WITH y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'),
+         y99 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
+    SELECT 'sink_union_append' AS facet, l_returnflag AS cohort,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM (
+      SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linestatus = 'F'
+      UNION ALL
+      SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linestatus = 'O'
+    ) GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'set_intersect', 'both', count(*), CAST(0.0 AS DOUBLE) FROM
+      (SELECT o_custkey FROM y98 INTERSECT SELECT o_custkey FROM y99)
+    UNION ALL
+    SELECT 'set_except', 'only_1998', count(*), CAST(0.0 AS DOUBLE) FROM
+      (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y99)
     """,
 )
 def q29_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/S2 sink+source: write a filtered slice as parquet partitioned
-    by the group key, read it back, aggregate — proving the partitioned
-    append sink and partition-pruned read-back path end-to-end inside
-    the oracle harness."""
-    li = t(spark, sf_dir, "lineitem").where(F.col("l_linestatus") == "F")
-    # Per-session scratch, overwritten on re-run (qx46/qx47 pattern).
+    """S3/S2 sink+source plus §2.7 set operations (q17_union_set_ops
+    folded in, r14): write one slice overwrite then APPEND a second
+    slice to the same partitioned parquet table — the reference's
+    history ∪ new append semantics (S3) carried through the actual
+    sink instead of a plan-level UNION ALL — read the table back and
+    aggregate (partition-pruned source path, S2). The INTERSECT /
+    EXCEPT cohort legs (former q31/q17) ride along unchanged:
+    Catalyst plans them as aggregated left-semi / left-anti joins
+    over the cached year cohorts. The oracle computes the identical
+    bag union relationally — proving the sink round-trip IS
+    UNION ALL."""
+    li = t(spark, sf_dir, "lineitem")
+    # Per-session scratch, overwritten on re-run (qx46/qx47 pattern):
+    # the overwrite resets the table, the append lands the second
+    # slice, so each invocation is idempotent end-to-end.
     out = os.path.join(
         tempfile.gettempdir(),
         f"sink_rt_{spark.sparkContext.applicationId}",
         os.path.basename(os.path.normpath(sf_dir)), "t")
-    li.select("l_returnflag", "l_quantity").write.mode("overwrite") \
-        .partitionBy("l_returnflag").parquet(out)
+    cols = ["l_returnflag", "l_quantity"]
+    li.where(F.col("l_linestatus") == "F").select(cols) \
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    li.where(F.col("l_linestatus") == "O").select(cols) \
+        .write.mode("append").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
-    return back.groupBy("l_returnflag").agg(
+    sink_face = back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-    )
+    ).select(F.lit("sink_union_append").alias("facet"),
+             F.col("l_returnflag").alias("cohort"), "cnt", "sum_qty")
+    o = t(spark, sf_dir, "orders")
+    # cached: the intersect AND except branches each consume both
+    # cohorts — without the cache every branch rescans orders and
+    # repeats the distinct shuffle
+    y98 = o.where(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    ).select("o_custkey").distinct().cache()
+    y99 = o.where(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
+    ).select("o_custkey").distinct().cache()
+    both = y98.intersect(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("set_intersect").alias("facet"), F.lit("both").alias("cohort"),
+        "cnt", F.lit(0.0).alias("sum_qty"))
+    only98 = y98.exceptAll(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("set_except").alias("facet"), F.lit("only_1998").alias("cohort"),
+        "cnt", F.lit(0.0).alias("sum_qty"))
+    return sink_face.unionByName(both).unionByName(only98)

@@ -302,3 +302,60 @@ def qx57_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "part", "min_size": 25},
     )
+
+
+# ------------------------------ UNPIVOT INCLUDE NULLS SQL surface (qx58)
+#
+# q46 covers the DataFrame melt (df.unpivot -> in-row Expand); this is
+# the SQL-standard spelling, including the null-retention switch the
+# relational UNPIVOT defaults hide: both engines parse the IDENTICAL
+# query text (the qx50 shared-text convention — Spark 4 and DuckDB both
+# accept `UNPIVOT INCLUDE NULLS (val FOR metric IN (...))`), and the
+# planted NULLs make retention observable: n_rows counts the retained
+# NULL rows, n_vals does not, so an engine that silently dropped them
+# (the EXCLUDE NULLS default) breaks the hash on BOTH columns.
+
+_QX58_SQL = """
+    SELECT l_returnflag, metric,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(val) AS BIGINT) AS n_vals,
+           CAST(sum(CAST(round(coalesce(val, 0) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_micro
+    FROM (
+      SELECT l_returnflag,
+             CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity END
+               AS qty,
+             CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_tax END AS tax
+      FROM lineitem
+    ) UNPIVOT INCLUDE NULLS (val FOR metric IN (qty, tax))
+    GROUP BY l_returnflag, metric
+"""
+
+
+@query("qx58_sql_unpivot_nulls", sql=_QX58_SQL)
+def qx58_sql_unpivot_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT with INCLUDE NULLS — the seventh Spark-4 SQL-surface
+    face (VERDICT r13 item 7): the standard wide-to-long spelling with
+    the null-retention switch exercised against deterministically
+    planted NULLs (orderkey % 5 nulls qty, % 7 nulls tax). ONE query
+    text runs verbatim on both engines (the qx50 convention — DuckDB
+    accepts the same SQL-standard UNPIVOT clause), so the check is the
+    strongest form: same parse, same semantics, same hash. n_rows >
+    n_vals everywhere NULLs were planted — an engine applying the
+    EXCLUDE NULLS default diverges on two columns at once.
+
+    Scale shape: Catalyst plans the UNPIVOT clause as the same in-row
+    Expand as q46's DataFrame melt — the 2x row amplification is
+    shuffle-free and the single exchange carries the ~6 grouped rows
+    (plan-pinned in tests/test_plans.py). Sums are exact integer
+    micro-units (per-row round THEN sum; NULL coalesced to 0 so the
+    retained rows contribute determinately).
+
+    No counterpart in the reference (row-oriented options pipeline,
+    main.py:43-351; pandas melt unused); completes the Spark-4
+    SQL-surface family (qx50 strings, qx53 recursion, qx54 VARIANT,
+    qx55 SQL UDFs, qx56 pipe syntax, qx57 parameter binding, qx58
+    standard UNPIVOT)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem")
+    return spark.sql(_QX58_SQL)

@@ -1,7 +1,8 @@
 """Fifth-wave corpus: HAVING and IVF-style ANN.
 
 Round-2 consolidation: former q31_set_ops moved into
-q17_union_set_ops (corpus.py).
+q17_union_set_ops (corpus.py); r14 moved those set-op legs on into
+q29_sink_roundtrip (analytics2.py).
 """
 
 from __future__ import annotations

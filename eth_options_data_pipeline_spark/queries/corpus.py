@@ -276,27 +276,13 @@ def q09_friday_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the TakeOrderedAndProject shape pinned in tests/test_plans.py.
 
 
-@query(
-    "q16_multisort_limit",
-    sql="""
-    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
-           l_orderkey, l_linenumber, l_quantity
-    FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100
-    """,
-)
-def q16_multisort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: multi-key ascending sort (main.py:236-239) with a unique
-    total order, limited — plans as TakeOrderedAndProject (no full
-    global sort materialization)."""
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .limit(100)
-        .select(
-            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ship_day"),
-            "l_orderkey", "l_linenumber", "l_quantity",
-        )
-    )
+# q16_multisort_limit retired r14 (VERDICT r13 item 3, capacity
+# consolidation): O1 multi-key sort + limit now runs INSIDE
+# q21_options_pipeline as the reference's own final output sort
+# (main.py:236-239) — still oracle-checked every sweep and STRONGER
+# than before: q21 emits a sort_rank column so the order itself is
+# hash-checked (the retired face's order was only plan-pinned), and
+# the TakeOrderedAndProject shape stays pinned in tests/test_plans.py.
 
 
 # ---------------------------------------------------------------------------
@@ -467,55 +453,15 @@ def q14_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form of A4 telemetry stays covered by tests/test_observe.py.
 
 
-@query(
-    "q17_union_set_ops",
-    sql="""
-    WITH y98 AS (SELECT DISTINCT o_custkey FROM orders
-                 WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'),
-         y99 AS (SELECT DISTINCT o_custkey FROM orders
-                 WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
-    SELECT 'union_append' AS facet, event_type AS cohort, count(*) AS cnt FROM (
-      SELECT event_id, event_type FROM events WHERE event_type = 'error'
-      UNION ALL
-      SELECT event_id, event_type FROM events WHERE value > 100
-    ) GROUP BY event_type
-    UNION ALL
-    SELECT 'set_intersect', 'both', count(*) FROM
-      (SELECT o_custkey FROM y98 INTERSECT SELECT o_custkey FROM y99)
-    UNION ALL
-    SELECT 'set_except', 'only_1998', count(*) FROM
-      (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y99)
-    """,
-)
-def q17_union_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/§2.7 append = UNION ALL (history ∪ new, bag semantics), plus
-    the INTERSECT / EXCEPT set operations a complete engine exposes
-    (former q31_set_ops — Catalyst plans them as aggregated left-semi /
-    left-anti joins). One oracle face, ``facet`` tag."""
-    ev = t(spark, sf_dir, "events")
-    a = ev.where(F.col("event_type") == "error").select("event_id", "event_type")
-    b = ev.where(F.col("value") > 100).select("event_id", "event_type")
-    union_face = (
-        a.unionByName(b).groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.lit("union_append").alias("facet"),
-                F.col("event_type").alias("cohort"), "cnt")
-    )
-    o = t(spark, sf_dir, "orders")
-    # cached: the intersect AND except branches each consume both
-    # cohorts — without the cache every branch rescans orders and
-    # repeats the distinct shuffle
-    y98 = o.where(
-        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
-    ).select("o_custkey").distinct().cache()
-    y99 = o.where(
-        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
-    ).select("o_custkey").distinct().cache()
-    both = y98.intersect(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
-        F.lit("set_intersect").alias("facet"), F.lit("both").alias("cohort"), "cnt")
-    only98 = y98.exceptAll(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
-        F.lit("set_except").alias("facet"), F.lit("only_1998").alias("cohort"), "cnt")
-    return union_face.unionByName(both).unionByName(only98)
+# q17_union_set_ops retired r14 (VERDICT r13 item 3, capacity
+# consolidation): §2.7 union-append now runs INSIDE q29_sink_roundtrip
+# as the S3 append-sink composition it always modeled (write slice A
+# overwrite, APPEND slice B, read back — the oracle computes the same
+# bag union relationally, proving sink-append IS UNION ALL), and the
+# INTERSECT / EXCEPT cohort legs moved there verbatim (cached year
+# cohorts, aggregated left-semi / left-anti plans — the cache shape
+# stays pinned in tests/test_plans.py). The melt-inverse union face
+# q46_unpivot_long is unchanged.
 
 
 @query(
@@ -667,13 +613,17 @@ def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), deduped AS (
       SELECT * FROM filtered
       QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY ingest_order DESC) = 1
+    ), final AS (
+      SELECT symbol AS SYMBOL,
+             strftime(expiry, '%Y-%m-%d') AS Expiry_Day,
+             strike AS Strike,
+             CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS Option_Type,
+             close AS Close, oi AS OI
+      FROM deduped
     )
-    SELECT symbol AS SYMBOL,
-           strftime(expiry, '%Y-%m-%d') AS Expiry_Day,
-           strike AS Strike,
-           CASE WHEN contract_type = 'call_options' THEN 'Call' ELSE 'Put' END AS Option_Type,
-           close AS Close, oi AS OI
-    FROM deduped
+    SELECT *, CAST(row_number() OVER (ORDER BY Expiry_Day, Strike, SYMBOL) AS INT)
+                AS sort_rank
+    FROM (SELECT * FROM final ORDER BY Expiry_Day, Strike, SYMBOL LIMIT 100)
     """,
 )
 def q21_options_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,8 +631,17 @@ def q21_options_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     main.py:89-250) run relationally end-to-end over symbols derived
     from lineitem: falsy guard (P2) -> symbol parse (P4/F1-F3) -> spot
     band ±7% (P3) -> top-3 expiry ladder semi-join (W1/P5) -> CASE
-    (F4) -> keep-last dedup (W4). One lazy Catalyst plan, one scan of
-    the fact table (the symbol corpus is computed inline, not joined)."""
+    (F4) -> keep-last dedup (W4) -> multi-key output sort + limit (O1,
+    folded from the retired q16_multisort_limit, r14: the reference's
+    own final sort of the snapshot frame, main.py:236-239). One lazy
+    Catalyst plan, one scan of the fact table (the symbol corpus is
+    computed inline, not joined). The sort leg plans as
+    TakeOrderedAndProject (pinned in test_plans.py) on the unique
+    total order (Expiry_Day, Strike, SYMBOL) — SYMBOL is unique after
+    keep-last — and emits ``sort_rank`` so the ordering itself is
+    hash-CHECKED by the oracle (the retired face's order was only
+    plan-pinned; the LIMIT 100 exceeds the face's row count at every
+    test sf, so no coverage is dropped)."""
     li = t(spark, sf_dir, "lineitem")
     syms = _symbols_expr(li)
     tick = (
@@ -721,7 +680,7 @@ def q21_options_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = expiry_membership(filtered, "expiry", targets)
     deduped = keep_last(filtered, keys=["symbol"], order_col="ingest_order")
     opt = F.when(F.col("contract_type") == "call_options", F.lit("Call")).otherwise(F.lit("Put"))
-    return deduped.select(
+    final = deduped.select(
         F.col("symbol").alias("SYMBOL"),
         F.date_format("expiry", "yyyy-MM-dd").alias("Expiry_Day"),
         F.col("strike").alias("Strike"),
@@ -729,3 +688,13 @@ def q21_options_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close").alias("Close"),
         F.col("oi").alias("OI"),
     )
+    # O1 leg (folded q16): global multi-key sort + limit plans as
+    # TakeOrderedAndProject (a bounded heap per task + driver merge,
+    # never a full sort materialization); the row_number window then
+    # runs over <= 100 rows (bounded by the LIMIT literal, not the
+    # data), making the order itself part of the oracle hash.
+    keys = ["Expiry_Day", "Strike", "SYMBOL"]
+    top = final.orderBy(*keys).limit(100)
+    w_rank = Window.orderBy(*keys)
+    return top.withColumn(
+        "sort_rank", F.row_number().over(w_rank).cast("int"))

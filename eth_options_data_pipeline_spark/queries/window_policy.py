@@ -67,26 +67,16 @@ _CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 4, "vx": 2, "mm": 2,
 # off once a NEWER driver round has a green row for the face (no
 # stale-set bookkeeping — the condition is computed).
 REWORKED_AFTER_ROUND = {
-    "qx48_approx_quantiles": 11,  # exact leg -> distributed selection
-    "vx04_ivf_ann": 11,           # index frozen via session_artifact
-    "vx06_pq_adc": 11,            # codebooks/codes frozen likewise
-    "dx13_dup_clusters": 11,      # components: one action per round
-    "dx40_leakage_safe_split": 11,  # same components kernel change
-    "dx35_perplexity": 11,        # LM count tables frozen (shared)
-    "cx03_quality_ensemble": 11,  # consumes the same frozen LM family
-    # Late-r12 reworks the r12 window predated (VERDICT r12 item 1):
-    # these five changed derivation path after their last driver row
-    # and must re-check at driver scale like never-checked faces.
-    "dx43_rag_retrieval": 9,      # md5-fold literal + localCheckpoint
-    "dx46_hybrid_rrf": 9,         # same corpus-embedding rework
-    "dx64_exact_substr": 11,      # serves from shared frozen del-list
-    "dx65_sharded_bloom": 11,     # bitset frozen via session_artifact
-    "vx07_ivfadc": 11,            # centroids/codebooks/codes frozen
-    # r13 reworks (consolidation folds — new kernels/legs in the
-    # surviving faces):
-    "vx05_ann_recall": 12,        # vx01 fold + top-5 answer digests
-    "q01_pricing_summary": 12,    # q15's conditional-count columns
-    "q06_keep_last": 12,          # q10's tail-N bounding composition
+    # r13's 15 entries all pruned at r14 start: every one had a newer
+    # green driver row (r12/r13) than its rework round, so the policy's
+    # own drop-off had already expired them (VERDICT r13 item 6).
+    # r14 reworks (consolidation folds + kernel change — new legs in
+    # the surviving faces after their last green row):
+    "q21_options_pipeline": 13,   # q16's sort+limit leg + sort_rank
+    "q29_sink_roundtrip": 13,     # q17's set-op legs + append-sink union
+    "dx59_vocab_growth": 13,      # dx44's vocab/OOV legs per bucket
+    "qx48_approx_quantiles": 12,  # order_stats: stall detection +
+                                  # distinct-value fallback (r13 ADVICE)
 }
 
 _REPO_ROOT = os.path.dirname(

@@ -12,7 +12,6 @@ from eth_options_data_pipeline_spark.queries.analytics13 import (
     _RAG_NQ,
     _hash_embed,
     dx43_rag_retrieval,
-    dx44_vocab_coverage,
     sx06_stream_dedup,
 )
 
@@ -54,14 +53,27 @@ def test_rag_retrieval_shape(spark, sf_small):
 
 
 def test_vocab_coverage_bounds(spark, sf_small):
-    out = dx44_vocab_coverage(spark, sf_small)
-    rows = out.collect()
+    """Vocab-coverage invariants, carried onto dx59 after the r14 fold
+    (dx44's per-doc OOV leg now runs per corpus bucket inside the
+    growth-curve face): OOV counts bounded by instance counts, rates
+    in [0, 1], unigram OOV strictly below 1 wherever the top-200 vocab
+    covers anything, and (gram_n, bucket) unique."""
+    from eth_options_data_pipeline_spark.queries.analytics17 import (
+        dx59_vocab_growth,
+    )
+
+    rows = dx59_vocab_growth(spark, sf_small).collect()
     assert rows
     for r in rows:
-        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.n_oov <= r.n_instances
         assert 0.0 <= r.oov_rate <= 1.0
-    # every document with at least one alnum token appears exactly once
-    assert len({r.doc_id for r in rows}) == len(rows)
+        if r.gram_n == 1:
+            # unigram instances == the bucket's token count
+            assert r.n_instances == r.bucket_tokens
+    keys = [(r.gram_n, r.bucket) for r in rows]
+    assert len(keys) == len(set(keys))
+    # the top-200 vocab must actually cover something somewhere
+    assert any(r.n_oov < r.n_instances for r in rows if r.gram_n == 1)
 
 
 def test_stream_dedup_keep_first(spark, sf_small):

@@ -83,6 +83,28 @@ def test_rank_ceiling_refines_splits_and_answers_ties(spark, monkeypatch):
     _check(spark, values, num_buckets=4)
 
 
+def test_unrefinable_mixed_tie_bucket_falls_back_to_value_ranks(
+        spark, monkeypatch):
+    """ADVICE r13: a bucket dominated by one huge tie block plus a few
+    minority values can NEVER be subdivided by split refinement —
+    percentile_approx's rank resolution (~n/accuracy) cannot isolate a
+    minority smaller than that. The operator must (a) detect the stall
+    (largest oversized bucket stopped shrinking) instead of paying all
+    4 full passes, and (b) resolve such buckets exactly by ranking
+    DISTINCT values (cumulative spans), matching the sorted-list
+    reference for ranks inside AND past the tie block."""
+    from eth_options_data_pipeline_spark.operators import order_stats
+
+    monkeypatch.setattr(order_stats, "_RANK_CEILING", 40)
+    # 5000-row tie block + 3 minority rows in the same value range:
+    # every split the sketch can place lands on the tie value, so the
+    # bucket stays [5.0, 5.2] and oversized at every refinement.
+    values = [5.0] * 5000 + [5.1, 5.1, 5.2]
+    # q=0.5 resolves inside the tie block, q=1.0 at the minority tail,
+    # q=0.99985 interpolates across the tie/minority boundary
+    _check(spark, values, qs=[0.0, 0.5, 0.99985, 1.0], num_buckets=2)
+
+
 def test_nulls_excluded_and_empty_raises(spark):
     df = spark.createDataFrame(
         [(1.0,), (None,), (2.0,), (None,), (3.0,)], "v double")

@@ -76,9 +76,26 @@ def test_topk_window_group_limit(spark, sf_small):
     assert "WindowGroupLimit" in p
 
 
+def test_vocab_topn_is_window_group_limit(all_plans):
+    """dx59 (dx44's vocab leg folded in, r14): the top-200-per-gram_n
+    vocab ranking must bound its window as WindowGroupLimit (per-key
+    running top-k, never a full per-key sort of the gram space), and
+    the ~20-row newg/oov aggregates must broadcast into the base join
+    (no SortMergeJoin left for AQE to fix at runtime)."""
+    p = all_plans["dx59_vocab_growth"]
+    assert "WindowGroupLimit" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
 def test_sort_limit_is_take_ordered(spark, sf_small):
-    p = plan(REGISTRY["q16_multisort_limit"].fn(spark, sf_small))
+    """O1 (folded into q21 r14): the output sort+limit leg must plan
+    as TakeOrderedAndProject (bounded per-task heap + driver merge),
+    never a global Sort materialization; the rank window that makes
+    the order hash-visible runs AFTER the limit, over <= 100 rows."""
+    p = plan(REGISTRY["q21_options_pipeline"].fn(spark, sf_small))
     assert "TakeOrderedAndProject" in p
+    assert p.index("Window") < p.index("TakeOrderedAndProject"), (
+        "rank window must sit above the limit, not under it")
 
 
 def test_signature_ops_are_shuffle_free(spark, sf_small):
@@ -529,6 +546,10 @@ _BOUNDED_GLOBAL_WINDOW_FACES = {
     "dx45_bm25_topk", "dx46_hybrid_rrf",
     "dx55_bpe_pairs", "dx57_bpe_train",
     "sx11_budget_stream",
+    # r14 fold: q21's sort_rank window runs ABOVE TakeOrderedAndProject
+    # (limit=100), so its input is bounded by the LIMIT literal, never
+    # the data — ordering pinned in test_sort_limit_is_take_ordered
+    "q21_options_pipeline",
 }
 
 
@@ -646,7 +667,8 @@ def test_kept_cache_sites_stay_cached_and_broadcast(all_plans):
     so the next well-meaning sweep turns red instead of slow:
     InMemoryTableScan present (the cache is visible) and no
     SortMergeJoin (the flip's symptom)."""
-    for face, min_imts in (("q17_union_set_ops", 2),
+    # q17's cached cohort legs moved into q29_sink_roundtrip (r14 fold)
+    for face, min_imts in (("q29_sink_roundtrip", 2),
                            ("dx49_hard_negatives", 2),
                            ("q21_options_pipeline", 1)):
         p = all_plans[face]

@@ -63,3 +63,32 @@ def test_parameterized_sql_binds_at_parse_time(spark, sf_small):
     assert "GreaterThanOrEqual(p_size,25" in plan, plan
     assert "EvalPython" not in plan
     assert "part.parquet" in plan  # IDENTIFIER resolved to the real scan
+
+
+def test_sql_unpivot_include_nulls_retains_planted_rows(spark, sf_small):
+    """qx58: the UNPIVOT clause must plan as the same in-row Expand as
+    q46's DataFrame melt (row amplification shuffle-free, one exchange
+    for the final grouped rows) and INCLUDE NULLS must actually retain
+    the planted NULL rows — n_rows > n_vals wherever a plant fired,
+    and the retained count equals the plant's closed form."""
+    df = REGISTRY["qx58_sql_unpivot_nulls"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert rows
+    # NULLs retained: every (flag, metric) group planted some
+    assert all(r["n_rows"] >= r["n_vals"] for r in rows)
+    assert any(r["n_rows"] > r["n_vals"] for r in rows)
+    # closed form: per flag, qty nulls = #(orderkey % 5 == 0) rows
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    expect = {r["l_returnflag"]: r["k"] for r in
+              li.groupBy("l_returnflag")
+                .agg(F.sum((F.col("l_orderkey") % 5 == 0).cast("long"))
+                      .alias("k"))
+                .collect()}
+    got = {r["l_returnflag"]: r["n_rows"] - r["n_vals"]
+           for r in rows if r["metric"] == "qty"}
+    assert got == expect

@@ -22,10 +22,10 @@ HEADLINERS = {
     "q06_keep_last": "tail-300 bounded gather (TakeOrderedAndProject) feeds keep-last; "
                      "the bounded state elides the dedup shuffle entirely",
     "q20_topk_per_group": "WindowGroupLimit pushes rk<=2 into the sort",
-    "q16_multisort_limit": "sort+limit plans as TakeOrderedAndProject (no global sort)",
     "dx07_minhash_lsh_pairs": "LSH bucket join shuffles band digests, never documents",
     "q21_options_pipeline": "the reference dataflow as ONE Catalyst plan (ladder is a "
-                            "broadcast semi-join subtree)",
+                            "broadcast semi-join subtree); the folded O1 output sort "
+                            "plans as TakeOrderedAndProject (no global sort)",
     "q35_correlated_scalar": "correlated subquery decorrelated to aggregate + equi-join",
     "vx05_ann_recall": "ANN ground truth + both probe strategies via broadcast bucket "
                        "joins + rerank windows; answers pinned by ordered digests",
