@@ -32,6 +32,8 @@ from eth_options_data_pipeline_spark.session import get_spark  # noqa: E402
 # sink/scheduler noise, not plan regressions, so they carry an explicit
 # tag in BENCH_DETAIL.json for anyone diffing rounds.
 CONSTRUCTION_HEAVY = {
+    "q29_sink_roundtrip",      # overwrite + APPEND scratch writes +
+                               # read-back (r14: q17's legs folded in)
     "qx46_merge_upsert",       # copy-on-write MERGE into scratch table
     "qx47_compact_roundtrip",  # compaction rewrite + roundtrip read
     "qx51_textfmt_roundtrip",  # JSONL + CSV scratch writes + read-back

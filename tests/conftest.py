@@ -116,10 +116,13 @@ def all_plans_raw(spark, sf_small):
             # recorded as a per-face compile failure (ADVICE r08)
             return name, (None, None, exc)
 
-    # 8 compile threads (r11 suite-budget cut: 57s serial -> ~15s):
-    # py4j's gateway is thread-safe, Catalyst analysis happens JVM-side
-    # per-thread, and the eager faces' scratch dirs are per-face so
-    # concurrent construction never collides. Results keyed by name, so
+    # 16 compile threads (r11 suite-budget cut: 57s serial -> ~15s;
+    # widened 8 -> 16 r14 — on a contended box the 8-pool read 46s
+    # because individual compiles stall on the busy JVM, and more
+    # in-flight compiles hide those stalls): py4j's gateway is
+    # thread-safe, Catalyst analysis happens JVM-side per-thread, and
+    # the eager faces' scratch dirs are per-face so concurrent
+    # construction never collides. Results keyed by name, so
     # completion order is irrelevant.
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         return dict(pool.map(compile_one, REGISTRY.items()))

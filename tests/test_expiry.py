@@ -87,8 +87,16 @@ def _batched(spark, op, cases):
     return per
 
 
+# 25 -> 18 examples (r14 suite trim): the batched union's plan-compile
+# cost grows with branch count and was the module's dominant wall time
+# (10.5s + 6.0s on a contended box); derandomized hypothesis keeps the
+# same first-18 coverage every run, and the hand-written edge tests
+# below pin the fallback branches the shrinker targets anyway.
+_N_EXAMPLES = 18
+
+
 def test_nearest3_matches_model(spark):
-    cases = _hypothesis_date_sets(25)
+    cases = _hypothesis_date_sets(_N_EXAMPLES)
     per = _batched(spark, lambda df: nearest_expiries(df, AS_OF), cases)
     for g, dates in enumerate(cases):
         got = sorted(r["expiry"] for r in per[g])
@@ -96,7 +104,7 @@ def test_nearest3_matches_model(spark):
 
 
 def test_friday_ladder_matches_model(spark):
-    cases = _hypothesis_date_sets(25)
+    cases = _hypothesis_date_sets(_N_EXAMPLES)
     per = _batched(spark, lambda df: friday_expiries(df, AS_OF), cases)
     for g, dates in enumerate(cases):
         got = [r["expiry"]
