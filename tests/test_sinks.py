@@ -46,3 +46,17 @@ def test_format_for_export_strings(spark):
     assert row["Date"] == "2025-10-27"
     assert row["Time"] == "12:30:00"
     assert len(row["Expiry_Date"]) == 10  # yyyy-MM-dd
+
+
+def test_q29_fold_reinvocation_is_idempotent(spark, sf_small):
+    """r14 fold: q29's composition writes slice A overwrite then
+    APPENDS slice B to the same partitioned table. A re-invocation in
+    the same session (bench reps, sweeps) must produce identical rows
+    — the overwrite resets the table, so the append can never
+    accumulate across calls."""
+    from eth_options_data_pipeline_spark.queries import REGISTRY
+
+    fn = REGISTRY["q29_sink_roundtrip"].fn
+    first = sorted(map(tuple, fn(spark, sf_small).collect()))
+    second = sorted(map(tuple, fn(spark, sf_small).collect()))
+    assert first == second
