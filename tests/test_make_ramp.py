@@ -45,7 +45,7 @@ def test_doc_transform_preserves_within_replica_exact_dups():
 
 
 def test_emb_rotations_distinct_norm_and_dot_preserving():
-    v = list(range(1, 33))  # 32-dim
+    v = list(range(1, 65))  # 64-dim, the testdata embedding dim
     w = [x * 2 for x in v]
     base = f"SELECT {v}::FLOAT[] AS embedding"
     base_w = f"SELECT {w}::FLOAT[] AS embedding"
@@ -64,27 +64,33 @@ def test_emb_rotations_distinct_norm_and_dot_preserving():
 
 
 def test_emb_families_distinct_and_dot_preserving_to_r100():
-    """The sf5/sf10 ramps need up to 100 replicas; the reversal
-    (r // 32 odd) and negation (r >= 64) families must stay pairwise
-    distinct and dot-product/norm preserving like the base rotations
-    (r14: the r13 rotations only covered r < 32)."""
-    # non-palindromic, all-distinct values so reversal can't collide
-    # with any rotation and negation can't collide with anything
-    v = [float(x * x % 97 + 1) for x in range(1, 33)]
-    w = [float((x * 7) % 89 + 2) for x in range(1, 33)]
+    """The sf5/sf10 ramps need up to 100 replicas; the full rotation
+    range (r % 64 over the REAL 64-dim embeddings — a 32-hardcoded
+    draft truncated to a non-permutation, caught by data validation
+    r14) and the negation family (r >= 64) must stay pairwise
+    distinct and dot-product/norm preserving like the r < 10
+    rotations r13 shipped."""
+    # all-distinct values so no rotation can collide with another and
+    # negation can't collide with anything
+    v = [float(x * x) for x in range(1, 65)]
+    w = [float(3 * x + 1) for x in range(1, 65)]
+    assert len(set(v)) == 64 and len(set(w)) == 64
     base = f"SELECT {v}::FLOAT[] AS embedding"
     base_w = f"SELECT {w}::FLOAT[] AS embedding"
     outs = [tuple(_one(f"SELECT {_emb(r)} FROM ({base})"))
             for r in range(100)]
     assert len(set(outs)) == 100  # all 100 replicas pairwise distinct
+    for o in outs:
+        assert len(o) == 64  # a 64-dim output: nothing truncated
     dot0 = sum(a * b for a, b in zip(v, w))
     for r in (0, 31, 32, 63, 64, 95, 96, 99):
         o = outs[r]
         # |values| are a permutation of the source: norm preserved
         assert sorted(abs(x) for x in o) == sorted(v)
-        # negation family flips every sign, permutation families none
+        # negation family flips every sign, rotations none
         assert all((x < 0) == (r >= 64) for x in o)
         # within-replica pairwise dot products preserved exactly
+        # (int-valued floats: no reassociation error in the test)
         ow = _one(f"SELECT {_emb(r)} FROM ({base_w})")
         assert sum(a * b for a, b in zip(o, ow)) == dot0
     import pytest

@@ -18,15 +18,15 @@ duplicated dims):
     exact duplicates stay exact and aligned near-duplicates keep
     their shared shingles — dup-pair density per document stays
     ~constant as sf grows, the realistic regime;
-  * embeddings: replica r applies a fixed orthogonal-ish transform —
-    circular rotation of the dimension order by r % 32, composed with
-    dimension REVERSAL for r in [32, 64) ∪ [96, 128) and global sign
-    NEGATION for r >= 64. Any fixed permutation preserves norms and
-    every within-replica pairwise dot product exactly; negating ALL
-    dims preserves them too ((-x)·(-y) = x·y). So the entire
-    cosine/ANN workload structure is the sf0.1 one, replicated, while
-    the 128 transforms are pairwise distinct and cross-replica
-    vectors decorrelate;
+  * embeddings: replica r applies a fixed dot-product-preserving
+    transform — circular rotation of the dimension order by r % 64
+    (the testdata dim, asserted at build), globally sign-NEGATED for
+    r >= 64. A permutation preserves norms and every within-replica
+    pairwise dot product exactly (up to float reassociation);
+    negating ALL dims preserves them too ((-x)·(-y) = x·y). So the
+    entire cosine/ANN workload structure is the sf0.1 one,
+    replicated, while the 128 transforms are pairwise distinct and
+    cross-replica vectors decorrelate;
   * relational tables: pure key offsets (dates/values unchanged —
     grouped-agg and join cardinalities scale linearly).
 
@@ -76,29 +76,30 @@ def _doc_text(r: int) -> str:
             "ELSE w END), 'string_agg', ' ')")
 
 
+_EMB_DIM = 64  # the driver testdata's embedding dimension, asserted
+               # at build time — a silent mismatch would truncate the
+               # transform into a non-permutation (caught r14: a
+               # 32-hardcoded reversal family dropped half the norm)
+
+
 def _emb(r: int) -> str:
     """Fixed dot-product-preserving transform for replica r
-    (identity for r=0): rotate the dimension order by r % 32,
-    reversed first for family bit 1 (r // 32 odd), globally negated
-    for family bit 2 (r >= 64). Permutations preserve norms and
-    every within-replica pairwise dot product exactly; global
-    negation does too ((-x)·(-y) = x·y) — so the ANN/semdedup
-    workload structure is the sf0.1 one, replicated. The 128
-    transforms are pairwise distinct (rotation offsets differ within
-    a family; reversal flips cyclic orientation so no rotation
-    equals a reversed rotation on non-palindromic data; negation
-    flips every sign)."""
-    if r >= 128:
-        raise ValueError("embedding transform families support r < 128")
+    (identity for r=0): rotate the dimension order by r % 64,
+    globally negated for r >= 64. A rotation is a permutation, so
+    norms and every within-replica pairwise dot product are
+    preserved exactly (up to float reassociation of the sum order);
+    global negation preserves them too ((-x)·(-y) = x·y). The 128
+    transforms are pairwise distinct on generic vectors (rotation
+    offsets differ; negation flips every sign)."""
+    if r >= 2 * _EMB_DIM:
+        raise ValueError(
+            f"embedding transform families support r < {2 * _EMB_DIM}")
     if r == 0:
         return "embedding"
-    k = r % 32
-    base = "embedding"
-    if (r // 32) % 2 == 1:  # reversal family
-        base = ("list_transform(range(32, 0, -1), "
-                "i -> embedding[i])")
-    rot = f"(({base})[{k + 1}:] || ({base})[:{k}])" if k else f"({base})"
-    if r >= 64:  # negation family
+    k = r % _EMB_DIM
+    rot = (f"(embedding[{k + 1}:] || embedding[:{k}])" if k
+           else "(embedding)")
+    if r >= _EMB_DIM:  # negation family
         return f"list_transform({rot}, x -> -x)::FLOAT[]"
     return f"{rot}::FLOAT[]"
 
@@ -106,6 +107,13 @@ def _emb(r: int) -> str:
 def build(out_dir: str, replicas: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    dims = [d for (d,) in con.execute(
+        "SELECT DISTINCT len(embedding) FROM "
+        f"read_parquet('{SRC}/embeddings.parquet')").fetchall()]
+    if dims != [_EMB_DIM]:
+        raise ValueError(
+            f"embeddings are {dims}-dim, transforms assume {_EMB_DIM}; "
+            "update _EMB_DIM or the transforms truncate silently")
     for t in ("region", "nation"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
