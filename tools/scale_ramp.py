@@ -103,7 +103,7 @@ def bloom16_ramp(spark, sf_dir: str):
         F.count(F.lit(1)).alias("n_hits"))
 
 
-def time_run(spark, fn, sf_dir: str, runs: int = 2) -> float:
+def time_run(spark, fn, sf_dir: str, runs: int = 3) -> float:
     # untimed warm (session artifacts/caches built here, as in bench)
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     best = math.inf
@@ -138,15 +138,37 @@ def measure(spark, name: str, fn, sfs_dirs) -> dict:
 
 
 def main() -> None:
+    # The big-sf legs need the memory a real deployment scales with its
+    # data: at sf10 dx10's shuffled-hash verify build wants ~64 MB per
+    # task x 32 concurrent tasks ON TOP of the sf10 shingle checkpoint,
+    # which exceeds the bench's fixed 8g driver (measured: 'Can't
+    # acquire 67108864 bytes to build hash relation'). A 1000-executor
+    # cluster sizes executor memory/partition count to the data; the
+    # ramp pulls the same lever explicitly and RECORDS it, so the
+    # exponents measure the ALGORITHM, not a fixed-config memory wall.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(app_name="scale-ramp")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    out: dict = {"faces": {}}
+    # host-state honesty (the bench.py convention): the ramp's
+    # exponents are within-run ratios, so STEADY contention mostly
+    # cancels, but bursts skew individual points — record the probes
+    # at both ends so a reader can judge the run like a bench record.
+    from bench import calibration_probe
+    cal_start = calibration_probe(spark)
+    out: dict = {"faces": {}, "config": {
+        "driver_memory": os.environ["SPARK_DRIVER_MEMORY"],
+        "runs_per_sf": 3,
+        "note": "memory scaled with sf as a real cluster would; "
+                "bench.py keeps its fixed 8g for cross-round comparability",
+    }}
     for name in FACES:
         sfs_dirs = SFS + (SFS_BIG if name in BIG_FACES else [])
         out["faces"][name] = measure(
             spark, name, REGISTRY[name].fn, sfs_dirs)
     out["faces"]["bloom16_ramp"] = measure(
         spark, "bloom16_ramp", bloom16_ramp, SFS + SFS_BIG)
+    out["calibration"] = {"start": cal_start,
+                          "end": calibration_probe(spark)}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "RAMP_r14.json"), "w") as f:
         json.dump(out, f, indent=1)
