@@ -282,8 +282,12 @@ def dx61_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_extendedprice",
         F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
                F.lit(_SALT_N)).cast("int").alias("salt"))
-    joined = fact.hint("shuffle_hash").join(
-        salted_dim,
+    # hint on the DIM side: the hinted side is the shuffled-hash BUILD
+    # side, and the per-task hash map must be the bounded dim x salt
+    # replication, never the corpus-scaled fact stream (r14 build-side
+    # audit after the dx65 ramp OOM — the hint previously sat on fact)
+    joined = fact.join(
+        salted_dim.hint("shuffle_hash"),
         (fact["l_partkey"] == salted_dim["p_partkey"])
         & (fact["salt"] == salted_dim["salt"]))
     return (joined.groupBy("p_brand")

@@ -242,11 +242,17 @@ def dx65_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("member")))
     survivors = bloom_prune(probe, "member", bloom_frozen, m_bits,
                             k=_DX65_K, n_shards=n_shards)
-    # shuffle_hash hint: at test scale the planner would happily
-    # broadcast SOMETHING (the survivor side estimates tiny); the hint
-    # pins the large-reference plan the face exists to prove — the
-    # confirm shuffle carries only bloom survivors, never a broadcast
-    hits = survivors.hint("shuffle_hash").join(members, "member")
+    # shuffle_hash hint ON THE MEMBERS SIDE: at test scale the planner
+    # would happily broadcast SOMETHING; the hint pins the
+    # large-reference plan the face exists to prove — the confirm
+    # shuffle carries only bloom survivors, never a broadcast. The
+    # hinted side is the BUILD side (per-task hash map), and it must
+    # be the FIXED member set (1.1M strings -> ~34k per task at 32
+    # partitions, bounded at ANY corpus scale), never the
+    # corpus-scaled survivor stream: the r14 sf5 ramp run built
+    # survivors (13.5M strings) and died in SparkOutOfMemoryError
+    # exactly as a 100 TB run would.
+    hits = survivors.join(members.hint("shuffle_hash"), "member")
     total_bits = n_shards * m_bits
     # implied FP rate by the PINNED fixed-point algorithm (not libm):
     # both engines evaluate the identical integer recurrence, so the

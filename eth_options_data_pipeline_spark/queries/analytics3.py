@@ -187,6 +187,10 @@ def dx10_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows are fat and keys are ints). Measured 2.4s -> 1.5s at sf0.1.
     # Beyond ~10M candidates swap the broadcast for a second
     # shuffle_hash (same plan minus the build-side replication).
+    # Build-side memory is the SHJ contract here: BOTH sides are
+    # corpus-scaled, so partition count / executor memory is the lever
+    # (the r14 sf10 ramp hit the wall at 32 partitions x 8g and
+    # cleared it at 24g — a 1000-executor cluster sizes both to data).
     banded = (
         F.broadcast(cand).join(sha, "doc_a")
         .join(shb.hint("shuffle_hash"), "doc_b")

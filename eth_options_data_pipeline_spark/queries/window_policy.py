@@ -77,6 +77,10 @@ REWORKED_AFTER_ROUND = {
     "dx59_vocab_growth": 13,      # dx44's vocab/OOV legs per bucket
     "qx48_approx_quantiles": 12,  # order_stats: stall detection +
                                   # distinct-value fallback (r13 ADVICE)
+    # build-side audit after the sf5 ramp OOM: the shuffled-hash BUILD
+    # side must be the bounded relation, not the corpus-scaled stream
+    "dx65_sharded_bloom": 13,     # confirm join builds members now
+    "dx61_salted_skew_join": 10,  # salted join builds dim x salt now
 }
 
 _REPO_ROOT = os.path.dirname(

@@ -8,6 +8,8 @@ top-k, and shuffle-freedom for the per-row signature operators.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from eth_options_data_pipeline_spark.queries import REGISTRY
@@ -641,9 +643,22 @@ def test_sharded_bloom_confirm_is_shuffle_not_broadcast(all_plans):
     shape stays pinned at operator level just above."""
     p = all_plans["dx65_sharded_bloom"]
     assert "ShuffledHashJoin" in p, p
+    # the BUILD side must be the FIXED member set (right), never the
+    # corpus-scaled survivor stream: building survivors OOMed the sf5
+    # ramp exactly as a 100 TB run would (r14 build-side audit)
+    assert re.search(r"ShuffledHashJoin \S+.*BuildRight", p), p
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "bit_or" not in p  # frozen bitset: scanned, never rebuilt
     assert "CartesianProduct" not in p
+
+
+def test_salted_join_builds_the_dim_side(all_plans):
+    """dx61: the salted shuffled-hash join's build side must be the
+    dim x salt replication (bounded by construction — salting exists
+    to keep it small), never the corpus-scaled fact stream (r14
+    build-side audit; the hint previously sat on fact)."""
+    p = all_plans["dx61_salted_skew_join"]
+    assert re.search(r"ShuffledHashJoin \S+.*BuildRight", p), p
 
 
 def test_sx12_serve_prunes_to_probed_lists(all_plans):

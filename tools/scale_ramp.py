@@ -98,7 +98,9 @@ def bloom16_ramp(spark, sf_dir: str):
                      .alias("member")))
     survivors = bloom_prune(probe, "member", bloom, m_bits,
                             k=_B16_K, n_shards=n_shards)
-    hits = survivors.hint("shuffle_hash").join(members, "member")
+    # hint = build side: the FIXED member set, never the corpus-scaled
+    # survivors (the dx65 build-side audit, r14)
+    hits = survivors.join(members.hint("shuffle_hash"), "member")
     return hits.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_hits"))
 
