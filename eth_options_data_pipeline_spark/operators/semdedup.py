@@ -42,6 +42,7 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
              max_iters: int = 5, method: str = "expr",
              round_to: int | None = None,
              target_cluster_size: int = 64,
+             max_k: int | None = None,
              cluster_cap: int | None = None,
              pin_caches: bool = True) -> DataFrame:
     """Returns (id, cluster, centroid_sim, keep) for every input row.
@@ -92,6 +93,18 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
     if k is None:
         n = vecs.count()
         k = max(1, math.ceil(n / target_cluster_size))
+        # max_k bounds the OTHER quadratic: brute-force assignment is
+        # O(n*k) per Lloyd pass, so the paper rule k ~ n/size makes
+        # assignment O(n^2/size) — the r14 sf5 ramp measured exactly
+        # that (exponent ~1.4 past sf1). Capping k keeps assignment
+        # linear while cluster_cap keeps pair work linear (<= n*cap/2
+        # pairs at ANY cluster size); the trade is coarser clusters
+        # past the cap (bounded recall loss, the LSH_BUCKET_CAP
+        # trade). The 100 TB path to paper-rule k at web scale is
+        # IVF-assisted assignment (the vx04/vx07 machinery) — the
+        # paper itself assigns with faiss, not brute force.
+        if max_k is not None:
+            k = min(k, max_k)
     assigned, cents = clustering.kmeans(
         vecs, k, id_col, vec_col, max_iters=max_iters, method=method,
         round_to=round_to)

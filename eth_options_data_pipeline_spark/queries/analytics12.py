@@ -234,6 +234,13 @@ _SD_TARGET = 200    # paper rule: k = ceil(n / target_cluster_size) —
 _SD_CAP = 48        # hard per-join-group bound; avg clusters are
                     # ~170-200 docs at every face scale, so the
                     # row_number sub-split FIRES under the driver hash
+_SD_MAX_K = 128     # k ceiling (r14 ramp finding): brute-force
+                    # assignment is O(n*k), so paper-rule k ~ n/200
+                    # made assignment quadratic in n (measured ~1.4
+                    # exponent past sf1). Binds only past n = 25600
+                    # (sf ~1.3) — face results at every test/driver sf
+                    # are unchanged; with the cap, assignment AND the
+                    # cluster_cap'd pair join are both linear in n.
 _SD_THRESH = 0.25
 
 
@@ -250,7 +257,8 @@ _SEM_SQL = f"""
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS cluster
       FROM emb
-      QUALIFY cluster < (SELECT CAST(ceil(count(*) / {_SD_TARGET}.0) AS BIGINT)
+      QUALIFY cluster < (SELECT CAST(least(ceil(count(*) / {_SD_TARGET}.0),
+                                           {_SD_MAX_K}) AS BIGINT)
                          FROM emb)
     ),
     a1 AS (
@@ -314,17 +322,22 @@ def dx42_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine to its own centroid, within-cluster prune keeping the doc
     FARTHEST from the centroid per duplicate group
     (operators/semdedup.py over operators/clustering.py). k follows
-    the paper rule k = ceil(n / target_cluster_size) (``k=None``), and
-    ``cluster_cap`` makes the within-cluster quadratic step a HARD
-    bound — clusters above the cap are split deterministically by
-    row_number(vec_id) and the pair join runs per sub-group. The
-    oracle replays the identical seed order, assignment folds, derived
-    k, sub-group split, and (sim, id) loser rule."""
+    the paper rule k = ceil(n / target_cluster_size) (``k=None``)
+    CAPPED at ``max_k`` (r14: brute-force assignment is O(n*k), so
+    the uncapped rule made assignment quadratic in n — ramp-measured;
+    the cap binds only past sf~1.3 and keeps both assignment and the
+    pair join linear), and ``cluster_cap`` makes the within-cluster
+    quadratic step a HARD bound — clusters above the cap are split
+    deterministically by row_number(vec_id) and the pair join runs
+    per sub-group. The oracle replays the identical seed order,
+    assignment folds, derived-and-capped k, sub-group split, and
+    (sim, id) loser rule."""
     from eth_options_data_pipeline_spark.operators.semdedup import semdedup
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = semdedup(emb, k=None, target_cluster_size=_SD_TARGET,
-                   cluster_cap=_SD_CAP, threshold=_SD_THRESH, max_iters=1,
+                   max_k=_SD_MAX_K, cluster_cap=_SD_CAP,
+                   threshold=_SD_THRESH, max_iters=1,
                    method="expr", round_to=9)
     return out.select("vec_id", "cluster",
                       F.round("centroid_sim", 6).alias("centroid_sim"), "keep")

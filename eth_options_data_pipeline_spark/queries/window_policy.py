@@ -81,6 +81,8 @@ REWORKED_AFTER_ROUND = {
     # side must be the bounded relation, not the corpus-scaled stream
     "dx65_sharded_bloom": 13,     # confirm join builds members now
     "dx61_salted_skew_join": 10,  # salted join builds dim x salt now
+    "dx42_semdedup": 13,          # max_k assignment cap (non-binding
+                                  # at test sf, new derivation path)
 }
 
 _REPO_ROOT = os.path.dirname(

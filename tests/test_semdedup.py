@@ -84,6 +84,16 @@ def test_semdedup_derives_k_from_target_cluster_size(spark):
     got = out.collect()
     assert len(got) == len(rows)
     assert {r["cluster"] for r in got} <= set(range(3))  # ceil(24/10)=3
+    # max_k bounds the derived k (r14: brute-force assignment is
+    # O(n*k), so paper-rule k made assignment quadratic in n — the
+    # cap keeps it linear); non-binding max_k changes nothing
+    capped = semdedup(df, k=None, target_cluster_size=10, max_k=2,
+                      max_iters=2).collect()
+    assert {r["cluster"] for r in capped} <= set(range(2))
+    loose = semdedup(df, k=None, target_cluster_size=10, max_k=99,
+                     max_iters=2).collect()
+    assert ({r["cluster"] for r in loose}
+            == {r["cluster"] for r in got})
 
 
 def test_semdedup_pin_caches_false_matches_and_leaves_no_state(spark):
