@@ -90,11 +90,11 @@ def bloom16_ramp(spark, sf_dir: str):
     bloom = bloom_build(members, "member", m_bits,
                         k=_B16_K, n_shards=n_shards)
     probe = (load_table(spark, sf_dir, "orders")
+             .select("o_orderpriority", "o_orderkey",
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(_B16_PROBE_AMP - 1))).alias("s"))
              .select("o_orderpriority",
-                     F.concat_ws(
-                         "-", F.col("o_orderkey") % 1000,
-                         F.explode(F.sequence(
-                             F.lit(0), F.lit(_B16_PROBE_AMP - 1))))
+                     F.concat_ws("-", F.col("o_orderkey") % 1000, "s")
                      .alias("member")))
     survivors = bloom_prune(probe, "member", bloom, m_bits,
                             k=_B16_K, n_shards=n_shards)
