@@ -80,7 +80,7 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     # a bucket that CANNOT be split (min == max — equal values share a
     # bucket by construction) needs no ranking at all, since every
     # rank inside it resolves to that one value.
-    prev_max = None
+    prev_oversized: list[tuple[float, float, int]] | None = None
     for attempt in range(4):
         # balance hints: approximate split points. Low accuracy is
         # fine — a bad split only unbalances tasks, never answers —
@@ -117,14 +117,27 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
         # Refinement can stall (ADVICE r13): a bucket dominated by one
         # huge tie block plus a few minority values never subdivides —
         # percentile_approx's rank resolution (~n/(4*num_buckets))
-        # cannot place a split isolating a tiny minority. If the
-        # largest oversized bucket stopped shrinking, stop paying
-        # full-data passes; the value-level fallback below resolves
-        # such buckets exactly (ranking DISTINCT values, not rows).
-        cur_max = max(counts[b] for b in oversized)
-        if prev_max is not None and cur_max >= prev_max:
-            break
-        prev_max = cur_max
+        # cannot place a split isolating a tiny minority. Stall is
+        # tracked PER VALUE RANGE (ADVICE r14): one tie-dominated
+        # bucket that stops shrinking must not abort refinement for
+        # other oversized buckets still shrinking (those would land in
+        # the distinct-value fallback, whose per-bucket window is a
+        # single task — exact, but spill-heavy for a high-distinct
+        # bucket the panel COULD have subdivided). A current oversized
+        # bucket is still shrinking if no previous attempt's oversized
+        # range covering its values had an equal-or-smaller count;
+        # refine while ANY splittable bucket shrinks, break when all
+        # have stalled (the fallback resolves them exactly). This is a
+        # balance heuristic only — correctness never depends on it.
+        cur = [(stats[b][1], stats[b][2], counts[b]) for b in oversized]
+        if prev_oversized is not None:
+            def _stalled(lo: float, hi: float, c: int) -> bool:
+                parents = [pc for plo, phi, pc in prev_oversized
+                           if lo <= phi and plo <= hi]
+                return bool(parents) and c >= min(parents)
+            if all(_stalled(lo, hi, c) for lo, hi, c in cur):
+                break
+        prev_oversized = cur
         num_buckets *= 4
     # buckets still past the ceiling after refinement: resolved by the
     # distinct-value cumulative-count path (no row_number) below

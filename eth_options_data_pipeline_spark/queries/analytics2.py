@@ -27,6 +27,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# q29's cached year cohorts from prior invocations, pending eviction —
+# bounds the cache leak across bench reps / concurrent sweep compiles
+# (ADVICE r14). Most recent invocation's pair is always kept.
+_Q29_COHORT_CACHES: list[DataFrame] = []
+
+
 @query(
     "q26_window_battery",
     sql="""
@@ -280,13 +286,23 @@ def q29_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     # cached: the intersect AND except branches each consume both
     # cohorts — without the cache every branch rescans orders and
-    # repeats the distinct shuffle
+    # repeats the distinct shuffle. cache(), not localCheckpoint: an
+    # ExistingRDD has unknown stats and flips broadcast joins to SMJ
+    # (pinned in test_kept_cache_sites_stay_cached_and_broadcast).
+    # The face can be invoked many times per session (bench reps,
+    # 16-thread sweep compile), so bound the leak: evict the PREVIOUS
+    # invocation's cohorts here (ADVICE r14). Unpersisting an
+    # already-consumed (or never-materialized) cohort is safe — a
+    # concurrent plan still holding it just recomputes.
+    while len(_Q29_COHORT_CACHES) > 2:
+        _Q29_COHORT_CACHES.pop(0).unpersist(blocking=False)
     y98 = o.where(
         (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
     ).select("o_custkey").distinct().cache()
     y99 = o.where(
         (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
     ).select("o_custkey").distinct().cache()
+    _Q29_COHORT_CACHES.extend([y98, y99])
     both = y98.intersect(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit("set_intersect").alias("facet"), F.lit("both").alias("cohort"),
         "cnt", F.lit(0.0).alias("sum_qty"))

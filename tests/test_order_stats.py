@@ -105,6 +105,23 @@ def test_unrefinable_mixed_tie_bucket_falls_back_to_value_ranks(
     _check(spark, values, qs=[0.0, 0.5, 0.99985, 1.0], num_buckets=2)
 
 
+def test_stalled_tie_range_does_not_abort_other_refinement(
+        spark, monkeypatch):
+    """ADVICE r14: stall detection is per VALUE RANGE, not a global
+    max — a tie-dominated bucket that stops shrinking must not shunt a
+    separately-shrinking high-distinct region into the distinct-value
+    fallback. Mixed input: an unrefinable tie block in [5.0, 5.2] plus
+    300 distinct values in [50, 100]; quantiles land in both regions
+    and must match the sorted-list reference."""
+    from eth_options_data_pipeline_spark.operators import order_stats
+
+    monkeypatch.setattr(order_stats, "_RANK_CEILING", 40)
+    rng = random.Random(29)
+    values = ([5.0] * 5000 + [5.1, 5.1, 5.2]
+              + [rng.uniform(50, 100) for _ in range(300)])
+    _check(spark, values, qs=[0.0, 0.5, 0.97, 1.0], num_buckets=2)
+
+
 def test_nulls_excluded_and_empty_raises(spark):
     df = spark.createDataFrame(
         [(1.0,), (None,), (2.0,), (None,), (3.0,)], "v double")
