@@ -44,6 +44,7 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
              target_cluster_size: int = 64,
              max_k: int | None = None,
              cluster_cap: int | None = None,
+             coarse_nprobe: int | None = None,
              pin_caches: bool = True) -> DataFrame:
     """Returns (id, cluster, centroid_sim, keep) for every input row.
 
@@ -57,6 +58,14 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
     cluster) from an exact count — one count job, and k-means already
     collects k centroids to the driver, so the scale posture is
     unchanged.
+
+    ``coarse_nprobe`` routes every centroid-assignment pass through
+    the two-level IVF-assisted kernel (clustering.assign_centroids):
+    O(sqrt(k) * nprobe) distance folds per row instead of O(k), which
+    is what lets the paper-rule k run at web scale without the
+    assignment step going quadratic in n (the r14 ramp finding). The
+    probe is deterministic and oracle-replayable; with nprobe >= the
+    anchor count it equals brute force exactly.
 
     ``cluster_cap`` makes the bounded-quadratic claim a HARD bound,
     not a statistical one: k-means gives no worst-case cluster size
@@ -93,21 +102,22 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
     if k is None:
         n = vecs.count()
         k = max(1, math.ceil(n / target_cluster_size))
-        # max_k bounds the OTHER quadratic: brute-force assignment is
-        # O(n*k) per Lloyd pass, so the paper rule k ~ n/size makes
-        # assignment O(n^2/size) — the r14 sf5 ramp measured exactly
-        # that (exponent ~1.4 past sf1). Capping k keeps assignment
-        # linear while cluster_cap keeps pair work linear (<= n*cap/2
-        # pairs at ANY cluster size); the trade is coarser clusters
-        # past the cap (bounded recall loss, the LSH_BUCKET_CAP
-        # trade). The 100 TB path to paper-rule k at web scale is
-        # IVF-assisted assignment (the vx04/vx07 machinery) — the
-        # paper itself assigns with faiss, not brute force.
+        # Brute-force assignment is O(n*k) per Lloyd pass, so the
+        # paper rule k ~ n/size makes assignment O(n^2/size) — the
+        # r14 sf5 ramp measured exactly that (exponent ~1.4 past
+        # sf1). Two levers, one per quadratic: ``coarse_nprobe``
+        # switches assignment to the two-level IVF-assisted kernel
+        # (O(n * sqrt(k)) — the faiss move the paper itself makes,
+        # r15; see clustering.assign_centroids), keeping the
+        # PAPER-RULE k intact at scale; ``max_k`` remains the blunt
+        # interim cap (linear assignment at the cost of coarser
+        # clusters past the cap). cluster_cap bounds the pair join
+        # (<= n*cap/2 pairs) in either regime.
         if max_k is not None:
             k = min(k, max_k)
     assigned, cents = clustering.kmeans(
         vecs, k, id_col, vec_col, max_iters=max_iters, method=method,
-        round_to=round_to)
+        round_to=round_to, coarse_nprobe=coarse_nprobe)
 
     # cosine to own centroid via a broadcast join against the k-row
     # centroid table — ONE cosine fold per row regardless of k. (The

@@ -234,13 +234,16 @@ _SD_TARGET = 200    # paper rule: k = ceil(n / target_cluster_size) —
 _SD_CAP = 48        # hard per-join-group bound; avg clusters are
                     # ~170-200 docs at every face scale, so the
                     # row_number sub-split FIRES under the driver hash
-_SD_MAX_K = 128     # k ceiling (r14 ramp finding): brute-force
-                    # assignment is O(n*k), so paper-rule k ~ n/200
-                    # made assignment quadratic in n (measured ~1.4
-                    # exponent past sf1). Binds only past n = 25600
-                    # (sf ~1.3) — face results at every test/driver sf
-                    # are unchanged; with the cap, assignment AND the
-                    # cluster_cap'd pair join are both linear in n.
+_SD_NPROBE = 2      # IVF-assisted assignment (r15, replacing the r14
+                    # max_k=128 interim cap): brute-force assignment
+                    # is O(n*k), so paper-rule k ~ n/200 made it
+                    # quadratic in n (ramp-measured ~1.4 exponent past
+                    # sf1). The two-level kernel probes the 2 nearest
+                    # of <= ceil(sqrt(k)) anchors — O(n*sqrt(k)) — so
+                    # the PAPER-RULE k survives to web scale uncapped
+                    # (the paper itself assigns with faiss). At
+                    # sf<=0.02 (k<=4, 2 anchors) the probe covers
+                    # every anchor, i.e. exactly brute force.
 _SD_THRESH = 0.25
 
 
@@ -252,21 +255,46 @@ def _sq_l2_sql(a: str, b: str) -> str:
 
 _SEM_SQL = f"""
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    params AS (
+      SELECT k, CAST(ceil(k / CAST(ceil(sqrt(k)) AS DOUBLE)) AS BIGINT) AS step
+      FROM (SELECT CAST(ceil(count(*) / {_SD_TARGET}.0) AS BIGINT) AS k
+            FROM emb)
+    ),
     seeds AS (
       SELECT vec_id, e,
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS cluster
       FROM emb
-      QUALIFY cluster < (SELECT CAST(least(ceil(count(*) / {_SD_TARGET}.0),
-                                           {_SD_MAX_K}) AS BIGINT)
-                         FROM emb)
+      QUALIFY cluster < (SELECT k FROM params)
+    ),
+    anch1 AS (
+      SELECT s.cluster // p.step AS slot, s.e AS c
+      FROM seeds s, params p WHERE s.cluster % p.step = 0
+    ),
+    memb1 AS (
+      SELECT cluster, slot FROM (
+        SELECT s.cluster, a.slot,
+               row_number() OVER (PARTITION BY s.cluster
+                                  ORDER BY {_sq_l2_sql('s.e', 'a.c')}, a.slot) AS _rk
+        FROM seeds s CROSS JOIN anch1 a)
+      WHERE _rk = 1
+    ),
+    prob1 AS (
+      SELECT vec_id, slot FROM (
+        SELECT v.vec_id, a.slot,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_sq_l2_sql('v.e', 'a.c')}, a.slot) AS _rk
+        FROM emb v CROSS JOIN anch1 a)
+      WHERE _rk <= {_SD_NPROBE}
     ),
     a1 AS (
       SELECT vec_id, e, cluster FROM (
         SELECT v.vec_id, v.e, s.cluster,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {_sq_l2_sql('v.e', 's.e')}, s.cluster) AS _rk
-        FROM emb v CROSS JOIN seeds s)
+        FROM emb v JOIN prob1 p ON p.vec_id = v.vec_id
+                   JOIN memb1 m ON m.slot = p.slot
+                   JOIN seeds s ON s.cluster = m.cluster)
       WHERE _rk = 1
     ),
     means AS (
@@ -282,12 +310,34 @@ _SEM_SQL = f"""
       SELECT s.cluster, coalesce(m.c, s.e) AS c
       FROM seeds s LEFT JOIN means m ON m.cluster = s.cluster
     ),
+    anch2 AS (
+      SELECT r.cluster // p.step AS slot, r.c
+      FROM refined r, params p WHERE r.cluster % p.step = 0
+    ),
+    memb2 AS (
+      SELECT cluster, slot FROM (
+        SELECT r.cluster, a.slot,
+               row_number() OVER (PARTITION BY r.cluster
+                                  ORDER BY {_sq_l2_sql('r.c', 'a.c')}, a.slot) AS _rk
+        FROM refined r CROSS JOIN anch2 a)
+      WHERE _rk = 1
+    ),
+    prob2 AS (
+      SELECT vec_id, slot FROM (
+        SELECT v.vec_id, a.slot,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_sq_l2_sql('v.e', 'a.c')}, a.slot) AS _rk
+        FROM emb v CROSS JOIN anch2 a)
+      WHERE _rk <= {_SD_NPROBE}
+    ),
     a2 AS (
       SELECT vec_id, e, cluster FROM (
         SELECT v.vec_id, v.e, s.cluster,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {_sq_l2_sql('v.e', 's.c')}, s.cluster) AS _rk
-        FROM emb v CROSS JOIN refined s)
+        FROM emb v JOIN prob2 p ON p.vec_id = v.vec_id
+                   JOIN memb2 m ON m.slot = p.slot
+                   JOIN refined s ON s.cluster = m.cluster)
       WHERE _rk = 1
     ),
     sims AS (
@@ -323,21 +373,34 @@ def dx42_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FARTHEST from the centroid per duplicate group
     (operators/semdedup.py over operators/clustering.py). k follows
     the paper rule k = ceil(n / target_cluster_size) (``k=None``)
-    CAPPED at ``max_k`` (r14: brute-force assignment is O(n*k), so
-    the uncapped rule made assignment quadratic in n — ramp-measured;
-    the cap binds only past sf~1.3 and keeps both assignment and the
-    pair join linear), and ``cluster_cap`` makes the within-cluster
-    quadratic step a HARD bound — clusters above the cap are split
-    deterministically by row_number(vec_id) and the pair join runs
-    per sub-group. The oracle replays the identical seed order,
-    assignment folds, derived-and-capped k, sub-group split, and
+    UNCAPPED — assignment runs the two-level IVF-assisted kernel
+    (``coarse_nprobe``, r15, replacing the r14 max_k interim cap):
+    probe the 2 nearest of <= ceil(sqrt(k)) index-strided anchor
+    centroids, argmin over their members only — O(n*sqrt(k)) instead
+    of the brute O(n*k) that made paper-rule assignment quadratic in
+    n (the r14 ramp finding; the paper itself assigns with faiss).
+    ``cluster_cap`` makes the within-cluster quadratic step a HARD
+    bound — clusters above the cap are split deterministically by
+    row_number(vec_id) and the pair join runs per sub-group.
+
+    Assignment runs the NUMPY kernel (the face's one deliberate Arrow
+    stage, joining packing/heavy-hitters in the audited set): the
+    dim-by-dim panel fold (clustering._fold_dists_np) reproduces the
+    expr kernel's IEEE op order exactly, so distances — and every
+    assignment, ties included — are bit-identical to the JVM fold the
+    oracle replays; it just runs them as vectorized C instead of
+    interpreted HOFs (the expr form ramp-measured exponent 0.81 at
+    paper-rule k purely on HOF allocation cost; the paper assigns
+    with faiss for the same reason). The oracle replays the identical
+    seed order, anchor striding (cluster % step = 0), member/probe
+    ranks, assignment folds, derived k, sub-group split, and
     (sim, id) loser rule."""
     from eth_options_data_pipeline_spark.operators.semdedup import semdedup
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = semdedup(emb, k=None, target_cluster_size=_SD_TARGET,
-                   max_k=_SD_MAX_K, cluster_cap=_SD_CAP,
+                   coarse_nprobe=_SD_NPROBE, cluster_cap=_SD_CAP,
                    threshold=_SD_THRESH, max_iters=1,
-                   method="expr", round_to=9)
+                   method="numpy", round_to=9)
     return out.select("vec_id", "cluster",
                       F.round("centroid_sim", 6).alias("centroid_sim"), "keep")

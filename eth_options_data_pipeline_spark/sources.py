@@ -56,6 +56,43 @@ def spread_small_input(df: DataFrame, path: str | None = None) -> DataFrame:
     return df
 
 
+def partitions_for_bytes(df: DataFrame, expansion: float = 64.0,
+                         target_bytes: int = 32 << 20,
+                         floor: int | None = None,
+                         cap: int = 1 << 17) -> int:
+    """Shuffle-partition count scaled to a DataFrame's SOURCE bytes —
+    the partitions-scale-with-data rule a real cluster applies by
+    sizing executors to the corpus (VERDICT r14 item 3, replacing the
+    RAMP_r14 config note).
+
+    A shuffled-hash join whose BUILD side is corpus-scaled (both-fat
+    joins like dx10's exact-Jaccard verify, where no side is bounded)
+    has per-task build memory ~ total_build_bytes / num_partitions: a
+    FIXED partition count turns corpus growth into an OOM (the r14
+    sf10 ramp measured exactly that at 32 x 8g; 24g cleared it, but
+    memory-scales-with-data is the wrong lever when partition count
+    is free). ``expansion`` converts on-disk parquet bytes to the
+    in-memory hash-relation estimate (shingle arrays measured ~31x
+    their parquet source at sf10; 64 = that, doubled); ``target_
+    bytes`` is the per-task build budget. The floor (default: core
+    count) keeps small inputs at the session default so test-scale
+    plans are byte-identical; the cap bounds scheduler pressure —
+    past it, raise executor memory instead. File listing is
+    driver-side and free; non-file-backed plans (checkpoints, local
+    relations) report no files and stay at the floor, so call this
+    on the SOURCE table before any checkpoint."""
+    try:
+        total = sum(
+            os.path.getsize(p.removeprefix("file://")) or 0
+            for p in df.inputFiles())
+    except Exception:
+        total = 0
+    if floor is None:
+        floor = df.sparkSession.sparkContext.defaultParallelism
+    need = -(-int(total * expansion) // target_bytes)
+    return max(floor, min(cap, need))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table.
 

@@ -81,6 +81,77 @@ def test_expr_and_numpy_kernels_agree(spark, vec_df):
     assert ge == gn
 
 
+def test_fold_dists_np_bit_identical_to_scalar_fold():
+    """The numpy kernels' distance panel must reproduce the expr
+    fold's IEEE op order EXACTLY — acc starts at 0.0 and adds
+    (x_d - c_d)^2 for d ascending — not a reassociated matmul form
+    (||c||^2 - 2 x.c differs in final ulps and can flip argmin ties,
+    which would break the dx42 oracle's bit-level replay). Python
+    scalar floats are IEEE doubles, so == here is bit equality."""
+    rng = random.Random(31)
+    x = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(7)]
+    c = [[rng.uniform(-3, 3) for _ in range(DIM)] for _ in range(5)]
+    panel = clustering._fold_dists_np(
+        np, np.asarray(x, dtype=np.float64), np.asarray(c, dtype=np.float64))
+    for i, xv in enumerate(x):
+        for j, cv in enumerate(c):
+            acc = 0.0
+            for xd, cd in zip(xv, cv):
+                acc = acc + (xd - cd) * (xd - cd)
+            assert panel[i, j] == acc, (i, j)
+
+
+def ref_assign_ivf(rows, cents, nprobe):
+    """Python replica of the two-level rule: anchors = index-strided
+    centroids, probe the nprobe nearest anchors by (sq_l2, slot),
+    argmin (sq_l2, cluster) over their members only."""
+    slots = clustering.ivf_anchor_slots(len(cents))
+    memb = clustering.ivf_members(cents, slots)
+    nprobe = min(nprobe, len(slots))
+    sq = lambda a, b: sum((x - y) * (x - y) for x, y in zip(a, b))
+    out = {}
+    for i, v in rows:
+        ranked = sorted((sq(v, cents[p]), s) for s, p in enumerate(slots))
+        probed = {s for _, s in ranked[:nprobe]}
+        out[i] = min((sq(v, cents[j]), j)
+                     for j in range(len(cents)) if memb[j] in probed)[1]
+    return out
+
+
+def test_ivf_assignment_matches_replica_and_degenerates_to_brute(
+        spark, vec_df):
+    """coarse_nprobe (r15): the IVF-assisted kernel must (a) equal
+    brute force exactly when the probe covers every anchor, (b) match
+    the Python replica of the deterministic two-level rule when the
+    probe binds, (c) agree across the expr and numpy kernels, and
+    (d) stay shuffle-free — the properties the dx42 oracle replays
+    relationally."""
+    _, cents = clustering.kmeans(vec_df, 9, max_iters=2)
+    rows = make_vectors()
+    slots = clustering.ivf_anchor_slots(9)
+    assert slots == [0, 3, 6]
+
+    brute = {r["vec_id"]: r["cluster"]
+             for r in clustering.assign_centroids(vec_df, cents).collect()}
+    wide = {r["vec_id"]: r["cluster"]
+            for r in clustering.assign_centroids(
+                vec_df, cents, coarse_nprobe=len(slots)).collect()}
+    assert wide == brute
+
+    e2 = {r["vec_id"]: r["cluster"]
+          for r in clustering.assign_centroids(
+              vec_df, cents, coarse_nprobe=2).collect()}
+    assert e2 == ref_assign_ivf(rows, cents, 2)
+    n2 = {r["vec_id"]: r["cluster"]
+          for r in clustering.assign_centroids(
+              vec_df, cents, coarse_nprobe=2, method="numpy").collect()}
+    assert n2 == e2
+
+    plan = (clustering.assign_centroids(vec_df, cents, coarse_nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_assignment_plan_is_shuffle_free(spark, vec_df):
     _, cents = clustering.kmeans(vec_df, K, max_iters=1)
     plan = (clustering.assign_centroids(vec_df, cents)

@@ -96,6 +96,29 @@ def test_semdedup_derives_k_from_target_cluster_size(spark):
             == {r["cluster"] for r in got})
 
 
+def test_semdedup_ivf_assignment_matches_brute_when_probe_covers(spark):
+    """coarse_nprobe (r15, the paper-rule-k scale path): with nprobe
+    >= the anchor count the two-level kernel IS brute force — the
+    whole face output (cluster, centroid_sim, keep) must be
+    byte-identical. With a binding nprobe the output stays a valid
+    dedup (every row present, clusters in range) and deterministic
+    across invocations."""
+    rows = make_docs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = semdedup(df, k=3, threshold=0.999, max_iters=2).collect()
+    wide = semdedup(df, k=3, threshold=0.999, max_iters=2,
+                    coarse_nprobe=99).collect()
+    key = lambda r: r["vec_id"]
+    assert sorted(wide, key=key) == sorted(brute, key=key)
+    n1 = semdedup(df, k=9, threshold=0.999, max_iters=2,
+                  coarse_nprobe=1).collect()
+    n1b = semdedup(df, k=9, threshold=0.999, max_iters=2,
+                   coarse_nprobe=1).collect()
+    assert sorted(n1, key=key) == sorted(n1b, key=key)
+    assert len(n1) == len(rows)
+    assert {r["cluster"] for r in n1} <= set(range(9))
+
+
 def test_semdedup_pin_caches_false_matches_and_leaves_no_state(spark):
     """pin_caches=False must return the identical keep-set AND leave
     zero RDDs registered with the block manager after the action —

@@ -23,7 +23,7 @@ of the same kernels (bloom_layout/build/prune + shuffle confirm)
 over an 8.8M-member set that lays out as 16 shards x 2^24 bits —
 the "in anger" multi-shard evidence without touching the face.
 
-Writes RAMP_r14.json at the repo root.
+Writes RAMP_r15.json at the repo root.
 """
 
 from __future__ import annotations
@@ -140,15 +140,15 @@ def measure(spark, name: str, fn, sfs_dirs) -> dict:
 
 
 def main() -> None:
-    # The big-sf legs need the memory a real deployment scales with its
-    # data: at sf10 dx10's shuffled-hash verify build wants ~64 MB per
-    # task x 32 concurrent tasks ON TOP of the sf10 shingle checkpoint,
-    # which exceeds the bench's fixed 8g driver (measured: 'Can't
-    # acquire 67108864 bytes to build hash relation'). A 1000-executor
-    # cluster sizes executor memory/partition count to the data; the
-    # ramp pulls the same lever explicitly and RECORDS it, so the
-    # exponents measure the ALGORITHM, not a fixed-config memory wall.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # r15: the ramp runs at the bench's own default memory (8g). The
+    # r14 ramp needed 24g because dx10's verify join built its hash
+    # relations over a FIXED 32 partitions, so per-task build memory
+    # grew with the corpus ('Can't acquire 67108864 bytes to build
+    # hash relation' at sf10). That lever is now a RULE in the
+    # operator (sources.partitions_for_bytes — both verify-join inputs
+    # repartition to a byte-scaled count, VERDICT r14 item 3), so the
+    # sf10 leg must clear WITHOUT scaling driver memory — running at
+    # the default is itself the regression check.
     spark = get_spark(app_name="scale-ramp")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     # host-state honesty (the bench.py convention): the ramp's
@@ -158,10 +158,10 @@ def main() -> None:
     from bench import calibration_probe
     cal_start = calibration_probe(spark)
     out: dict = {"faces": {}, "config": {
-        "driver_memory": os.environ["SPARK_DRIVER_MEMORY"],
+        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "runs_per_sf": 3,
-        "note": "memory scaled with sf as a real cluster would; "
-                "bench.py keeps its fixed 8g for cross-round comparability",
+        "note": "r15: default (bench) memory throughout — the dx10 "
+                "partitions_for_bytes rule replaced the r14 24g lever",
     }}
     for name in FACES:
         sfs_dirs = SFS + (SFS_BIG if name in BIG_FACES else [])
@@ -172,7 +172,7 @@ def main() -> None:
     out["calibration"] = {"start": cal_start,
                           "end": calibration_probe(spark)}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "RAMP_r14.json"), "w") as f:
+    with open(os.path.join(root, "RAMP_r15.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
