@@ -97,18 +97,37 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q04_left_join_coalesce",
     sql="""
+    WITH bldg_orders AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      FROM orders o
+      WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+    )
     SELECT c.c_custkey, c.c_name,
-           count(o.o_orderkey)                    AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
-    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           count(b.o_orderkey)                        AS n_orders,
+           round(coalesce(sum(b.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN bldg_orders b ON c.c_custkey = b.o_custkey
     GROUP BY c.c_custkey, c.c_name
     """,
 )
 def q04_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 left-outer probe with miss->0 defaults (main.py:290-308) +
-    F13 null-to-zero coalesce. Customer side is small -> broadcast."""
+    F13 null-to-zero coalesce, composed with the former q05's P5
+    membership semi-join (folded r15, VERDICT r14 item 5 — same join
+    operator family, snapshot.py:51 / filters.py:36): the outer
+    join's RIGHT side IS the broadcast LEFT SEMI join's output
+    (orders of BUILDING-segment customers, the scale path for
+    `expiry in targets`, main.py:193-194, when the key set is
+    computed in-plan rather than collected). Every non-BUILDING
+    customer therefore probes to ZERO rows, so the J2 miss->0
+    defaults are exercised on most of the output — if either join
+    leg broke, every row's n_orders/total_spend would move the
+    driver hash."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    bld = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey"))
+    o = t(spark, sf_dir, "orders").join(
+        F.broadcast(bld), on="o_custkey", how="left_semi")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey", "c_name")
@@ -119,25 +138,13 @@ def q04_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q05_semi_join",
-    sql="""
-    SELECT o.o_orderkey, o.o_totalprice
-    FROM orders o
-    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-    """,
-)
-def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 membership filter as a broadcast LEFT SEMI join — the scale
-    path for `expiry in targets` (main.py:193-194) when the key set is
-    computed in-plan rather than collected."""
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    joined = o.join(
-        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
-        on="o_custkey", how="left_semi",
-    )
-    return joined.select("o_orderkey", "o_totalprice")
+# q05_semi_join retired r15 (VERDICT r14 item 5, capacity
+# consolidation): its P5 broadcast LEFT SEMI membership join moved
+# INTO q04_left_join_coalesce as the outer join's right-side input —
+# the composition q04 always modeled (probe a filtered fact stream,
+# default the misses to 0) now materializes the filter as the actual
+# semi-join leg, and the plan pin moved with it
+# (tests/test_plans.py::test_semi_join_broadcast).
 
 
 @query(

@@ -67,22 +67,19 @@ _CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 4, "vx": 2, "mm": 2,
 # off once a NEWER driver round has a green row for the face (no
 # stale-set bookkeeping — the condition is computed).
 REWORKED_AFTER_ROUND = {
-    # r13's 15 entries all pruned at r14 start: every one had a newer
-    # green driver row (r12/r13) than its rework round, so the policy's
-    # own drop-off had already expired them (VERDICT r13 item 6).
-    # r14 reworks (consolidation folds + kernel change — new legs in
-    # the surviving faces after their last green row):
-    "q21_options_pipeline": 13,   # q16's sort+limit leg + sort_rank
-    "q29_sink_roundtrip": 13,     # q17's set-op legs + append-sink union
-    "dx59_vocab_growth": 13,      # dx44's vocab/OOV legs per bucket
-    "qx48_approx_quantiles": 12,  # order_stats: stall detection +
-                                  # distinct-value fallback (r13 ADVICE)
-    # build-side audit after the sf5 ramp OOM: the shuffled-hash BUILD
-    # side must be the bounded relation, not the corpus-scaled stream
-    "dx65_sharded_bloom": 13,     # confirm join builds members now
-    "dx61_salted_skew_join": 10,  # salted join builds dim x salt now
-    "dx42_semdedup": 13,          # max_k assignment cap (non-binding
-                                  # at test sf, new derivation path)
+    # r14's 7 entries all pruned at r15 start: every one
+    # (q21/q29/dx59/qx48/dx65/dx61/dx42) got a green r14 driver row,
+    # newer than its rework round, so the policy's own drop-off had
+    # already expired them (VERDICT r14 item 4).
+    # r15 reworks land here as they happen.
+    "dx42_semdedup": 14,   # IVF-assisted assignment replaced the
+                           # max_k cap (paper-rule k, new kernel +
+                           # oracle CTEs)
+    "q04_left_join_coalesce": 11,  # q05 fold: the outer join's right
+                                   # side is now the P5 broadcast
+                                   # semi-join output (new leg +
+                                   # oracle CTE after its last green
+                                   # row, r11)
 }
 
 _REPO_ROOT = os.path.dirname(

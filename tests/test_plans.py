@@ -24,6 +24,18 @@ def optimized(df) -> str:
 
 
 
+def assert_all_shj_build_right(p: str) -> None:
+    """EVERY ShuffledHashJoin in the plan must build its right
+    (bounded) side. A bare ``search(r'ShuffledHashJoin .*BuildRight')``
+    passes if ANY line matches, so a second SHJ building the
+    corpus-scaled left would slip through — the exact regression the
+    r14 build-side audit exists to prevent (ADVICE r14)."""
+    shj_lines = [ln for ln in p.splitlines() if "ShuffledHashJoin" in ln]
+    assert shj_lines, f"expected at least one ShuffledHashJoin:\n{p}"
+    bad = [ln for ln in shj_lines if "BuildRight" not in ln]
+    assert not bad, f"ShuffledHashJoin not building right:\n" + "\n".join(bad)
+
+
 def global_window_lines(p: str) -> list[str]:
     """Window operator lines with NO partition spec — the
     single-partition shape the WindowExec warning is about. A Window
@@ -69,7 +81,9 @@ def test_dimension_joins_broadcast(spark, sf_small):
 
 
 def test_semi_join_broadcast(spark, sf_small):
-    p = plan(REGISTRY["q05_semi_join"].fn(spark, sf_small))
+    # q05's P5 leg lives inside q04 since the r15 fold: the outer
+    # join's right side must still be a broadcast LEFT SEMI join
+    p = plan(REGISTRY["q04_left_join_coalesce"].fn(spark, sf_small))
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
 
 
@@ -96,8 +110,17 @@ def test_sort_limit_is_take_ordered(spark, sf_small):
     the order hash-visible runs AFTER the limit, over <= 100 rows."""
     p = plan(REGISTRY["q21_options_pipeline"].fn(spark, sf_small))
     assert "TakeOrderedAndProject" in p
-    assert p.index("Window") < p.index("TakeOrderedAndProject"), (
-        "rank window must sit above the limit, not under it")
+    # identify the sort_rank window STRUCTURALLY (ADVICE r14): it is
+    # q21's only GLOBAL-ordered row_number window (no partition spec —
+    # safe because it runs over the <= 100 post-limit rows; the alias
+    # to sort_rank lives in the Project above, so the Window line
+    # itself never names it). The keep-last dedup window below the
+    # limit is partitioned, so a bare "Window" substring could
+    # false-pass on plan-string reordering.
+    ranks = [ln for ln in global_window_lines(p) if "row_number()" in ln]
+    assert len(ranks) == 1, (ranks, p)
+    assert p.index(ranks[0]) < p.index("TakeOrderedAndProject"), (
+        "sort_rank window must sit above the limit, not under it")
 
 
 def test_signature_ops_are_shuffle_free(spark, sf_small):
@@ -188,11 +211,14 @@ def test_no_python_in_hot_paths(all_plans):
     """Every corpus query except the explicitly-Pandas multimodal one
     must be pure JVM expression code — no Python row/batch eval
     operators anywhere in the physical plan."""
-    # exemptions: multimodal (Arrow decode path is the point) and the
+    # exemptions: multimodal (Arrow decode path is the point), the
     # heavy-hitters summary pass (deliberate bounded mapInPandas) —
-    # sx05 reuses that same summary kernel per micro-batch
+    # sx05 reuses that same summary kernel per micro-batch — and
+    # dx42's centroid assignment (r15: the numpy dim-loop kernel is
+    # bit-identical to the expr fold but vectorized C; paper-rule k
+    # made interpreted HOF assignment the ramp bottleneck)
     for name, p in all_plans.items():
-        if name.startswith("mm") or name in ("dx36_heavy_hitters", "dx38_sequence_packing", "dx39_cdc_chunks", "sx05_topk_stream", "cx04_token_budget_pack"):
+        if name.startswith("mm") or name in ("dx36_heavy_hitters", "dx38_sequence_packing", "dx39_cdc_chunks", "sx05_topk_stream", "cx04_token_budget_pack", "dx42_semdedup"):
             continue
         assert "EvalPython" not in p and "MapInPandas" not in p, f"{name} drops to Python"
 
@@ -645,8 +671,11 @@ def test_sharded_bloom_confirm_is_shuffle_not_broadcast(all_plans):
     assert "ShuffledHashJoin" in p, p
     # the BUILD side must be the FIXED member set (right), never the
     # corpus-scaled survivor stream: building survivors OOMed the sf5
-    # ramp exactly as a 100 TB run would (r14 build-side audit)
-    assert re.search(r"ShuffledHashJoin \S+.*BuildRight", p), p
+    # ramp exactly as a 100 TB run would (r14 build-side audit).
+    # EVERY shuffled-hash join must build right — a second SHJ with
+    # BuildLeft slipping in (AQE, added join) is exactly the
+    # regression this pin exists to catch (ADVICE r14)
+    assert_all_shj_build_right(p)
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "bit_or" not in p  # frozen bitset: scanned, never rebuilt
     assert "CartesianProduct" not in p
@@ -658,7 +687,7 @@ def test_salted_join_builds_the_dim_side(all_plans):
     to keep it small), never the corpus-scaled fact stream (r14
     build-side audit; the hint previously sat on fact)."""
     p = all_plans["dx61_salted_skew_join"]
-    assert re.search(r"ShuffledHashJoin \S+.*BuildRight", p), p
+    assert_all_shj_build_right(p)
 
 
 def test_sx12_serve_prunes_to_probed_lists(all_plans):
