@@ -235,22 +235,22 @@ def main() -> None:
         },
         "notes": {
             "_scale_ramp": (
-                "r13 (VERDICT r12 item 3): the 11 heaviest faces were "
-                "RUN at sf0.5 and sf1.0 (tools/make_ramp.py synthesizes "
-                "key-remapped, content-perturbed replicas of the "
-                "driver's sf0.1 — replica-distinct word tags and "
-                "norm-preserving dimension rotations, invariants "
-                "asserted at build; tools/scale_ramp.py measures; full "
-                "table in RAMP_r13.json). Every face scaled "
-                "SUB-linearly over the decade — log-log exponents: "
-                "dx10 0.58, dx42 0.47, dx65 0.36, qx48 0.26, cx03 "
-                "0.20, dx13 0.17, qx28 0.16, dx40 0.16, cx05 0.12, "
-                "sx05 0.07, dx28 0.07 (a 10x data increase costs at "
-                "most 4x time; the iterative/fixed-work faces are "
-                "flat because rounds, not rows, dominate at these "
-                "sizes). No super-linear kernel; qx48's driver-side "
-                "bucket cumsum and dx65's fixed 2-shard layout both "
-                "held to sf1 measured."
+                "r15 (VERDICT r14 items 2-3): the 11 heaviest faces "
+                "RUN at sf0.5/sf1.0 and the three steepest kernels "
+                "at sf5/sf10 (100x the bench scale), ALL at the "
+                "bench's own default 8g — the r14 24g lever is gone "
+                "(dx10's verify join now scales partitions with "
+                "source bytes via sources.partitions_for_bytes / "
+                "tx.verify_join, shared by dx13/dx40). Log-log "
+                "exponents (RAMP_r15.json): dx10 0.705 (sf10 95.8s "
+                "at 8g — r14 OOMed at 8g, needed 24g for 76.5s), "
+                "dx65 0.625, bloom16 0.427, dx42 0.256 at PAPER-RULE "
+                "k uncapped (IVF-assisted numpy assignment, sf10 "
+                "8.8s vs the r14 max_k-capped 32.8s/0.532), dx40 "
+                "0.26, cx05 0.26, dx13 0.21, qx48 0.20, cx03 0.19, "
+                "qx28 0.14, sx05 0.13, dx28 0.01. No super-linear "
+                "kernel, no memory wall; start probe busy (2.62x "
+                "shuffle), end quiet (0.97x) — within-run ratios."
             ),
             "_environment": (
                 "r10: the same box measured the identical 119-face code "

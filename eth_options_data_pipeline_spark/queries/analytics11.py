@@ -382,8 +382,10 @@ def dx40_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # the shared corpus x corpus verify join: SHJ build bounded by
+    # the partitions-scale-with-bytes rule (r15), as in dx10/dx13
     pairs = (
-        F.broadcast(cand).join(sha, "doc_a").join(shb.hint("shuffle_hash"), "doc_b")
+        tx.verify_join(cand, sha, shb, docs)
         .where(tx.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )

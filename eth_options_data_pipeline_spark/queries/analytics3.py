@@ -16,8 +16,7 @@ from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators import text as tx
 from eth_options_data_pipeline_spark.queries.registry import query
-from eth_options_data_pipeline_spark.sources import (load_table,
-                                                     partitions_for_bytes)
+from eth_options_data_pipeline_spark.sources import load_table
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -190,18 +189,14 @@ def dx10_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle_hash (same plan minus the build-side replication).
     # Build-side memory is the SHJ contract here: BOTH sides are
     # corpus-scaled, so partition count is the lever, and it is a RULE
-    # (r15, VERDICT r14 item 3), not a config note: both join inputs
-    # repartition to partitions_for_bytes(docs) — per-task build stays
-    # under the budget at ANY corpus size (the r14 sf10 ramp OOMed the
-    # fixed 32 x 8g config; with the rule sf10 clears at the bench's
-    # own 8g). At bench scale the rule floors to the session default,
-    # so the plan and timings are unchanged there.
-    p_verify = partitions_for_bytes(docs)
+    # (r15, VERDICT r14 item 3), not a config note — tx.verify_join
+    # repartitions both join inputs to partitions_for_bytes(docs), so
+    # per-task build stays under the budget at ANY corpus size (the
+    # r14 sf10 ramp OOMed the fixed 32 x 8g config; with the rule
+    # sf10 clears at the bench's own 8g). At bench scale the rule
+    # floors to the session default: plan and timings unchanged there.
     banded = (
-        F.broadcast(cand).join(sha, "doc_a")
-        .repartition(p_verify, "doc_b")
-        .join(shb.repartition(p_verify, "doc_b").hint("shuffle_hash"),
-              "doc_b")
+        tx.verify_join(cand, sha, shb, docs)
         .where(jac_v >= 0.5)
         .select(F.lit("char_banded").alias("method"), "doc_a", "doc_b",
                 jac_v.alias("score"))

@@ -94,12 +94,12 @@ def dx13_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    # same verify-join shape as dx10: broadcast the 2-longs/row candidate
-    # list (first join moves no shingle arrays), hash-join the second
-    # without sorting arrays; swap broadcast for shuffle_hash beyond
-    # ~10M candidates
+    # the shared corpus x corpus verify join (tx.verify_join): bounded
+    # SHJ build via the partitions-scale-with-bytes rule, plan pinned
+    # at operator level (r15, VERDICT r14 item 3); swap broadcast for
+    # shuffle_hash beyond ~10M candidates
     edges = (
-        F.broadcast(cand).join(sha, "doc_a").join(shb.hint("shuffle_hash"), "doc_b")
+        tx.verify_join(cand, sha, shb, docs)
         .where(tx.jaccard(F.col("sh_a"), F.col("sh_b")) >= _JACCARD_MIN)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)

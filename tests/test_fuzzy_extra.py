@@ -108,20 +108,39 @@ def test_partitions_for_bytes_rule(spark, tmp_path):
     assert partitions_for_bytes(local) == floor
 
 
-def test_dx10_verify_join_repartitions_both_sides(spark):
-    """Plan pin for the rule: the exact-Jaccard verify join is a
-    ShuffledHashJoin building RIGHT (the hinted shingle side), and
-    BOTH its inputs carry the computed repartition on doc_b (floor =
-    default parallelism at test bytes) — so at corpus scale the same
-    plan carries the byte-scaled count instead of a fixed 32 (the
-    r14 sf10 OOM)."""
+def _assert_verify_join_plan(p: str, floor: int) -> None:
     import re
 
-    p = (dx10_neardup_pairs(spark, SF_DIR)
-         ._jdf.queryExecution().executedPlan().toString())
     shj = [ln for ln in p.splitlines() if "ShuffledHashJoin" in ln]
     assert shj and all("BuildRight" in ln for ln in shj), p
-    floor = spark.sparkContext.defaultParallelism
     reparts = re.findall(
         rf"hashpartitioning\(doc_b#\d+L?, {floor}\), REPARTITION_BY_NUM", p)
     assert len(reparts) == 2, p
+
+
+def test_corpus_verify_joins_repartition_both_sides(spark):
+    """Plan pin for the partitions-scale-with-bytes rule on the
+    corpus x corpus verify join (no bounded side exists, so the SHJ
+    build is bounded by partition count): a ShuffledHashJoin building
+    RIGHT (the hinted shingle side) with BOTH inputs carrying the
+    computed repartition on doc_b (floor = default parallelism at
+    test bytes) — so at corpus scale the same plan carries the
+    byte-scaled count instead of a fixed 32 (the r14 sf10 OOM).
+    Pinned at the OPERATOR (tx.verify_join — the single shape dx10,
+    dx13 and dx40 all call; dx13/dx40 eagerly checkpoint their edges,
+    so the join is invisible in their face plans) AND on dx10's face
+    plan, which exposes it end-to-end."""
+    floor = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = spark.createDataFrame([(1, 2), (3, 4)],
+                                 "doc_a long, doc_b long")
+    op = (tx.verify_join(cand, sha, shb, docs)
+          ._jdf.queryExecution().executedPlan().toString())
+    _assert_verify_join_plan(op, floor)
+
+    face = (dx10_neardup_pairs(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_verify_join_plan(face, floor)
