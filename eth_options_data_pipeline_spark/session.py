@@ -27,6 +27,21 @@ def get_spark(app_name: str = "eth-options-pipeline-spark", master: str | None =
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
 
+    # Reuse an existing session UNTOUCHED. builder.getOrCreate() with
+    # configs set "applies the non-static options to the existing
+    # session" — so a library-internal get_spark() (the CLI, a face
+    # helper) called inside a host process would silently rewrite the
+    # HOST's spark.sql.shuffle.partitions to this function's default
+    # (r15: the test suite's pinned 8 became 32 after the CLI test ran,
+    # which re-planned every later shuffled join at 32 — Catalyst
+    # raises a user repartition(n, key) under a join to
+    # max(n, spark.sql.shuffle.partitions)). The session an embedding
+    # process built is ITS configuration decision; a second get_spark
+    # only fetches it.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

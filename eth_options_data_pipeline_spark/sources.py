@@ -80,7 +80,14 @@ def partitions_for_bytes(df: DataFrame, expansion: float = 64.0,
     past it, raise executor memory instead. File listing is
     driver-side and free; non-file-backed plans (checkpoints, local
     relations) report no files and stay at the floor, so call this
-    on the SOURCE table before any checkpoint."""
+    on the SOURCE table before any checkpoint.
+
+    Effective join parallelism is ``max(this, spark.sql.shuffle.
+    partitions)``: Catalyst re-shuffles a user repartition(n, key)
+    under a shuffled join UP to the session conf when n is smaller
+    (measured r15: repart 5 or 8 under conf 32 both plan at 32;
+    repart 64 survives). Benign here — the rule exists only to RAISE
+    parallelism above a too-small fixed count, never to lower it."""
     try:
         total = sum(
             os.path.getsize(p.removeprefix("file://")) or 0

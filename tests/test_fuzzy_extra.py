@@ -108,13 +108,13 @@ def test_partitions_for_bytes_rule(spark, tmp_path):
     assert partitions_for_bytes(local) == floor
 
 
-def _assert_verify_join_plan(p: str, floor: int) -> None:
+def _assert_verify_join_plan(p: str, want: int) -> None:
     import re
 
     shj = [ln for ln in p.splitlines() if "ShuffledHashJoin" in ln]
     assert shj and all("BuildRight" in ln for ln in shj), p
     reparts = re.findall(
-        rf"hashpartitioning\(doc_b#\d+L?, {floor}\), REPARTITION_BY_NUM", p)
+        rf"hashpartitioning\(doc_b#\d+L?, {want}\), REPARTITION_BY_NUM", p)
     assert len(reparts) == 2, p
 
 
@@ -129,9 +129,19 @@ def test_corpus_verify_joins_repartition_both_sides(spark):
     Pinned at the OPERATOR (tx.verify_join — the single shape dx10,
     dx13 and dx40 all call; dx13/dx40 eagerly checkpoint their edges,
     so the join is invisible in their face plans) AND on dx10's face
-    plan, which exposes it end-to-end."""
-    floor = spark.sparkContext.defaultParallelism
+    plan, which exposes it end-to-end.
+
+    The expected count is max(rule, spark.sql.shuffle.partitions):
+    Catalyst raises a user repartition(n, key) under a shuffled join
+    up to the session conf when n is smaller (r15 finding — the r14
+    OOM config had conf 32 AND a fixed 32, so the max() semantics
+    never showed; the rule only ever needs to RAISE parallelism, so
+    the override is benign at scale)."""
+    from eth_options_data_pipeline_spark.sources import partitions_for_bytes
+
     docs = load_table(spark, SF_DIR, "documents")
+    floor = max(partitions_for_bytes(docs),
+                int(spark.conf.get("spark.sql.shuffle.partitions")))
     sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
