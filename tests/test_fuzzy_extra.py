@@ -154,3 +154,24 @@ def test_corpus_verify_joins_repartition_both_sides(spark):
     face = (dx10_neardup_pairs(spark, SF_DIR)
             ._jdf.queryExecution().executedPlan().toString())
     _assert_verify_join_plan(face, floor)
+
+
+def test_join_keeps_larger_user_repartition(spark):
+    """Engine-behavior canary for the partitions rule: Catalyst raises
+    a user repartition(n, key) under a shuffled join to
+    max(n, spark.sql.shuffle.partitions) — the rule's scale posture
+    depends on the n > conf direction SURVIVING (byte-scaled counts
+    above the session default are what bound SHJ build memory at
+    corpus scale). If an engine upgrade started clamping user counts
+    down to the conf, partitions_for_bytes would silently stop
+    working; this pins the direction we rely on."""
+    import re
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = conf * 4
+    a = spark.range(100).select(F.col("id").alias("k"))
+    b = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    j = a.repartition(n, "k").join(
+        b.repartition(n, "k").hint("shuffle_hash"), "k")
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert re.findall(rf"hashpartitioning\(k#\d+L?, {n}\)", p), p
