@@ -257,7 +257,8 @@ _SEM_SQL = f"""
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     params AS (
       SELECT k, CAST(ceil(k / CAST(ceil(sqrt(k)) AS DOUBLE)) AS BIGINT) AS step
-      FROM (SELECT CAST(ceil(count(*) / {_SD_TARGET}.0) AS BIGINT) AS k
+      FROM (SELECT greatest(CAST(1 AS BIGINT),
+                            CAST(ceil(count(*) / {_SD_TARGET}.0) AS BIGINT)) AS k
             FROM emb)
     ),
     seeds AS (

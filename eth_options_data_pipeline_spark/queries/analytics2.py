@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -29,8 +30,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # q29's cached year cohorts from prior invocations, pending eviction —
 # bounds the cache leak across bench reps / concurrent sweep compiles
-# (ADVICE r14). Most recent invocation's pair is always kept.
+# (ADVICE r14). Spark's CacheManager dedupes cached plans by logical
+# plan, so successive invocations' handles SHARE one InMemoryRelation:
+# a keep-most-recent-two policy is unenforceable (unpersisting an old
+# handle drops the shared entry too — ADVICE r15). Evict ALL prior
+# handles at entry instead — same net effect (the current invocation
+# re-caches), honest about the semantics, and lock-guarded for the
+# 16-thread sweep.
 _Q29_COHORT_CACHES: list[DataFrame] = []
+_Q29_CACHE_LOCK = threading.Lock()
 
 
 @query(
@@ -290,19 +298,21 @@ def q29_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ExistingRDD has unknown stats and flips broadcast joins to SMJ
     # (pinned in test_kept_cache_sites_stay_cached_and_broadcast).
     # The face can be invoked many times per session (bench reps,
-    # 16-thread sweep compile), so bound the leak: evict the PREVIOUS
-    # invocation's cohorts here (ADVICE r14). Unpersisting an
-    # already-consumed (or never-materialized) cohort is safe — a
-    # concurrent plan still holding it just recomputes.
-    while len(_Q29_COHORT_CACHES) > 2:
-        _Q29_COHORT_CACHES.pop(0).unpersist(blocking=False)
-    y98 = o.where(
-        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
-    ).select("o_custkey").distinct().cache()
-    y99 = o.where(
-        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
-    ).select("o_custkey").distinct().cache()
-    _Q29_COHORT_CACHES.extend([y98, y99])
+    # 16-thread sweep compile), so bound the leak: evict EVERY prior
+    # invocation's handles at entry (ADVICE r14/r15 — the CacheManager
+    # dedupes by plan, so partial eviction was illusory anyway).
+    # Unpersisting an already-consumed (or never-materialized) cohort
+    # is safe — a concurrent plan still holding it just recomputes.
+    with _Q29_CACHE_LOCK:
+        while _Q29_COHORT_CACHES:
+            _Q29_COHORT_CACHES.pop().unpersist(blocking=False)
+        y98 = o.where(
+            (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+        ).select("o_custkey").distinct().cache()
+        y99 = o.where(
+            (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
+        ).select("o_custkey").distinct().cache()
+        _Q29_COHORT_CACHES.extend([y98, y99])
     both = y98.intersect(y99).agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit("set_intersect").alias("facet"), F.lit("both").alias("cohort"),
         "cnt", F.lit(0.0).alias("sum_qty"))

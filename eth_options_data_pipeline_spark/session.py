@@ -38,8 +38,17 @@ def get_spark(app_name: str = "eth-options-pipeline-spark", master: str | None =
     # max(n, spark.sql.shuffle.partitions)). The session an embedding
     # process built is ITS configuration decision; a second get_spark
     # only fetches it.
-    active = SparkSession.getActiveSession()
-    if active is not None:
+    # getActiveSession() is thread-scoped (JVM InheritableThreadLocal):
+    # a call from a fresh thread sees None even when the process holds
+    # a live session, and falling through to the config-applying
+    # builder would mutate THAT session's confs — the exact
+    # contamination the reuse check exists to prevent (ADVICE r15).
+    # _instantiatedSession is the process-wide default-session handle
+    # (PySpark exposes no public getDefaultSession); consult both, and
+    # skip a stopped leftover so a deliberate stop()+get_spark() cycle
+    # still builds fresh.
+    active = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    if active is not None and not active.sparkContext._jsc.sc().isStopped():
         return active
 
     builder = (

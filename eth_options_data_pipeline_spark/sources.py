@@ -88,16 +88,51 @@ def partitions_for_bytes(df: DataFrame, expansion: float = 64.0,
     (measured r15: repart 5 or 8 under conf 32 both plan at 32;
     repart 64 survives). Benign here — the rule exists only to RAISE
     parallelism above a too-small fixed count, never to lower it."""
-    try:
-        total = sum(
-            os.path.getsize(p.removeprefix("file://")) or 0
-            for p in df.inputFiles())
-    except Exception:
-        total = 0
+    total = _source_bytes(df)
     if floor is None:
         floor = df.sparkSession.sparkContext.defaultParallelism
     need = -(-int(total * expansion) // target_bytes)
     return max(floor, min(cap, need))
+
+
+def _source_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of ``df``'s input files, across filesystems.
+
+    ``file://`` URIs resolve via ``os.path.getsize``; anything else
+    (hdfs://, s3a://, ...) goes through the Hadoop FileSystem API so
+    the partitions rule holds on a real cluster, not only local runs
+    (ADVICE r15: the silent local-only fallback would re-open the
+    fixed-partition OOM the rule exists to prevent). A listing failure
+    returns 0 — the caller's floor — but WARNS, so the degradation is
+    visible instead of silent."""
+    import warnings
+
+    total = 0
+    fallback_err: Exception | None = None
+    try:
+        for p in df.inputFiles():
+            if p.startswith("file:"):
+                total += os.path.getsize(p.removeprefix("file://")) or 0
+            else:
+                jvm = df.sparkSession._jvm
+                jsc = df.sparkSession.sparkContext._jsc
+                hconf = jsc.hadoopConfiguration()
+                jpath = jvm.org.apache.hadoop.fs.Path(p)
+                fs = jpath.getFileSystem(hconf)
+                total += fs.getFileStatus(jpath).getLen()
+    except Exception as exc:  # listing error: degrade visibly
+        fallback_err = exc
+        total = 0
+    if total == 0:
+        warnings.warn(
+            "partitions_for_bytes: could not size the source "
+            f"({'no input files' if fallback_err is None else fallback_err}); "
+            "falling back to the partition floor — at corpus scale this "
+            "reverts to the fixed-partition regime the rule exists to "
+            "prevent. Non-file-backed plans (checkpoints, local "
+            "relations) should pass the SOURCE table instead.",
+            stacklevel=3)
+    return total
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
