@@ -329,8 +329,34 @@ def main() -> None:
             "plan_notes": "PLANS.md (plan-shape assertions: tests/test_plans.py)",
         },
     }
+    # a regeneration must not clobber curated notes (VERDICT r15 item
+    # 3: a driver-time run erased the committed `_r15_registry_delta`
+    # annotation): carry over any notes key the new run does not
+    # itself write
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    out_path = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        with open(out_path) as f:
+            prev_notes = json.load(f).get("notes", {})
+        for key, val in prev_notes.items():
+            detail["notes"].setdefault(key, val)
+    except Exception:
+        pass  # no previous record (or unreadable): nothing to carry
+    # advisory probe-normalized total: the raw total divided by the
+    # mean start/end shuffle-probe ratio (clamped at 1.0 — a faster-
+    # than-nominal box is not "deflated"). ADVISORY ONLY: for
+    # cross-round comparisons prefer probe-to-probe raw readings; this
+    # exists so an inflated run self-adjudicates inside its own file.
+    shuffle_ratio = max(
+        1.0, (cal_start["shuffle_vs_nominal"]
+              + cal_end["shuffle_vs_nominal"]) / 2)
+    detail["advisory_normalized_total"] = round(total / shuffle_ratio, 3)
+    detail["advisory_normalized_rule"] = (
+        "raw total / mean(start,end shuffle_vs_nominal), clamped >= 1; "
+        "advisory only — exchange-bound faces track the shuffle probe "
+        "~1:1 (r12 evidence), compute-bound faces less, so this "
+        "UNDER-corrects mixed workloads on a shuffle-slow host")
+    with open(out_path, "w") as f:
         json.dump(detail, f, indent=1)
 
     # headline fields (value/total/n_queries/sf) FIRST so a truncated

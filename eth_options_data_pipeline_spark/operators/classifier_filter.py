@@ -79,6 +79,14 @@ def classifier_gate(docs: DataFrame, model: PipelineModel,
         F.col("quality_prob") >= F.lit(threshold))
 
 
+# Weight tables at or under this size score IN-ROW (a map literal in
+# the plan + one fold over the token array — zero shuffles); larger
+# vocabularies take the explode + broadcast-join + grouped-sum shape.
+# The bound is a plan-size guard, not a memory one: a create_map
+# literal embeds every entry in the expression tree.
+_INROW_VOCAB_MAX = 1024
+
+
 def score_frozen_linear(docs: DataFrame, weights: dict[str, float],
                         bias: float, id_col: str = "doc_id",
                         text_col: str = "text",
@@ -91,13 +99,32 @@ def score_frozen_linear(docs: DataFrame, weights: dict[str, float],
 
     score = sigmoid(bias + Σ_token weight[token] · count(token, doc))
 
-    over whitespace-lowercase tokens. Scale shape: tokens explode
-    map-side, the weight table (|vocab| rows) broadcasts, and the only
-    shuffle is the per-doc sum — partial aggregation applies because
-    sum is algebraic. Docs with no vocabulary hits keep score
-    sigmoid(bias) via the left join back to ``docs``. Everything is
-    JVM-side Column arithmetic; no UDF.
+    over whitespace-lowercase tokens. Everything is JVM-side Column
+    arithmetic; no UDF. Two size-decided regimes (r16, guide §2.4):
+
+    * ``len(weights) <= _INROW_VOCAB_MAX``: the weight table rides as
+      a map LITERAL and the logit folds per row over the token array —
+      no explode, no join, no shuffle at all. The fold's term order
+      (document order) differs from the grouped sum's (partition
+      order) only below the 6-decimal rounding every consumer applies
+      (equality tested at all SFs in tests/test_classifier_filter.py).
+    * larger vocabularies: tokens explode map-side, the weight table
+      broadcasts, and the only shuffle is the per-doc sum — partial
+      aggregation applies because sum is algebraic. Docs with no
+      vocabulary hits keep score sigmoid(bias) via the left join back
+      to ``docs``.
     """
+    if len(weights) <= _INROW_VOCAB_MAX and weights:
+        wmap = F.create_map(*[F.lit(x)
+                              for t, w in sorted(weights.items())
+                              for x in (t, float(w))])
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        z = F.aggregate(toks, F.lit(0.0),
+                        lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0.0)))
+        logit = F.lit(float(bias)) + z
+        return docs.select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias(score_col))
     spark = docs.sparkSession
     w_df = spark.createDataFrame(
         [(t, float(w)) for t, w in weights.items()], f"token string, _w double")

@@ -66,7 +66,19 @@ def _star_round(edges: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """(node, component) for every node on an undirected edge list with
-    columns (src, dst); component = min node id in the component."""
+    columns (src, dst); component = min node id in the component.
+
+    Each round's edge list is localCheckpointed; a round's checkpoint
+    is unpersisted as soon as the NEXT round has materialized past it
+    (pagerank's rotation — r16, guide §5: the superseded round RDDs
+    used to stay pinned for the session). The FINAL checkpoint IS the
+    result and stays persisted — deliberately UNREGISTERED with any
+    rotation scheme: an unpersisted localCheckpoint cannot recompute,
+    so releasing it would poison any still-held result DataFrame (the
+    r16 suite hit exactly that); the ContextCleaner frees it once the
+    consumer is garbage collected."""
+    from eth_options_data_pipeline_spark.operators import scratch
+
     cur = _canonical(edges).localCheckpoint(eager=True)
     for _ in range(max_rounds):
         # checkpoint LAZILY and let the convergence job materialize
@@ -88,6 +100,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") == 1).limit(1).count()
         )
+        # the convergence job materialized nxt, so cur's checkpoint is
+        # superseded — free it now instead of leaking it for the
+        # session (nxt's blocks no longer need cur's lineage)
+        scratch.unpersist_rdd_id(cur.sparkSession, scratch.ckpt_rdd_id(cur))
         cur = nxt
         if changed == 0:
             break

@@ -71,7 +71,9 @@ def screen_batch(new_docs: DataFrame, history_docs: DataFrame,
     the candidate list — Spark prunes it to the matched side of a hash
     join; the full history is never re-shingled.
     """
-    new_sh = _shingled(new_docs, id_col, text_col).localCheckpoint(eager=False)
+    from eth_options_data_pipeline_spark.operators import scratch
+    new_sh = scratch.scoped_cache(
+        _shingled(new_docs, id_col, text_col), "incremental_dedup.new_sh")
     new_bands = _bands(new_sh)
 
     hist_cand = (

@@ -61,13 +61,23 @@ _RANK_CEILING = (1 << 31) - 1
 
 
 def exact_quantiles(df: DataFrame, col: str, qs: list[float],
-                    num_buckets: int = 32) -> list[tuple[float, float]]:
+                    num_buckets: int = 32,
+                    splits_hint: list[float] | None = None,
+                    ) -> list[tuple[float, float]]:
     """Exact linear-interpolated quantiles of ``df[col]``, computed by
     distributed selection (no single-task value buffer anywhere).
 
     Returns ``[(q, value), ...]`` in ``qs`` order — unrounded Python
     floats (bounded driver materialization: the caller typically
     re-injects them as plan literals). Raises on an empty column.
+
+    ``splits_hint``: optional pre-computed approximate split values
+    (e.g. a percentile_approx panel the caller already holds). Used as
+    the FIRST attempt's bucket panel, skipping one sketch action; the
+    refinement loop re-sketches at growing resolution if any bucket
+    overflows the rank ceiling. Splits only steer balance — the
+    answers are exact for ANY panel — so results are identical with
+    or without the hint (r16 optimization, guide §1.2: fewer passes).
     """
     spark = df.sparkSession
     vals0 = (df.select(F.col(col).cast("double").alias("v"))
@@ -89,14 +99,17 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
         # ranks, so refinement retries beyond ~100 buckets would
         # collapse to the same effective panel and never subdivide an
         # oversized bucket.
-        fracs = [i / num_buckets for i in range(1, num_buckets)]
-        acc = max(100, 4 * num_buckets)
-        splits = vals0.agg(
-            F.percentile_approx("v", F.lit(fracs), F.lit(acc)).alias("s")
-        ).collect()[0]["s"]
-        if splits is None:
-            raise ValueError(
-                f"exact_quantiles: no non-null values in {col}")
+        if attempt == 0 and splits_hint:
+            splits = [float(s) for s in splits_hint]
+        else:
+            fracs = [i / num_buckets for i in range(1, num_buckets)]
+            acc = max(100, 4 * num_buckets)
+            splits = vals0.agg(
+                F.percentile_approx("v", F.lit(fracs), F.lit(acc)).alias("s")
+            ).collect()[0]["s"]
+            if splits is None:
+                raise ValueError(
+                    f"exact_quantiles: no non-null values in {col}")
         bounds = F.lit(sorted({float(s) for s in splits}))
         # bucket id = #splits <= v: row-local, monotone, deterministic
         bucket = F.size(F.filter(bounds, lambda b: b <= F.col("v")))
@@ -107,6 +120,9 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                      F.count(F.lit(1)).alias("cnt"),
                      F.min("v").alias("vmin"),
                      F.max("v").alias("vmax")).collect()}
+        if not stats:  # hinted first attempt skips the sketch's check
+            raise ValueError(
+                f"exact_quantiles: no non-null values in {col}")
         counts = {b: c for b, (c, _, _) in stats.items()}
         # splittable oversized bucket -> finer panel and retry; a
         # single-valued oversized bucket is fine (answered directly)

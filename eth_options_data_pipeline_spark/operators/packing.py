@@ -53,20 +53,20 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
     pack_seq, pack_id, offset_in_pack, pack_tokens) — join back on the
     id for payloads. ``pack_tokens`` is the pack's running total as of
     this doc (the pack's final size on its last row)."""
-    import hashlib
-
-    def order_key(doc_id: int) -> str:
-        return hashlib.md5(f"{seed}o|{doc_id}".encode()).hexdigest()
-
     def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (shard,) = key
+        # the md5 order key arrives as a COLUMN (computed by the JVM's
+        # codegen md5 in the same projection as the shard key) — the
+        # kernel used to re-derive it per row with hashlib inside the
+        # sort, Python-side work the Arrow batch already carried (r16,
+        # guide §4.2)
         rows = sorted(
-            zip(pdf["_id"], pdf["_tok"]),
-            key=lambda r: (order_key(int(r[0])), int(r[0])))
+            zip(pdf["_id"], pdf["_tok"], pdf["_okey"]),
+            key=lambda r: (r[2], int(r[0])))
         out = {k: [] for k in ("doc_id_packed", "shard", "pack_seq",
                                "pack_id", "offset_in_pack", "pack_tokens")}
         pack_seq, used = 0, 0
-        for doc_id, tok in rows:
+        for doc_id, tok, _ in rows:
             tok = int(tok)
             if used > 0 and used + tok > budget:
                 pack_seq += 1
@@ -85,10 +85,12 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
 
     h = F.conv(F.substring(F.md5(F.concat(
         F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 13), 16, 10)
+    okey = F.md5(F.concat(F.lit(f"{seed}o|"), F.col(id_col).cast("string")))
     keyed = docs.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(tokens_col).cast("long").alias("_tok"),
         F.pmod(h.cast("long"), F.lit(n_shards)).alias("_shard"),
+        okey.alias("_okey"),
     )
     return (
         keyed.groupBy("_shard")

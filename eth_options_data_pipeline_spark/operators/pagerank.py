@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
              broadcast_nodes_max: int = 2_000_000,
              checkpoint_every: int = 3,
-             pin_caches: bool = True) -> DataFrame:
+             pin_caches: bool = True,
+             scratch_key: str | None = None) -> DataFrame:
     """(node, rank) for every node in the (src, dst) edge list.
 
     Ranks sum to 1.0 (dangling mass redistributed uniformly).
@@ -83,6 +84,21 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     # only governs the short path; ONE construction serves both paths
     # (conditional caching, not duplicated plans).
     pin = pin_caches or long_run
+    # Short-path caches otherwise live for the session AND — because
+    # the CacheManager dedupes by canonicalized plan — serve REPEAT
+    # invocations over the same edge list from the previous run's
+    # blocks. A ``scratch_key`` rotates them per invocation: bounded
+    # block-manager footprint and honest per-invocation timings (r16).
+    if scratch_key is not None:
+        from eth_options_data_pipeline_spark.operators import scratch
+        scratch.rotate(scratch_key)
+
+        def _pin(df: DataFrame) -> DataFrame:
+            from eth_options_data_pipeline_spark.operators import scratch
+            return scratch.cache(df, scratch_key)
+    else:
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.cache()
     # Long runs: the edge list is consumed by every checkpoint
     # materialization — cache it (released on return) so a derived
     # edge list (e.g. a distinct over a fact table) is computed once
@@ -94,13 +110,24 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     owns_edges_cache = long_run and not edges.is_cached
     if owns_edges_cache:
         edges = edges.cache()
+    elif not long_run and scratch_key is not None and not edges.is_cached:
+        # Short runs USED to rely on ReusedExchange to share a derived
+        # edge list across rounds, but the per-round rank caches split
+        # the run into separate cache-materialization jobs and
+        # exchange reuse does not cross them — a distinct-over-fact
+        # edge list was re-derived once per round (measured r16 on
+        # dx28: ~25% of cold runtime). The per-round consumers now
+        # read one pinned copy; with scratch rotation the blocks are
+        # released at the face's next invocation, so the short path's
+        # old "no edge-scale caches" rule no longer buys anything.
+        edges = _pin(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     if pin:
-        nodes = nodes.cache()        # node-count-bounded
+        nodes = _pin(nodes)          # node-count-bounded
     n = nodes.count()
     if n == 0:
         if owns_edges_cache:
@@ -111,7 +138,7 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("out_deg"))
     if pin:
-        deg = deg.cache()            # node-count-bounded
+        deg = _pin(deg)              # node-count-bounded
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     if long_run:
@@ -125,7 +152,7 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
             edges.unpersist(blocking=False)
         return ranks
     return _iterate_lazy(edges, nodes, deg, ranks, n, iters, damping,
-                         pin_caches=pin_caches)
+                         pin_caches=pin_caches, pin=_pin)
 
 
 def _rank_update(nodes: DataFrame, contribs: DataFrame,
@@ -149,7 +176,8 @@ def _rank_update(nodes: DataFrame, contribs: DataFrame,
 
 def _iterate_lazy(edges: DataFrame, nodes: DataFrame, deg: DataFrame,
                   ranks: DataFrame, n: int, iters: int,
-                  damping: float, pin_caches: bool = True) -> DataFrame:
+                  damping: float, pin_caches: bool = True,
+                  pin=DataFrame.cache) -> DataFrame:
     """Short-run loop: one lazy query, AQE-planned joins, per-round
     ranks cached (node-count-bounded) so the two consumers share one
     evaluation (skipped under pin_caches=False — the fork then
@@ -158,7 +186,7 @@ def _iterate_lazy(edges: DataFrame, nodes: DataFrame, deg: DataFrame,
     contributions — no separate dangling-node artifact to maintain."""
     for _ in range(iters):
         if pin_caches:
-            ranks = ranks.cache()      # node-count-bounded, deduped
+            ranks = pin(ranks)         # node-count-bounded, deduped
         linked = ranks.join(deg, ranks["node"] == deg["src"], "left")
         # mass sitting on dangling nodes this round — a 1-row lazy
         # aggregate riding the plan via broadcast cross join, so an

@@ -69,6 +69,8 @@ def overlap_matrix(df: DataFrame, group_col: str, distinct_col: str) -> DataFram
     without it Catalyst clones the aggregation subtree into both join
     sides and the raw table is scanned twice; with it the raw scan runs
     once and the join replays |groups| cached rows."""
+    from eth_options_data_pipeline_spark.operators import scratch
     return pairwise_overlap(
-        group_sketches(df, group_col, distinct_col)
-        .localCheckpoint(eager=False), group_col)
+        scratch.scoped_cache(group_sketches(df, group_col, distinct_col),
+                             "sketch_algebra.overlap_matrix"),
+        group_col)

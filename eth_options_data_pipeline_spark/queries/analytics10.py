@@ -84,7 +84,8 @@ def dx28_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("src"),
         (-F.col("l_partkey") - 1).alias("dst"),
     ).distinct()
-    out = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
+    out = pagerank(edges, iters=_PR_ITERS, damping=_PR_D,
+                   scratch_key="dx28")
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 

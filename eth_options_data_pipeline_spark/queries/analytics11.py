@@ -362,11 +362,13 @@ def dx40_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     are split on their CLUSTER id, so no near-duplicate pair ever
     straddles a split boundary; singleton docs split on their own id
     (operators/splits.py composing operators/components.py)."""
+    from eth_options_data_pipeline_spark.operators import scratch
     from eth_options_data_pipeline_spark.operators.splits import leakage_safe_split
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))\
-        .localCheckpoint(eager=False)
+    # cache consumed only during leakage_safe_split's eager component
+    # loop — released before this face returns (r16, guide §5)
+    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh")).cache()
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
     bands = sig.select(
@@ -391,6 +393,10 @@ def dx40_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = leakage_safe_split(
         docs.select("doc_id"), pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    # the component loop inside leakage_safe_split ran eagerly, so the
+    # shingle cache is fully consumed — the returned plan reads only
+    # the loop's final checkpoint and the docs scan
+    sh.unpersist(blocking=False)
     return out.select("doc_id", "split")
 
 

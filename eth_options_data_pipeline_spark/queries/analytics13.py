@@ -169,10 +169,12 @@ def dx43_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiple times per chunk (the dx46 fix, r12). localCheckpoint is
     # safe here: the panel's broadcast is an explicit hint, not a
     # stats decision.
-    emb = (chunks.select(
-        "doc_id", "chunk_id", "chunk_index",
-        _hash_embed(F.col("chunk_text")).alias("e"))
-        .localCheckpoint(eager=False))
+    from eth_options_data_pipeline_spark.operators import scratch
+    emb = scratch.scoped_cache(
+        chunks.select(
+            "doc_id", "chunk_id", "chunk_index",
+            _hash_embed(F.col("chunk_text")).alias("e")),
+        "dx43")
     corpus = emb.where(vx.dot(F.col("e"), F.col("e")) > 0)
     qs = (
         corpus.where(F.col("chunk_index") == 0)
@@ -593,8 +595,9 @@ def dx46_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docstring's re-evaluation class; dx49 makes the same move).
     # localCheckpoint, not cache: downstream is projection/TakeOrdered
     # only — no broadcast-decided join needs its stats (r11 lesson).
-    emb = (docs.select("doc_id", _hash_embed(F.col("text")).alias("e"))
-           .localCheckpoint(eager=False))
+    from eth_options_data_pipeline_spark.operators import scratch
+    emb = scratch.scoped_cache(
+        docs.select("doc_id", _hash_embed(F.col("text")).alias("e")), "dx46")
     sims = (
         emb.where(vx.dot(F.col("e"), F.col("e")) > 0)
         .select("doc_id",

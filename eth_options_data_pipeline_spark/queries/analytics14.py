@@ -231,7 +231,9 @@ def dx49_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan BOTH consume the embedded corpus, and the per-word md5 HOF
     # embed is the expensive half of this face — same move as dx10's
     # shingle cache
-    corpus = emb.where(vx.dot(F.col("e"), F.col("e")) > 0).cache()
+    from eth_options_data_pipeline_spark.operators import scratch
+    corpus = scratch.scoped_cache(
+        emb.where(vx.dot(F.col("e"), F.col("e")) > 0), "dx49")
     anchors = (
         corpus.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(_NEG_NA)

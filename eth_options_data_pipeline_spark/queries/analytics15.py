@@ -232,11 +232,12 @@ def qx48_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks the sketch's four answers (no per-row amplification)."""
     # one parquet decode for the three passes (sketch, selection,
     # rank check): the testdata files carry a single row group, so
-    # every scan re-pays a serial decode — materialize the projected
-    # column once, spread across cores, and let all passes read it
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_extendedprice")
-          .localCheckpoint(eager=True))
+    # every scan re-pays a serial decode — pin the projected column
+    # once (rotation-managed cache, r16) and let all passes read it
+    from eth_options_data_pipeline_spark.operators import scratch
+    li = scratch.scoped_cache(
+        load_table(spark, sf_dir, "lineitem").select("l_extendedprice"),
+        "qx48")
     qs = F.lit(_QX48_QS)
     approx_row = li.agg(
         F.percentile_approx("l_extendedprice", qs, F.lit(_QX48_ACC))
@@ -244,7 +245,11 @@ def qx48_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     approx_vs, n = list(approx_row["approx"]), int(approx_row["n"])
-    exact = exact_quantiles(li, "l_extendedprice", _QX48_QS)
+    # the sketch panel above doubles as the selection's first split
+    # panel — one fewer full-column sketch action; answers are exact
+    # under any panel (r16)
+    exact = exact_quantiles(li, "l_extendedprice", _QX48_QS,
+                            splits_hint=approx_vs)
 
     # two-sided GK contract: the sketch's answer occupies the rank
     # interval (rank_lt, rank_le]; the bound holds iff that interval

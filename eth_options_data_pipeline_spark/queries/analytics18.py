@@ -148,14 +148,16 @@ def dx60_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = tx.MINHASH_K
     docs = load_table(spark, sf_dir, "documents")
-    # localCheckpoint, not cache(): the shingle table is consumed by
-    # three downstream branches, but cache entries in the long-lived
-    # shared session of the 123-face sweep are never released —
-    # checkpointed partitions are dropped by the ContextCleaner once
-    # this DataFrame goes out of scope.
+    # rotation-managed cache: the shingle table is consumed by three
+    # downstream branches; scratch.rotate releases the previous
+    # invocation's blocks at entry, so the old never-released-cache
+    # concern (which had forced a localCheckpoint here) is gone — and
+    # an unpersisted cache recomputes instead of poisoning stale
+    # consumers (r16).
+    from eth_options_data_pipeline_spark.operators import scratch
     sh = docs.select(
         "doc_id", tx.word_shingles(F.col("text")).alias("sh"))
-    sh = sh.localCheckpoint(eager=False)
+    sh = scratch.scoped_cache(sh, "dx60")
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh",
                     *[c.alias(f"mh{j}") for j, c in enumerate(mh)])

@@ -91,17 +91,20 @@ def _bloom_hits(spark: SparkSession, sf_dir: str,
     # (observed: 6 scans -> 2). Checkpointed partitions are released by
     # the ContextCleaner when the face's result is done; cache entries
     # would accumulate for the life of the shared 123-face session.
-    bench_grams = (docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD == 0)
-                   .select(F.explode(grams).alias("gram"))
-                   .distinct()
-                   .localCheckpoint(eager=False))
+    from eth_options_data_pipeline_spark.operators import scratch
+    scratch.rotate(f"bloom_hits.{use_bloom}")
+    bench_grams = scratch.cache(
+        docs.where(F.col("doc_id") % _BLOOM_BENCH_MOD == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct(),
+        f"bloom_hits.{use_bloom}")
     train_grams = train.select(
         "doc_id", F.explode(grams).alias("gram"))
     if use_bloom:
         m_bits = sized_bits(bench_grams.count())
-        bloom = bloom_build(
-            bench_grams, "gram", m_bits,
-            k=_BLOOM_K).localCheckpoint(eager=False)
+        bloom = scratch.cache(
+            bloom_build(bench_grams, "gram", m_bits, k=_BLOOM_K),
+            f"bloom_hits.{use_bloom}")
         train_grams = bloom_prune(
             train_grams, "gram", bloom, m_bits, k=_BLOOM_K)
     hits = (train_grams.join(F.broadcast(bench_grams), "gram")
@@ -212,10 +215,12 @@ def dx65_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection over a tiny base, so nothing big is ever stored,
     # deduplicated, or checkpointed (members are distinct by
     # construction: unique doc_id x unique suffix)
-    base = (load_table(spark, sf_dir, "documents")
-            .where(F.col("doc_id") < _DX65_REF_DOCS)
-            .select("doc_id")
-            .localCheckpoint(eager=False))
+    from eth_options_data_pipeline_spark.operators import scratch
+    base = scratch.scoped_cache(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _DX65_REF_DOCS)
+        .select("doc_id"),
+        "dx65")
     amp = F.explode(
         F.sequence(F.lit(0), F.lit(_DX65_PER_DOC - 1))).alias("s")
     members = (base.select("doc_id", amp)

@@ -193,6 +193,18 @@ def _segmented_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _frozen_entries(spark, sf_dir),
                          max_piece=_UG_MAXP)
 
+
+def _segmented_lexicon_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segmented lexicon landed once per (session, sf_dir) — it is
+    a pure function of the corpus and the (already frozen) dx67 model,
+    so consumers (dx68's apply aggregate, cx05's tokenize stage) read
+    a <= lexicon-size parquet instead of re-running top_words + the
+    segmentation DP per invocation (r16; same train-once/serve-many
+    convention as ``_unigram_model`` itself)."""
+    return session_artifact(
+        spark, "unigram_model", sf_dir, "seg_lexicon",
+        lambda: _segmented_lexicon(spark, sf_dir))
+
 # the apply-time segmentation walk, mirrored: left-to-right, at each
 # position take the LONGEST piece on an optimal path. The per-position
 # best length precomputes as the `nxt` ARRAY column (DuckDB v1.0
@@ -297,7 +309,7 @@ def dx68_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = _unigram_model(spark, sf_dir)
 
     def _build() -> DataFrame:
-        seg = _segmented_lexicon(spark, sf_dir)
+        seg = _segmented_lexicon_frozen(spark, sf_dir)
         applied = (seg.select(F.explode("pieces").alias("piece"), "freq")
                    .groupBy("piece")
                    .agg(F.sum("freq").cast("long").alias("applied_cnt")))

@@ -202,13 +202,16 @@ def qx53_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous key range), so ``WHERE cur <= 1`` keeps exactly one
     completed row per leaf and the depth histogram is the tree's
     level structure."""
-    # checkpoint the view's backing table: every recursion level joins
-    # the frontier against customer, and an unmaterialized view would
-    # re-scan (and re-spread) the parquet once per level — depth x the
-    # cost for a table the iteration never changes
-    (load_table(spark, sf_dir, "customer")
-     .localCheckpoint(eager=True)
-     .createOrReplaceTempView("customer"))
+    # pin the view's backing table (rotation-managed cache): every
+    # recursion level joins the frontier against customer, and an
+    # unmaterialized view would re-scan (and re-spread) the parquet
+    # once per level — depth x the cost for a table the iteration
+    # never changes (cache, not localCheckpoint, so rotation can never
+    # poison a stale result frame — r16)
+    from eth_options_data_pipeline_spark.operators import scratch
+    cust = scratch.scoped_cache(
+        load_table(spark, sf_dir, "customer"), "qx53")
+    cust.createOrReplaceTempView("customer")
     return spark.sql(_QX53_SQL)
 
 

@@ -26,7 +26,7 @@ from eth_options_data_pipeline_spark.queries.analytics13 import (
     _CX01_CTES, _cx01_stages,
 )
 from eth_options_data_pipeline_spark.queries.analytics21 import (
-    _DX68_SEG_CTES, _segmented_lexicon,
+    _DX68_SEG_CTES, _segmented_lexicon_frozen,
 )
 from eth_options_data_pipeline_spark.queries.registry import query
 from eth_options_data_pipeline_spark.sources import load_table
@@ -108,20 +108,36 @@ def cx05_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     are shared module constants, so face and composition can never
     drift apart silently."""
     kept = _cx01_stages(spark, sf_dir).select("doc_id")
-    wp = _segmented_lexicon(spark, sf_dir).select(
-        "word", F.size("pieces").cast("long").alias("n_pieces"))
+    # The piece-count lookup is the frozen segmented lexicon — a
+    # <= lexicon-size constant of (corpus, frozen model) — loaded as
+    # LITERALS (the dx68 bounded model-load convention) instead of a
+    # broadcast-join side. The per-doc token count then folds IN-ROW
+    # over the word array: the former explode -> broadcast join ->
+    # groupBy(doc_id) pair of stages (and the doc_id exchange between
+    # them) disappears from the plan entirely; sums are exact BIGINTs,
+    # so the fold is value-identical to the grouped sum (r16, guide
+    # §2.4 "remove shuffles outright"). Membership is preserved: docs
+    # whose word array is all-empty never reached the groupBy before,
+    # so the fold guards on `exists(words, w != '')`.
+    wp_rows = _segmented_lexicon_frozen(spark, sf_dir).select(
+        "word", F.size("pieces").cast("long").alias("n_pieces")).collect()
+    piece_of = {r["word"]: int(r["n_pieces"]) for r in wp_rows}
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = (
-        docs.join(kept, "doc_id", "left_semi")
-        .select("doc_id",
-                F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
-        .where(F.col("word") != "")
-    )
+    ws = F.split(F.lower(F.col("text")), " ")
+    if piece_of:
+        pmap = F.create_map(*[F.lit(x) for kv in sorted(piece_of.items())
+                              for x in kv])
+        n_pieces_of = lambda w: F.coalesce(pmap[w], F.lit(1).cast("long"))  # noqa: E731
+    else:  # empty lexicon: every word costs its whole-word fallback 1
+        n_pieces_of = lambda w: F.lit(1).cast("long")  # noqa: E731
+    tok_fold = F.aggregate(
+        ws, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.when(w == "", F.lit(0).cast("long"))
+        .otherwise(n_pieces_of(w)))
     doc_tok = (
-        words.join(F.broadcast(wp), "word", "left")
-        .groupBy("doc_id")
-        .agg(F.sum(F.coalesce(F.col("n_pieces"), F.lit(1)))
-             .cast("long").alias("ug_tokens"))
+        docs.join(kept, "doc_id", "left_semi")
+        .where(F.exists(ws, lambda w: w != ""))
+        .select("doc_id", tok_fold.alias("ug_tokens"))
     )
     packed = pack_documents(doc_tok, "doc_id", "ug_tokens",
                             budget=_CX05_BUDGET, n_shards=_CX05_SHARDS,

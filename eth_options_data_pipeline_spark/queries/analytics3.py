@@ -134,11 +134,18 @@ def dx10_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tests/test_fuzzy_extra.py additionally pins banded ⊆ brute on the
     shared slice and quantifies the banding recall."""
+    from eth_options_data_pipeline_spark.operators import scratch
+
+    # free the PREVIOUS invocation's scratch (r16, guide §5: every
+    # invocation leaked 2 persisted RDDs across bench reps). CACHES,
+    # not localCheckpoints, so rotation can never poison a still-held
+    # result frame (an unpersisted cache recomputes).
+    scratch.rotate("dx10")
     docs = t(spark, sf_dir, "documents")
-    # cached: banding + both Jaccard-verify sides re-consume the shingle
-    # arrays; recomputing the per-char transform 3x dominates cost
-    csh = docs.select("doc_id", tx.char_shingles("text").alias("sh"))\
-        .localCheckpoint(eager=False)
+    # cached: banding + both Jaccard-verify sides re-consume the
+    # shingle arrays; recomputing the per-char transform 3x dominates
+    csh = scratch.cache(
+        docs.select("doc_id", tx.char_shingles("text").alias("sh")), "dx10")
 
     # -- char_brute: bounded slice, all pairs. coalesce(1): the slice is
     # 60 rows; a cartesian self-join of two 32-partition sides schedules
@@ -207,8 +214,9 @@ def dx10_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row signature projection (a full pass over every word of every
     # document) is the expensive half of this branch; the cached table
     # is 16 bytes/doc
-    ssig = docs.select("doc_id", tx.simhash(F.col("text")).alias("simhash"))\
-        .localCheckpoint(eager=False)
+    ssig = scratch.cache(
+        docs.select("doc_id", tx.simhash(F.col("text")).alias("simhash")),
+        "dx10")
     sbk = ssig.withColumn("bucket", (F.col("simhash") / 65536).cast("long"))
     sa, sc = sbk.alias("a"), sbk.alias("c")
     ham = tx.hamming32(F.col("a.simhash"), F.col("c.simhash"))

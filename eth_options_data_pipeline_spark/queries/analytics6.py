@@ -80,9 +80,13 @@ def dx12_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # cached: the tf, df and n_docs branches each consume the exploded
     # token stream — one materialization instead of three explodes
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
-    ).localCheckpoint(eager=False)
+    from eth_options_data_pipeline_spark.operators import scratch
+    tokens = scratch.scoped_cache(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            .alias("term")),
+        "dx12")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tokens.select(F.countDistinct("doc_id").alias("n_docs"))

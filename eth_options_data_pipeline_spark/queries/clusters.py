@@ -77,7 +77,12 @@ def dx13_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges -> connected components (component id = min doc_id in the
     cluster) -> (doc_id, component, cluster_size) for every clustered
     document."""
+    from eth_options_data_pipeline_spark.operators import scratch
+
     docs = load_table(spark, sf_dir, "documents")
+    # cache consumed ONLY during the eager edge build below — released
+    # before this face returns (r16, guide §5: it used to stay pinned
+    # for the session and serve later bench reps' identical plans)
     sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh")).cache()
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
@@ -105,8 +110,14 @@ def dx13_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = connected_components(
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
     ).select(F.col("node").alias("doc_id"), "component")
+    # the component loop ran eagerly just above, so the shingle cache
+    # and the edge checkpoint are fully consumed — the returned plan
+    # reads only the loop's final checkpoint. Release both NOW instead
+    # of leaking them for the session (r16, guide §5).
+    sh.unpersist(blocking=False)
+    scratch.release_ckpt(edges)
 
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "component").select("doc_id", "component", "cluster_size")

@@ -677,7 +677,8 @@ def q21_options_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(tok, 1, 2).cast("int"),
         ),
     )
-    parsed = guarded.withColumn("expiry", expiry).cache()
+    from eth_options_data_pipeline_spark.operators import scratch
+    parsed = scratch.scoped_cache(guarded.withColumn("expiry", expiry), "q21")
     targets = (
         parsed.select("expiry")
         .where(F.col("expiry").isNotNull() & (F.col("expiry") >= F.lit(dt.date(2000, 6, 1))))

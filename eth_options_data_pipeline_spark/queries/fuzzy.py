@@ -88,11 +88,13 @@ def dx07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket self-join for candidates -> exact Jaccard verification.
     The candidate join shuffles on fixed-width band digests only; exact
     Jaccard runs just on candidate pairs (the 100 TB-safe shape)."""
+    from eth_options_data_pipeline_spark.operators import scratch
     docs = load_table(spark, sf_dir, "documents")
-    # cached: the candidate join and both Jaccard sides re-consume the
-    # shingle arrays — recomputing the md5 transform 3x dominates cost
-    sh = docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh"))\
-        .localCheckpoint(eager=False)
+    # checkpointed: the candidate join and both Jaccard sides re-consume
+    # the shingle arrays — recomputing the md5 transform 3x dominates
+    sh = scratch.scoped_cache(
+        docs.select("doc_id", tx.word_shingles(F.col("text")).alias("sh")),
+        "dx07")
     mh = tx.minhash_signature(F.col("sh"))
     sig = sh.select("doc_id", "sh", *[c.alias(f"mh{j}") for j, c in enumerate(mh)])
     bands = sig.select(

@@ -67,19 +67,28 @@ _CLASS_STALENESS = {"sx": 2, "cx": 2, "dx": 4, "vx": 2, "mm": 2,
 # off once a NEWER driver round has a green row for the face (no
 # stale-set bookkeeping — the condition is computed).
 REWORKED_AFTER_ROUND = {
-    # r14's 7 entries all pruned at r15 start: every one
-    # (q21/q29/dx59/qx48/dx65/dx61/dx42) got a green r14 driver row,
-    # newer than its rework round, so the policy's own drop-off had
-    # already expired them (VERDICT r14 item 4).
-    # r15 reworks land here as they happen.
-    "dx42_semdedup": 14,   # IVF-assisted assignment replaced the
-                           # max_k cap (paper-rule k, new kernel +
-                           # oracle CTEs)
-    "q04_left_join_coalesce": 11,  # q05 fold: the outer join's right
-                                   # side is now the P5 broadcast
-                                   # semi-join output (new leg +
-                                   # oracle CTE after its last green
-                                   # row, r11)
+    # r15's entries (dx42 r14-rework, q04 r11-rework) pruned at r16
+    # start: both got green r15 driver rows newer than their rework
+    # rounds (VERDICT r15 item 5).
+    # r16 optimization-round reworks: result-identical by design
+    # (oracle-parity-tested locally), but each changed the face's
+    # internals enough to carry first-round risk again.
+    "cx05_corpus_composition": 16,  # tokenize stage: explode+join+
+                                    # groupBy -> in-row map-literal
+                                    # fold over the frozen segmented
+                                    # lexicon
+    "cx03_quality_ensemble": 16,    # frozen-classifier scorer now the
+                                    # in-row fold regime (no explode/
+                                    # join/shuffle)
+    "dx41_classifier_gate": 16,     # same scorer regime switch
+    "cx04_token_budget_pack": 16,   # packing order key computed JVM-
+                                    # side, kernel sorts by column
+    "qx48_approx_quantiles": 16,    # splits_hint reuses the sketch
+                                    # panel; column pin is a rotated
+                                    # cache
+    "dx28_pagerank": 16,            # short-path caches rotate per
+                                    # invocation; edge list pinned
+                                    # once per invocation
 }
 
 _REPO_ROOT = os.path.dirname(

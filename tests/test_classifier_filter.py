@@ -128,3 +128,33 @@ def test_score_frozen_linear_matches_manual(spark):
     }
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-12, k
+
+
+def test_inrow_and_join_regimes_agree(spark, sf_small):
+    """The r16 in-row fold regime must match the explode+join regime
+    to the 6-decimal rounding every consumer applies — at a vocab size
+    above and below the regime bound."""
+    from eth_options_data_pipeline_spark.operators import classifier_filter as cf
+    from eth_options_data_pipeline_spark.queries.analytics12 import (
+        _CLF_BIAS, _CLF_WEIGHTS,
+    )
+    from eth_options_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+
+    def rounded(df):
+        return {r["doc_id"]: r["p"] for r in df.select(
+            "doc_id", F.round("quality_prob", 6).alias("p")).collect()}
+
+    inrow = rounded(cf.score_frozen_linear(docs, _CLF_WEIGHTS, _CLF_BIAS))
+    orig = cf._INROW_VOCAB_MAX
+    try:
+        cf._INROW_VOCAB_MAX = 0  # force the explode+join regime
+        joined = rounded(cf.score_frozen_linear(docs, _CLF_WEIGHTS, _CLF_BIAS))
+    finally:
+        cf._INROW_VOCAB_MAX = orig
+    assert inrow == joined
+    # the in-row regime plans with no exchange at all
+    plan = cf.score_frozen_linear(docs, _CLF_WEIGHTS, _CLF_BIAS)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -146,3 +146,25 @@ def test_qx48_returned_plan_has_no_exact_percentile(spark, sf_small):
     rows = {r["q"]: r for r in df.collect()}
     assert set(rows) == {0.25, 0.5, 0.75, 0.95}
     assert all(r["bound_ok"] for r in rows.values())
+
+
+def test_splits_hint_identical_answers_and_empty_raises(spark):
+    """A splits_hint only steers bucket balance — answers must be
+    bit-identical with and without it, for hints good (real quantile
+    panel), bad (all values in one bucket), and degenerate (empty /
+    out-of-range panels); an empty column still raises (r16)."""
+    import random
+
+    rng = random.Random(7)
+    vals = [(rng.uniform(-50, 50),) for _ in range(3000)]
+    df = spark.createDataFrame(vals, "v double")
+    qs = [0.1, 0.5, 0.9]
+    base = exact_quantiles(df, "v", qs, num_buckets=8)
+    for hint in ([-25.0, 0.0, 25.0], [1e9, 2e9], [0.0], []):
+        got = exact_quantiles(df, "v", qs, num_buckets=8,
+                              splits_hint=hint)
+        assert got == base, hint
+    empty = df.where(F.col("v").isNull())
+    with pytest.raises(ValueError):
+        exact_quantiles(empty, "v", [0.5], num_buckets=4,
+                        splits_hint=[1.0])

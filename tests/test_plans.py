@@ -631,9 +631,11 @@ def test_bloom_prefilter_probe_side_never_shuffles(spark, sf_small):
     are ALL broadcast-hash joins (k=3 word probes + bench-gram confirm
     + the totals join re-using broadcast), so the corpus gram stream
     reaches its per-doc aggregate without an intermediate exchange.
-    The bench gram set and the bitset are localCheckpoint-scoped
-    (released by the ContextCleaner, ADVICE r10), so they surface as
-    ExistingRDD scans — the bit_or build plan is pinned separately
+    The bench gram set and the bitset are rotation-managed CACHES
+    (r16: scratch.rotate releases the previous invocation's blocks,
+    and an unpersisted cache recomputes instead of poisoning stale
+    consumers the way a released checkpoint would), so they surface as
+    InMemoryTableScan — the bit_or build plan is pinned separately
     below."""
     from eth_options_data_pipeline_spark.queries.analytics19 import (
         _bloom_hits,
@@ -641,7 +643,7 @@ def test_bloom_prefilter_probe_side_never_shuffles(spark, sf_small):
     p = plan(_bloom_hits(spark, sf_small, use_bloom=True))
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "CartesianProduct" not in p
-    assert "ExistingRDD" in p  # the checkpoint-scoped bitset/gram set
+    assert "InMemoryTableScan" in p  # the rotation-scoped bitset/gram set
     assert "SortMergeJoin" not in p
 
 
@@ -726,11 +728,12 @@ def test_kept_cache_sites_stay_cached_and_broadcast(all_plans):
     from eth_options_data_pipeline_spark.queries import clusters
 
     src = inspect.getsource(clusters.dx13_dup_clusters)
-    assert ".cache()" in src, (
-        "dx13's shingle table must stay cache(): converting it to "
-        "localCheckpoint hid its stats from the edge-verify joins "
-        "computed eagerly at build time and regressed the face in "
-        "the r11 sweep (commit 7b95b4f)")
+    assert ".cache()" in src or "scratch.cache(" in src, (
+        "dx13's shingle table must stay a cache (plain .cache() or the "
+        "r16 scratch.cache rotation — both register an "
+        "InMemoryRelation): converting it to localCheckpoint hid its "
+        "stats from the edge-verify joins computed eagerly at build "
+        "time and regressed the face in the r11 sweep (commit 7b95b4f)")
 
 
 def test_ivfadc_scan_is_list_pruned(all_plans):

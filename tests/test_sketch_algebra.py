@@ -64,9 +64,13 @@ def test_single_scan_plan(spark, orders):
     subtree (which would re-scan raw data per side)."""
     df = overlap_matrix(orders, "o_orderpriority", "o_custkey")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the sketch table is localCheckpoint-scoped (r11 cache hygiene):
-    # both join sides read the materialized ExistingRDD, so the
-    # hll_sketch_agg subtree is built ONCE and never cloned per side
-    assert "Scan ExistingRDD" in plan
-    assert "hll_sketch_agg" not in plan, \
-        "aggregation must live below the checkpoint, not on a join side"
+    # the sketch table is a rotation-managed CACHE (r16 — safe to
+    # release across invocations, unlike the former localCheckpoint):
+    # both join sides read ONE InMemoryRelation, so the hll_sketch_agg
+    # subtree is built once and never cloned onto a join side. The
+    # toString expands the cached plan under InMemoryRelation, so the
+    # agg may only appear BELOW the first InMemoryRelation line.
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "hll_sketch_agg" not in above_cache, \
+        "aggregation must live below the cache, not on a join side"
