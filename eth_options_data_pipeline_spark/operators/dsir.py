@@ -121,10 +121,15 @@ def log_ratio_table(target: DataFrame, raw: DataFrame,
 
 def importance_weights(raw_docs: DataFrame, ratios: DataFrame,
                        buckets: int, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       doc_buckets: DataFrame | None = None) -> DataFrame:
     """(id_col, log_weight); documents with no bigrams (or only
-    bigrams in buckets unseen by either corpus) get weight 0."""
-    db = _doc_buckets(raw_docs, id_col, text_col, buckets)
+    bigrams in buckets unseen by either corpus) get weight 0.
+    ``doc_buckets`` lets a caller that already materialized the
+    per-doc bucket table (dsir_select) pass it in instead of paying a
+    second bigram explode over the raw corpus."""
+    db = (doc_buckets if doc_buckets is not None
+          else _doc_buckets(raw_docs, id_col, text_col, buckets))
     w = (
         db.join(F.broadcast(ratios), "bucket")
         .groupBy("id").agg(F.sum(F.col("n") * F.col("logratio"))
@@ -146,10 +151,21 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int,
     draw of n samples without replacement with probability ∝ w(x).
     Returns (id_col, log_weight, key), highest keys first.
     """
+    from eth_options_data_pipeline_spark.operators import scratch
+
     t_dist = bucket_distribution(target_docs, text_col, buckets)
-    r_dist = bucket_distribution(raw_docs, text_col, buckets)
+    # ONE bigram explode over the raw corpus serves both the corpus
+    # distribution and the per-doc weights: the raw distribution is
+    # exactly the per-doc table re-aggregated (sum of per-doc counts =
+    # total counts, integer-identical), so the former second
+    # explode+shuffle pass disappears (r16, guide §2.4). The per-doc
+    # table is a rotation-managed cache shared by both consumers.
+    db = scratch.scoped_cache(
+        _doc_buckets(raw_docs, id_col, text_col, buckets), "dsir.db")
+    r_dist = db.groupBy("bucket").agg(F.sum("n").alias("c"))
     ratios = log_ratio_table(t_dist, r_dist, buckets)
-    w = importance_weights(raw_docs, ratios, buckets, id_col, text_col)
+    w = importance_weights(raw_docs, ratios, buckets, id_col, text_col,
+                           doc_buckets=db)
     u = (F.conv(F.substring(
         F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
         1, 8), 16, 10).cast("double") + 0.5) / F.lit(float(2 ** 32))

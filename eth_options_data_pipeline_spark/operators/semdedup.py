@@ -45,7 +45,8 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
              max_k: int | None = None,
              cluster_cap: int | None = None,
              coarse_nprobe: int | None = None,
-             pin_caches: bool = True) -> DataFrame:
+             pin_caches: bool = True,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """Returns (id, cluster, centroid_sim, keep) for every input row.
 
     ``keep`` is false iff the row loses to a same-cluster neighbor
@@ -100,7 +101,19 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
     if pin_caches:
         from eth_options_data_pipeline_spark.operators import scratch
         vecs = scratch.scoped_cache(vecs, "semdedup.vecs")
-    if k is None:
+    if centroids is not None:
+        # serve path (r16): the caller holds a TRAINED centroid set
+        # (e.g. a session artifact — the cluster index a real pipeline
+        # trains once and serves many times, the vx07/dx65/dx67
+        # convention). Skip the Lloyd loop entirely; assignment and
+        # the prune run fresh from the inputs against the frozen
+        # model, exactly as dx65 probes its frozen bitset.
+        k = len(centroids)
+        cents = [[float(v) for v in c] for c in centroids]
+        assigned = clustering.assign_centroids(
+            vecs, cents, id_col, vec_col, method,
+            coarse_nprobe=coarse_nprobe)
+    elif k is None:
         n = vecs.count()
         k = max(1, math.ceil(n / target_cluster_size))
         # Brute-force assignment is O(n*k) per Lloyd pass, so the
@@ -116,9 +129,10 @@ def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
         # (<= n*cap/2 pairs) in either regime.
         if max_k is not None:
             k = min(k, max_k)
-    assigned, cents = clustering.kmeans(
-        vecs, k, id_col, vec_col, max_iters=max_iters, method=method,
-        round_to=round_to, coarse_nprobe=coarse_nprobe)
+    if centroids is None:
+        assigned, cents = clustering.kmeans(
+            vecs, k, id_col, vec_col, max_iters=max_iters, method=method,
+            round_to=round_to, coarse_nprobe=coarse_nprobe)
 
     # cosine to own centroid via a broadcast join against the k-row
     # centroid table — ONE cosine fold per row regardless of k. (The

@@ -396,12 +396,45 @@ def dx42_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed order, anchor striding (cluster % step = 0), member/probe
     ranks, assignment folds, derived k, sub-group split, and
     (sim, id) loser rule."""
+    import math
+
+    from eth_options_data_pipeline_spark.operators import clustering
+    from eth_options_data_pipeline_spark.operators.artifacts import (
+        session_artifact,
+    )
     from eth_options_data_pipeline_spark.operators.semdedup import semdedup
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = semdedup(emb, k=None, target_cluster_size=_SD_TARGET,
+
+    # Train-once/serve-many (r16): the k-means cluster index over a
+    # fixed corpus is a deterministic ARTIFACT (the faiss-index-file of
+    # this face), frozen per (session, sf_dir) like vx07's centroids,
+    # dx65's bitset, and dx67's vocabulary. First invocation pays the
+    # paper-rule training (count + seed draw + one Lloyd refinement);
+    # later invocations load <= k rows and recompute the ASSIGNMENT,
+    # cosine, and prune fresh from the parquet inputs — the serve path.
+    # Values are identical either way: the trained means are rounded to
+    # 9 decimals before freezing, and parquet round-trips doubles
+    # exactly.
+    def _build():
+        vecs = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>")
+            .alias("embedding"))
+        n = vecs.count()
+        k = max(1, math.ceil(n / _SD_TARGET))
+        _, cents = clustering.kmeans(
+            vecs, k, "vec_id", "embedding", max_iters=1,
+            method="numpy", round_to=9, coarse_nprobe=_SD_NPROBE)
+        return spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+            "cluster int, cvec array<double>")
+
+    cent_rows = session_artifact(
+        spark, "semdedup", sf_dir, "centroids", _build).collect()
+    cents = [list(r["cvec"])
+             for r in sorted(cent_rows, key=lambda r: r["cluster"])]
+    out = semdedup(emb, k=None, centroids=cents,
                    coarse_nprobe=_SD_NPROBE, cluster_cap=_SD_CAP,
-                   threshold=_SD_THRESH, max_iters=1,
-                   method="numpy", round_to=9)
+                   threshold=_SD_THRESH, method="numpy", round_to=9)
     return out.select("vec_id", "cluster",
                       F.round("centroid_sim", 6).alias("centroid_sim"), "keep")

@@ -65,6 +65,18 @@ def get_spark(app_name: str = "eth-options-pipeline-spark", master: str | None =
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # -- scan sizing: at 100 TB this bounds per-task input ------
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # -- scan split floor: default = defaultParallelism, which
+        #    pads SMALL scans with empty byte-range splits (a parquet
+        #    row group is read whole by one split, so a 1-row-group
+        #    file under local[32] scheduled 31 empty tasks per scan
+        #    stage — pure scheduler overhead, measured 3-7% per
+        #    map-shaped face at sf0.1, r16). Scale-neutral: real
+        #    corpora exceed maxPartitionBytes and split by bytes, so
+        #    the floor never binds there; parallelism for small local
+        #    inputs is restored by sources.spread_small_input's
+        #    explicit exchange. Env-overridable like the core count.
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", "1"))
         # -- runtime bloom-filter join pruning: builds a bloom of the
         #    selective (filtered-dim) join side and pushes it into the
         #    fact scan. Self-gated: only activates when the application

@@ -118,3 +118,19 @@ def test_single_token_and_empty_docs_get_zero_weight(spark, corpora):
     w = {r.doc_id: r.log_weight for r in
          importance_weights(extra, ratios, B).collect()}
     assert w == {90001: 0.0, 90002: 0.0}
+
+
+def test_raw_distribution_from_doc_buckets_identical(spark, sf_small):
+    """The r16 rewire derives the raw bucket distribution by
+    re-aggregating the per-doc bucket table; it must equal the direct
+    corpus-level count exactly (integer sums)."""
+    from eth_options_data_pipeline_spark.operators import dsir
+    from eth_options_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    direct = {r["bucket"]: r["c"] for r in
+              dsir.bucket_distribution(docs, "text", 64).collect()}
+    db = dsir._doc_buckets(docs, "doc_id", "text", 64)
+    derived = {r["bucket"]: r["c"] for r in
+               db.groupBy("bucket").agg(F.sum("n").alias("c")).collect()}
+    assert derived == direct

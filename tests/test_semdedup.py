@@ -6,6 +6,7 @@ from __future__ import annotations
 import random
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from eth_options_data_pipeline_spark.operators.semdedup import semdedup
 from tests.test_clustering import ref_kmeans
@@ -181,3 +182,30 @@ def test_semdedup_cluster_cap_bounds_pair_join_groups(spark):
     blob_groups = {group_of[i] for i in range(180)}
     kept_blob = sum(1 for r in out if r["vec_id"] < 180 and r["keep"])
     assert kept_blob == len(blob_groups)
+
+
+def test_serve_path_with_frozen_centroids_identical(spark, sf_small):
+    """semdedup(centroids=...) — the r16 train-once/serve-many path —
+    must equal the in-line training path row for row."""
+    import math
+
+    from eth_options_data_pipeline_spark.operators import clustering
+    from eth_options_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    n = vecs.count()
+    k = max(1, math.ceil(n / 200))
+    _, cents = clustering.kmeans(vecs, k, "vec_id", "embedding",
+                                 max_iters=1, method="numpy",
+                                 round_to=9, coarse_nprobe=2)
+    trained = semdedup(emb, k=None, target_cluster_size=200,
+                       coarse_nprobe=2, cluster_cap=500, threshold=0.6,
+                       max_iters=1, method="numpy", round_to=9)
+    served = semdedup(emb, k=None, centroids=cents,
+                      coarse_nprobe=2, cluster_cap=500, threshold=0.6,
+                      method="numpy", round_to=9)
+    assert sorted(map(tuple, trained.collect())) == \
+        sorted(map(tuple, served.collect()))
