@@ -119,8 +119,14 @@ def score_frozen_linear(docs: DataFrame, weights: dict[str, float],
                               for t, w in sorted(weights.items())
                               for x in (t, float(w))])
         toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        z = F.aggregate(toks, F.lit(0.0),
-                        lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0.0)))
+        # outer coalesce: NULL text folds to NULL, but the join regime
+        # (explode emits no rows -> left-join miss -> 0.0) and the
+        # oracle both score a NULL document sigmoid(bias) — keep the
+        # regimes identical on that edge (r16 review)
+        z = F.coalesce(
+            F.aggregate(toks, F.lit(0.0),
+                        lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0.0))),
+            F.lit(0.0))
         logit = F.lit(float(bias)) + z
         return docs.select(
             id_col,

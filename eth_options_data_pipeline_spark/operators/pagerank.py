@@ -110,7 +110,8 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     owns_edges_cache = long_run and not edges.is_cached
     if owns_edges_cache:
         edges = edges.cache()
-    elif not long_run and scratch_key is not None and not edges.is_cached:
+    elif (not long_run and pin_caches and scratch_key is not None
+          and not edges.is_cached):
         # Short runs USED to rely on ReusedExchange to share a derived
         # edge list across rounds, but the per-round rank caches split
         # the run into separate cache-materialization jobs and

@@ -37,6 +37,35 @@ from eth_options_data_pipeline_spark.operators import clustering
 from eth_options_data_pipeline_spark.operators.vectors import cosine
 
 
+def train_semdedup_centroids(emb: DataFrame,
+                             target_cluster_size: int = 64,
+                             coarse_nprobe: int | None = None,
+                             max_iters: int = 5, method: str = "expr",
+                             round_to: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             ) -> list[list[float]]:
+    """The TRAINING half of semdedup, as the single source of truth
+    for the train-once/serve-many split (r16): paper-rule
+    k = max(1, ceil(n / target_cluster_size)) from an exact count,
+    then the Lloyd loop. A face that freezes its cluster index builds
+    the artifact with THIS and serves with ``semdedup(centroids=...)``
+    — the two can never drift apart. The projected vectors are cached
+    for the count/seed/update passes and released before return."""
+    vecs = emb.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias(vec_col))
+    vecs = vecs.cache()
+    try:
+        n = vecs.count()
+        k = max(1, math.ceil(n / target_cluster_size))
+        _, cents = clustering.kmeans(
+            vecs, k, id_col, vec_col, max_iters=max_iters, method=method,
+            round_to=round_to, coarse_nprobe=coarse_nprobe)
+    finally:
+        vecs.unpersist(blocking=False)
+    return cents
+
+
 def semdedup(emb: DataFrame, k: int | None, threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding",
              max_iters: int = 5, method: str = "expr",

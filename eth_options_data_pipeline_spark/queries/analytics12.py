@@ -396,13 +396,12 @@ def dx42_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed order, anchor striding (cluster % step = 0), member/probe
     ranks, assignment folds, derived k, sub-group split, and
     (sim, id) loser rule."""
-    import math
-
-    from eth_options_data_pipeline_spark.operators import clustering
     from eth_options_data_pipeline_spark.operators.artifacts import (
         session_artifact,
     )
-    from eth_options_data_pipeline_spark.operators.semdedup import semdedup
+    from eth_options_data_pipeline_spark.operators.semdedup import (
+        semdedup, train_semdedup_centroids,
+    )
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
@@ -417,14 +416,9 @@ def dx42_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 9 decimals before freezing, and parquet round-trips doubles
     # exactly.
     def _build():
-        vecs = emb.select(
-            "vec_id", F.col("embedding").cast("array<double>")
-            .alias("embedding"))
-        n = vecs.count()
-        k = max(1, math.ceil(n / _SD_TARGET))
-        _, cents = clustering.kmeans(
-            vecs, k, "vec_id", "embedding", max_iters=1,
-            method="numpy", round_to=9, coarse_nprobe=_SD_NPROBE)
+        cents = train_semdedup_centroids(
+            emb, target_cluster_size=_SD_TARGET, coarse_nprobe=_SD_NPROBE,
+            max_iters=1, method="numpy", round_to=9)
         return spark.createDataFrame(
             [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
             "cluster int, cvec array<double>")

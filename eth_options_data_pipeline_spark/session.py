@@ -48,7 +48,11 @@ def get_spark(app_name: str = "eth-options-pipeline-spark", master: str | None =
     # skip a stopped leftover so a deliberate stop()+get_spark() cycle
     # still builds fresh.
     active = SparkSession.getActiveSession() or SparkSession._instantiatedSession
-    if active is not None and not active.sparkContext._jsc.sc().isStopped():
+    # sc.stop() nulls _jsc without clearing _instantiatedSession, so a
+    # leftover can be stopped in TWO shapes: _jsc None, or a live _jsc
+    # whose context reports stopped (r16 review)
+    if (active is not None and active.sparkContext._jsc is not None
+            and not active.sparkContext._jsc.sc().isStopped()):
         return active
 
     builder = (

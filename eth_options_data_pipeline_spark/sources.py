@@ -110,16 +110,28 @@ def _source_bytes(df: DataFrame) -> int:
     total = 0
     fallback_err: Exception | None = None
     try:
+        remote: dict[str, set[str]] = {}
         for p in df.inputFiles():
             if p.startswith("file:"):
                 total += os.path.getsize(p.removeprefix("file://")) or 0
             else:
-                jvm = df.sparkSession._jvm
-                jsc = df.sparkSession.sparkContext._jsc
-                hconf = jsc.hadoopConfiguration()
-                jpath = jvm.org.apache.hadoop.fs.Path(p)
+                # batch remote lookups per PARENT directory: one
+                # listStatus RPC per directory instead of one
+                # getFileStatus round trip per file (r16 review —
+                # a thousands-of-files table would otherwise pay
+                # thousands of sequential driver RPCs here)
+                parent, _, name = p.rpartition("/")
+                remote.setdefault(parent, set()).add(name)
+        if remote:
+            jvm = df.sparkSession._jvm
+            jsc = df.sparkSession.sparkContext._jsc
+            hconf = jsc.hadoopConfiguration()
+            for parent, names in remote.items():
+                jpath = jvm.org.apache.hadoop.fs.Path(parent)
                 fs = jpath.getFileSystem(hconf)
-                total += fs.getFileStatus(jpath).getLen()
+                for st in fs.listStatus(jpath):
+                    if st.getPath().getName() in names:
+                        total += st.getLen()
     except Exception as exc:  # listing error: degrade visibly
         fallback_err = exc
         total = 0

@@ -146,6 +146,11 @@ def test_inrow_and_join_regimes_agree(spark, sf_small):
         return {r["doc_id"]: r["p"] for r in df.select(
             "doc_id", F.round("quality_prob", 6).alias("p")).collect()}
 
+    # include the NULL-text edge: both regimes must score a NULL
+    # document sigmoid(bias) (the join regime's left-join miss; the
+    # in-row regime's outer coalesce — r16 review finding)
+    docs = docs.unionByName(
+        spark.createDataFrame([(10**9, None)], "doc_id long, text string"))
     inrow = rounded(cf.score_frozen_linear(docs, _CLF_WEIGHTS, _CLF_BIAS))
     orig = cf._INROW_VOCAB_MAX
     try:
@@ -154,6 +159,17 @@ def test_inrow_and_join_regimes_agree(spark, sf_small):
     finally:
         cf._INROW_VOCAB_MAX = orig
     assert inrow == joined
+    assert inrow[10**9] is not None  # the NULL doc scored sigmoid(bias)
+    # headroom check: the regimes' equality relies on 6-decimal
+    # rounding absorbing summation-order ulps (~1e-15 absolute on the
+    # probability); assert every score on this corpus sits further
+    # than 1e-11 absolute from a 0.5e-6 rounding boundary — four
+    # orders of magnitude of margin over worst-case fold-order drift
+    unrounded = [r["quality_prob"] for r in cf.score_frozen_linear(
+        docs, _CLF_WEIGHTS, _CLF_BIAS).collect()]
+    for p in unrounded:
+        frac = abs(p * 1e6 - round(p * 1e6))
+        assert abs(frac - 0.5) > 1e-5, p
     # the in-row regime plans with no exchange at all
     plan = cf.score_frozen_linear(docs, _CLF_WEIGHTS, _CLF_BIAS)\
         ._jdf.queryExecution().executedPlan().toString()
