@@ -86,6 +86,51 @@ def test_shingle_table_is_distinct_per_doc(spark):
     assert got == ["a b c", "b c a", "c a b"]
 
 
+def test_expansion_spread_gated_on_upstream_parallelism(spark, sf_small):
+    """r17: the cap**2 pair expansion must not run on AQE's coalesced
+    single partition when the shingle relation arrives unspread (the
+    streaming index serve path). The fix is a keyless repartition of
+    the bucket table, gated on upstream parallelism: an UNSPREAD input
+    gets the spread exchange, an already-spread input does not pay it.
+    Results are partitioning-invariant (the equality test above covers
+    the corpus; this pins the plan gate both ways)."""
+    from eth_options_data_pipeline_spark.operators.containment import (
+        pairs_from_shingles,
+    )
+
+    def formatted(df) -> str:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        return df._jdf.queryExecution().explainString(mode)
+
+    docs = (spark.read.parquet(f"{sf_small}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(50))
+    par = spark.sparkContext.defaultParallelism
+
+    narrow = shingle_table(docs).coalesce(1)
+    assert narrow.rdd.getNumPartitions() < par
+    narrow_plan = formatted(pairs_from_shingles(narrow))
+    n_narrow = narrow_plan.count("REPARTITION_BY_NUM")
+    assert n_narrow >= 1, \
+        "unspread input must get the expansion-spread repartition"
+
+    # an already-spread input must NOT gain an extra bucket exchange:
+    # the caller's own repartition(par) carries the only
+    # REPARTITION_BY_NUM tags, appearing once per bucket-subtree copy
+    # — the same multiplicity the operator's own spread has on the
+    # narrow path, so equal counts == nothing was added
+    wide = shingle_table(docs).repartition(par)
+    assert wide.rdd.getNumPartitions() >= par
+    wide_plan = formatted(pairs_from_shingles(wide))
+    assert wide_plan.count("REPARTITION_BY_NUM") == n_narrow, \
+        "already-spread input must not pay the extra bucket exchange"
+
+    # and the two shapes agree on the data
+    assert sorted(map(tuple, pairs_from_shingles(narrow).collect())) == \
+        sorted(map(tuple, pairs_from_shingles(wide).collect()))
+
+
 def test_pairs_from_shingles_equals_explode_path(spark, sf_small):
     """The streaming serve path (pairs_from_shingles over a
     materialized, pre-deduped shingle relation) must equal the batch
