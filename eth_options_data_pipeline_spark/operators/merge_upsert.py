@@ -55,14 +55,22 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     """
     if partition_col not in updates.columns:
         raise ValueError(f"updates must carry partition column {partition_col!r}")
-    null_keys = updates.where(
-        F.greatest(*[F.col(k).isNull() for k in keys]) if len(keys) > 1
-        else F.col(keys[0]).isNull()).limit(1).count()
-    if null_keys:
+    # ONE action answers both pre-write questions — the affected
+    # partition values AND "does any update row carry a NULL key" —
+    # instead of a limit-1 null probe plus a separate distinct
+    # (r17, guide §1.2: the null probe scanned the whole updates side
+    # in the common no-null case anyway, so folding it into the
+    # per-partition aggregate removes a full pass; result rows stay
+    # bounded by the table's partition count). The error still fires
+    # BEFORE any write.
+    null_col = (F.greatest(*[F.col(k).isNull() for k in keys])
+                if len(keys) > 1 else F.col(keys[0]).isNull())
+    stats = (updates.groupBy(partition_col)
+             .agg(F.max(null_col.cast("int")).alias("_null_key"))
+             .collect())
+    if any(r["_null_key"] for r in stats):
         raise ValueError("NULL merge key in updates — rerun would duplicate")
-
-    parts = [r[0] for r in
-             updates.select(partition_col).distinct().collect()]
+    parts = [r[0] for r in stats]
     if not parts:
         return 0
 
